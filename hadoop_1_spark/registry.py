@@ -1,0 +1,58 @@
+"""Query registry: every implemented operator exposed as a named query over
+the driver's star-schema tables, each with a DuckDB oracle SQL equivalent.
+
+This is the engine's analog of the reference's example-driver registry
+(src/examples/org/apache/hadoop/examples/ExampleDriver.java:36-73): a named
+catalog of runnable capability queries.
+
+Contract (driver): each query callable takes (spark, sf_dir) and returns a
+DataFrame; the oracle SQL runs on DuckDB views named after the parquet
+tables. Column names and types must match between the two — every computed
+column is explicitly aliased and cast on BOTH sides.
+
+Cross-engine determinism rules used throughout:
+- double aggregation: cast inputs to DECIMAL(18,4), aggregate exactly, cast
+  the result back to DOUBLE — identical bits in Spark and DuckDB regardless
+  of partial-aggregation order.
+- cross-engine hashing: md5 hex strings (identical in both engines); never
+  Spark's murmur3 ``hash``/``xxhash64`` in oracle-checked queries.
+- timestamps are never output raw; cast/format to string or date parts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query and (optionally) its DuckDB oracle SQL.
+
+    Queries without an oracle get the driver's weaker rows-only check
+    (reserved for genuinely non-SQL-expressible ops).
+    """
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return wrap
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Import side-effect modules that populate the registry.  Keep this at the
+# bottom so `register`/`_load` exist when they import back.
+from hadoop_1_spark.queries import (  # noqa: E402,F401
+    q_transforms,
+)

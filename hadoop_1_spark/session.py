@@ -1,0 +1,76 @@
+"""SparkSession factory + table loading helpers.
+
+Replaces the reference's JobConf/JobClient bootstrap
+(``mapred/JobConf.java``, ``mapred/JobClient.java:897``): instead of a typed
+key-value job description submitted to a JobTracker, we build one
+SparkSession whose Catalyst planner owns scheduling, shuffle, and sort.
+
+Scale notes (100 TB design intent):
+- AQE on: runtime partition coalescing + skew-join splitting replace the
+  reference's manual ``setNumReduceTasks`` sizing.
+- shuffle.partitions defaults to the local core count here; on a real
+  cluster AQE re-plans from ``spark.sql.adaptive.coalescePartitions``.
+- Arrow enabled so Pandas-UDF paths are vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "hadoop_1_spark", cpus: int | None = None) -> SparkSession:
+    """Create (or reuse) the engine's SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver harness contract) or
+    all local cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema parquet table (TESTDATA.md contract)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read several tables; also registers each as a temp view so SQL-form
+    operators can reference them."""
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
