@@ -1,0 +1,212 @@
+"""The Aggregate library: declarative named-aggregation framework.
+
+Reference parity (mapred/lib/aggregate, 1,807 LoC):
+- Descriptors turn each record into ("<FunctionName>:<id>", value) pairs
+  (ValueAggregatorBaseDescriptor.generateEntry:84-85); generic
+  mapper/combiner/reducer evaluate the function named in the key
+  (generateValueAggregator:94-110).  Output: one (id, report-string) row per
+  aggregation id (TextOutputFormat key\tvalue).
+- Functions: LongValueSum, DoubleValueSum, LongValueMax/Min,
+  StringValueMax/Min, UniqValueCount (with cap — UniqValueCount.java:36,81:
+  insertion stops once size exceeds the cap, so the result is
+  min(distinct, cap+1)), ValueHistogram (ValueHistogram.java:78-134: report =
+  "#unique\tmin\tmedian\tmax\tavg\tstddev" over the per-value frequencies,
+  median = sorted_counts[n/2] (upper median), stddev = population).
+
+Spark-first design: each descriptor is a (function, id-expr, value-expr)
+triple compiled into a per-function DataFrame aggregation; the per-function
+plans are unioned.  Catalyst runs partial aggregation map-side — exactly the
+reference's combiner (ValueAggregatorCombiner.java:51) without the string
+round-trip.  The combiner-parity subtlety (UniqValueCount caps inside the
+combiner too) is semantics-free here because min(distinct, cap+1) commutes
+with partial aggregation on exact distincts.
+
+Scale note: every function is a hash aggregation on (function, id) — no
+collect_list in the scalable paths.  The only array materialization is the
+report-string histogram (bounded by distinct values per id), kept for exact
+textual parity; ``histogram_stats`` is the scalable typed variant.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LONG_VALUE_SUM = "LongValueSum"
+DOUBLE_VALUE_SUM = "DoubleValueSum"
+LONG_VALUE_MAX = "LongValueMax"
+LONG_VALUE_MIN = "LongValueMin"
+STRING_VALUE_MAX = "StringValueMax"
+STRING_VALUE_MIN = "StringValueMin"
+UNIQ_VALUE_COUNT = "UniqValueCount"
+VALUE_HISTOGRAM = "ValueHistogram"
+
+
+@dataclass
+class Descriptor:
+    """One aggregation the framework should compute.
+
+    ``id`` may embed record data (e.g. ``concat(lit("count_"), col("word"))``)
+    — the reference's descriptors do exactly this (AggregatorTests.java:38).
+    """
+
+    func: str
+    id: Column
+    value: Column
+
+
+def uniq_value_count(col: Column, cap: int | None = None) -> Column:
+    """Exact distinct count with the reference's cap semantics:
+    min(distinct, cap+1) — insertion stops only after the size *exceeds* the
+    cap (UniqValueCount.addNextValue:81, confirmed by TestAggregates: cap 14
+    over 19 distinct values reports 15).  ``approx_count_distinct`` is the
+    100TB-scale alternative when exactness isn't required."""
+    c = F.count_distinct(col)
+    if cap is not None:
+        c = F.least(c, F.lit(cap + 1))
+    return c
+
+
+def _long_form(df: DataFrame, descriptors: list[Descriptor]) -> DataFrame:
+    """Union of (func, id, value) rows, one select per descriptor. Catalyst
+    prunes each branch to the columns it uses."""
+    parts = [
+        df.select(
+            F.lit(d.func).alias("func"),
+            d.id.cast("string").alias("id"),
+            d.value.cast("string").alias("value"),
+        )
+        for d in descriptors
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _histogram_freqs(hist: DataFrame) -> DataFrame:
+    """Parse ValueHistogram inputs ("xxx" or "xxx\\tcount",
+    ValueHistogram.addNextValue:46-64) and sum per-(id, value) frequencies."""
+    has_count = F.col("value").contains("\t")
+    inc = F.when(has_count, F.substring_index("value", "\t", -1).cast("long")).otherwise(F.lit(1))
+    # lastIndexOf("\t") split: value part is everything before the last tab.
+    vpart = F.when(
+        has_count,
+        F.expr("substring(value, 1, length(value) - length(substring_index(value, '\t', -1)) - 1)"),
+    ).otherwise(F.col("value"))
+    return (
+        hist.select("id", vpart.alias("val"), inc.alias("inc"))
+        .groupBy("id", "val")
+        .agg(F.sum("inc").alias("cnt"))
+    )
+
+
+def histogram_report_df(hist_long: DataFrame) -> DataFrame:
+    """Exact ValueHistogram.getReport parity: per id, the tab-joined string
+    "#unique\\tmin\\tmedian\\tmax\\tavg\\tstddev" (ValueHistogram.java:78-134).
+    avg/stddev rendered via cast-to-string = Java Double.toString."""
+    freqs = _histogram_freqs(hist_long)
+    stats = freqs.groupBy("id").agg(
+        F.sort_array(F.collect_list("cnt")).alias("counts"),
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("total"),
+    )
+    n = F.col("n")
+    avg = F.col("total") * 1.0 / n
+    # Java iterates the sorted array summing squared diffs — reproduce the
+    # exact summation order with a higher-order aggregate over sorted counts.
+    ssq = F.aggregate(
+        F.col("counts"),
+        F.lit(0.0),
+        lambda acc, c: acc + (c - avg) * (c - avg),
+    )
+    sd = F.sqrt(ssq / n)
+    median = F.element_at(F.col("counts"), (n / 2).cast("int") + 1)
+    report = F.concat_ws(
+        "\t",
+        n.cast("string"),
+        F.element_at("counts", 1).cast("string"),
+        median.cast("string"),
+        F.element_at(F.col("counts"), n.cast("int")).cast("string"),
+        avg.cast("string"),
+        sd.cast("string"),
+    )
+    return stats.select("id", report.alias("value"))
+
+
+def histogram_stats(df: DataFrame, id_col: Column, value_col: Column) -> DataFrame:
+    """Scalable typed ValueHistogram: the same statistics as getReport but as
+    numeric columns and without per-id arrays (two hash aggregations; the
+    median via a window rank — all shuffle-partitionable at 100 TB)."""
+    from pyspark.sql import Window
+
+    freqs = (
+        df.select(id_col.alias("id"), value_col.alias("val"))
+        .groupBy("id", "val")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cnt").asc(), F.col("val").asc())
+    ranked = freqs.withColumn("rn", F.row_number().over(w))
+    base = freqs.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("unique_values"),
+        F.min("cnt").cast("bigint").alias("min_freq"),
+        F.max("cnt").cast("bigint").alias("max_freq"),
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("total_sq"),
+    )
+    # Upper-median (counts[n/2], ValueHistogram.java:104) via rank + size —
+    # portable to the SQL oracle, no arrays.
+    sizes = freqs.groupBy("id").agg(F.count("*").alias("nvals"))
+    med = (
+        ranked.join(sizes, "id")
+        .filter(F.col("rn") == F.floor(F.col("nvals") / 2).cast("int") + 1)
+        .select("id", F.col("cnt").cast("bigint").alias("median_freq"))
+    )
+    avg = F.col("total") * 1.0 / F.col("unique_values")
+    sd = F.sqrt(F.col("total_sq") * 1.0 / F.col("unique_values") - avg * avg)
+    return (
+        base.join(med, "id")
+        .select(
+            "id",
+            "unique_values",
+            "min_freq",
+            "median_freq",
+            "max_freq",
+            avg.alias("avg_freq"),
+            sd.alias("stddev_freq"),
+        )
+    )
+
+
+def aggregate_descriptors(
+    df: DataFrame, descriptors: list[Descriptor], uniq_cap: int | None = None
+) -> DataFrame:
+    """Run the full framework: returns (key, value) string rows, key = the
+    aggregation id, value = the function's report string — the reference's
+    reducer output (ValueAggregatorReducer.java:48)."""
+    long_df = _long_form(df, descriptors)
+
+    def by(func: str) -> DataFrame:
+        return long_df.filter(F.col("func") == func)
+
+    outs: list[DataFrame] = []
+    num = F.col("value").cast("long")
+    dbl = F.col("value").cast("double")
+    specs = [
+        (LONG_VALUE_SUM, F.sum(num)),
+        (DOUBLE_VALUE_SUM, F.sum(dbl)),
+        (LONG_VALUE_MAX, F.max(num)),
+        (LONG_VALUE_MIN, F.min(num)),
+        (STRING_VALUE_MAX, F.max("value")),
+        (STRING_VALUE_MIN, F.min("value")),
+        (UNIQ_VALUE_COUNT, uniq_value_count(F.col("value"), uniq_cap)),
+    ]
+    for func, agg in specs:
+        outs.append(by(func).groupBy("id").agg(agg.cast("string").alias("value")))
+    outs.append(histogram_report_df(by(VALUE_HISTOGRAM).select("id", "value")))
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionAll(p)
+    return out.select(F.col("id").alias("key"), "value")

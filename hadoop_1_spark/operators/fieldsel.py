@@ -1,0 +1,100 @@
+"""FieldSelection: cut(1)-style field projection over delimited lines.
+
+Reference parity:
+- mapred/lib/FieldSelectionMapReduce.java:36-64 (spec config
+  ``map.output.key.value.fields.spec`` = "keySpec:valueSpec")
+- mapreduce/lib/fieldsel/FieldSelectionHelper.java:60-146 (the semantics
+  implemented here: enumerated fields and inclusive ranges "2-4", open range
+  "n-"; enumerated slots beyond the record keep their separator (empty
+  field); one trailing separator char stripped at the end).
+
+The spec compiles to pure ``select`` expressions — Catalyst sees a column
+projection, so column pruning and whole-stage codegen apply; no UDF.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def parse_field_spec(spec: str) -> tuple[list[int], int | None]:
+    """Parse one field-list spec like ``"4,3,0-"`` into
+    (enumerated fields, open-range start or None).
+
+    Mirrors FieldSelectionHelper.extractFields: "a-b" enumerates a..b
+    inclusive; "n-" sets the open range; "-b" means "0-b"; empty items are
+    skipped; a later "n-" overrides an earlier one.
+    """
+    fields: list[int] = []
+    all_from: int | None = None
+    for item in spec.split(","):
+        if not item:
+            continue
+        pos = item.find("-")
+        if pos < 0:
+            fields.append(int(item))
+        else:
+            start = item[:pos] or "0"
+            end = item[pos + 1 :]
+            if not end:
+                all_from = int(start)
+                continue
+            fields.extend(range(int(start), int(end) + 1))
+    return fields, all_from
+
+
+def parse_key_value_spec(key_value_spec: str) -> tuple[
+    tuple[list[int], int | None], tuple[list[int], int | None]
+]:
+    """Split ``"keySpec:valueSpec"`` (FieldSelectionHelper.parseOutputKeyValueSpec)."""
+    parts = key_value_spec.split(":")
+    key = parse_field_spec(parts[0])
+    value = parse_field_spec(parts[1]) if len(parts) > 1 else ([], None)
+    return key, value
+
+
+def select_fields_expr(
+    fields: Column, field_list: list[int], all_from: int | None, separator: str
+) -> Column:
+    """Compile a parsed spec into a string Column over a split-array column.
+
+    Reference behavior (FieldSelectionHelper.selectFields): append each
+    enumerated field (empty if the record is short) + separator, then all
+    fields from ``all_from`` + separator, then drop ONE trailing separator
+    char. With no spec at all the result is the empty string."""
+    parts: list[Column] = []
+    for i in field_list:
+        # try_element_at is 1-based; out-of-range yields NULL -> empty slot.
+        parts.append(F.coalesce(F.try_element_at(fields, F.lit(i + 1)), F.lit("")))
+        parts.append(F.lit(separator))
+    if all_from is not None:
+        tail = F.slice(fields, all_from + 1, F.greatest(F.size(fields) - all_from, F.lit(0)))
+        parts.append(
+            F.when(F.size(fields) > all_from, F.concat(F.array_join(tail, separator), F.lit(separator))).otherwise(
+                F.lit("")
+            )
+        )
+    if not parts:
+        return F.lit("")
+    joined = F.concat(*parts)
+    # Strip one trailing separator char (Java: substring(0, len-1)).
+    return joined.substr(F.lit(1), F.length(joined) - 1)
+
+
+def field_selection(
+    df: DataFrame,
+    key_value_spec: str,
+    separator: str = "\t",
+    column: str = "line",
+) -> DataFrame:
+    """FieldSelectionMapReduce map-side: split each line on ``separator``,
+    project key/value per the spec, return (key, value) strings."""
+    fields = F.split(F.col(column), re.escape(separator))
+    (kf, ka), (vf, va) = parse_key_value_spec(key_value_spec)
+    return df.select(
+        select_fields_expr(fields, kf, ka, separator).alias("key"),
+        select_fields_expr(fields, vf, va, separator).alias("value"),
+    )

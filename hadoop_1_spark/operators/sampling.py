@@ -1,0 +1,52 @@
+"""Deterministic sampling scans (SequenceFileInputFilter family) + statistical
+sampling.
+
+Reference parity:
+- SequenceFileInputFilter.RegexFilter    mapred/SequenceFileInputFilter.java:81
+  (accept keys matching a regex)
+- SequenceFileInputFilter.PercentFilter  mapred/SequenceFileInputFilter.java:
+  (accept keys where hash(key) % f == 0 — keep ~1/f of records,
+  deterministically by key)
+- SequenceFileInputFilter.MD5Filter      (accept keys where
+  MD5(key) % f == 0 — better-mixed deterministic sampling)
+- df.sample covers the *statistical* intent (InputSampler.RandomSampler,
+  mapreduce/lib/partition/InputSampler.java:158).
+
+Cross-engine note: Java's hashCode is engine-specific, so PercentFilter here
+keys off the value itself for numeric keys and off md5 for strings — both
+reproducible in any engine (the property that matters: deterministic,
+well-mixed, key-based).  All three compile to simple filters that Catalyst
+pushes down to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def regex_filter(df: DataFrame, key: str, pattern: str) -> DataFrame:
+    """RegexFilter: keep records whose key matches the regex."""
+    return df.filter(F.col(key).rlike(pattern))
+
+
+def percent_filter(df: DataFrame, key: str, frequency: int) -> DataFrame:
+    """PercentFilter on a numeric key: keep records where key % f == 0."""
+    return df.filter(F.pmod(F.col(key), F.lit(frequency)) == 0)
+
+
+def md5_mod(col: Column, frequency: int) -> Column:
+    """MD5-based bucket: first 8 hex chars of md5(key) as an int, mod f.
+    Identical in Spark and DuckDB/ANSI engines (md5 hex is portable)."""
+    return F.pmod(F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint"), F.lit(frequency))
+
+
+def md5_filter(df: DataFrame, key: str, frequency: int) -> DataFrame:
+    """MD5Filter: keep records where md5-bucket(key) == 0 (~1/f of rows)."""
+    return df.filter(md5_mod(F.col(key), frequency) == 0)
+
+
+def random_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """InputSampler.RandomSampler intent: Bernoulli sample (not oracle-
+    checkable row-for-row; used for partition-boundary estimation)."""
+    return df.sample(fraction=fraction, seed=seed)

@@ -1,0 +1,163 @@
+"""Aggregation-family queries (SURVEY.md §2.5): the aggregate framework,
+sum/min/max reducers, UniqValueCount cap semantics, ValueHistogram, and the
+DBCountPageView group-count.
+
+Determinism policy: double sums go through DECIMAL(18,4) (exact, order-
+independent) and back to DOUBLE — identical bits in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_1_spark.operators import aggregate as agg
+from hadoop_1_spark.registry import _load, register
+
+UNIQ_CAP = 10
+
+
+@register(
+    "agg_framework",
+    oracle=f"""
+SELECT concat('count_', event_type) AS key, CAST(count(*) AS VARCHAR) AS value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'max_user', CAST(max(user_id) AS VARCHAR) FROM events
+UNION ALL
+SELECT 'min_user', CAST(min(user_id) AS VARCHAR) FROM events
+UNION ALL
+SELECT 'etype_max', max(event_type) FROM events
+UNION ALL
+SELECT 'etype_min', min(event_type) FROM events
+UNION ALL
+SELECT 'uniq_users', CAST(least(count(DISTINCT user_id), {UNIQ_CAP + 1}) AS VARCHAR) FROM events
+""",
+)
+def agg_framework(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full aggregate-descriptor framework (ValueAggregatorJob.java:81)
+    over events: per-type record counts (LongValueSum with data-derived id,
+    the AggregatorTests shape), numeric and string min/max, capped
+    UniqValueCount. One framework invocation = several named aggregations."""
+    events = _load(spark, sf_dir, "events")
+    descriptors = [
+        agg.Descriptor(agg.LONG_VALUE_SUM, F.concat(F.lit("count_"), F.col("event_type")), F.lit(1)),
+        agg.Descriptor(agg.LONG_VALUE_MAX, F.lit("max_user"), F.col("user_id")),
+        agg.Descriptor(agg.LONG_VALUE_MIN, F.lit("min_user"), F.col("user_id")),
+        agg.Descriptor(agg.STRING_VALUE_MAX, F.lit("etype_max"), F.col("event_type")),
+        agg.Descriptor(agg.STRING_VALUE_MIN, F.lit("etype_min"), F.col("event_type")),
+        agg.Descriptor(agg.UNIQ_VALUE_COUNT, F.lit("uniq_users"), F.col("user_id")),
+    ]
+    return agg.aggregate_descriptors(events, descriptors, uniq_cap=UNIQ_CAP)
+
+
+@register(
+    "agg_sums_by_flag",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+  CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_sums_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LongValueSum/DoubleValueSum/Max/Min reducers in one grouped plan
+    (mapred/lib/aggregate + LongSumReducer.java:33): the canonical pricing
+    summary. Catalyst's partial aggregation = the reference combiner; at
+    100 TB this is one shuffle on a 6-value grouping key."""
+    li = _load(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,4)")
+    dp = F.col("l_extendedprice").cast("decimal(18,4)")
+    dd = F.col("l_discount").cast("decimal(18,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dq).cast("double").alias("sum_qty"),
+        F.sum(dp).cast("double").alias("sum_base_price"),
+        F.sum(dp * (F.lit(1) - dd)).cast("double").alias("sum_disc_price"),
+        (F.sum(dq).cast("double") / F.count("*")).alias("avg_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.count("*").cast("bigint").alias("count_order"),
+    )
+
+
+@register(
+    "uniq_count_capped",
+    oracle=f"""
+SELECT c_mktsegment,
+  CAST(least(count(DISTINCT c_nationkey), {UNIQ_CAP + 1}) AS BIGINT) AS uniq_nations,
+  CAST(count(DISTINCT c_nationkey) AS BIGINT) AS exact_nations
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def uniq_count_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniqValueCount cap semantics (UniqValueCount.java:81): result is
+    min(distinct, cap+1) — the insert loop stops only after exceeding the
+    cap. approx_count_distinct is the documented scale-out alternative."""
+    cust = _load(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        agg.uniq_value_count(F.col("c_nationkey"), UNIQ_CAP).cast("bigint").alias("uniq_nations"),
+        F.count_distinct(F.col("c_nationkey")).cast("bigint").alias("exact_nations"),
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+WITH freqs AS (
+  SELECT event_type AS id, user_id AS val, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT id, val, cnt, row_number() OVER (PARTITION BY id ORDER BY cnt ASC, val ASC) AS rn
+  FROM freqs
+), sizes AS (
+  SELECT id, count(*) AS nvals FROM freqs GROUP BY id
+), base AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS unique_values,
+         CAST(min(cnt) AS BIGINT) AS min_freq,
+         CAST(max(cnt) AS BIGINT) AS max_freq,
+         CAST(sum(cnt) AS BIGINT) AS total,
+         CAST(sum(cnt * cnt) AS BIGINT) AS total_sq
+  FROM freqs GROUP BY id
+), med AS (
+  SELECT r.id, CAST(r.cnt AS BIGINT) AS median_freq
+  FROM ranked r JOIN sizes s ON r.id = s.id
+  WHERE r.rn = CAST(floor(s.nvals / 2) AS INT) + 1
+)
+SELECT b.id, b.unique_values, b.min_freq, m.median_freq, b.max_freq,
+       b.total * 1.0 / b.unique_values AS avg_freq,
+       sqrt(b.total_sq * 1.0 / b.unique_values
+            - (b.total * 1.0 / b.unique_values) * (b.total * 1.0 / b.unique_values)) AS stddev_freq
+FROM base b JOIN med m ON b.id = m.id
+""",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValueHistogram (ValueHistogram.java:78-134) as typed columns: per
+    event_type, the frequency-histogram stats over user_id occurrences
+    (#unique, min/upper-median/max/mean/population-stddev of frequencies).
+    The exact report-string variant is histogram_report_df (unit-tested
+    against the reference's formatting)."""
+    events = _load(spark, sf_dir, "events")
+    return agg.histogram_stats(events, F.col("event_type"), F.col("user_id"))
+
+
+@register(
+    "dbcount_pageview",
+    oracle="""
+SELECT event_type AS url, CAST(count(*) AS BIGINT) AS pageview
+FROM events GROUP BY event_type
+""",
+)
+def dbcount_pageview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBCountPageView (examples/DBCountPageView.java:72): JDBC-in group-count
+    by url, JDBC-out. The JDBC endpoints map to spark.read/write.jdbc (S10/
+    K8); the computation is this group-count."""
+    events = _load(spark, sf_dir, "events")
+    return events.groupBy(F.col("event_type").alias("url")).agg(
+        F.count("*").cast("bigint").alias("pageview")
+    )

@@ -48,11 +48,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from hadoop_1_spark.session import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 # Import side-effect modules that populate the registry.  Keep this at the
 # bottom so `register`/`_load` exist when they import back.
 from hadoop_1_spark.queries import (  # noqa: E402,F401
+    q_aggregate,
+    q_fieldsel,
     q_transforms,
 )

@@ -52,6 +52,10 @@ def get_spark(app_name: str = "hadoop_1_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Driver testdata parquet carries TIMESTAMP(NANOS) (pandas/pyarrow
+        # default); Spark has no nanos timestamp — read as epoch-nanos long
+        # and convert explicitly via ts_nanos()/to_ts().
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
@@ -60,8 +64,20 @@ def get_spark(app_name: str = "hadoop_1_spark", cpus: int | None = None) -> Spar
     return spark
 
 
+def ts_nanos(col):
+    """Convert an epoch-nanos long column (see nanosAsLong below) to a
+    microsecond timestamp."""
+    from pyspark.sql import functions as F
+
+    return F.timestamp_micros((col / 1000).cast("long"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one star-schema parquet table (TESTDATA.md contract)."""
+    """Read one star-schema parquet table (TESTDATA.md contract).
+
+    Sets nanosAsLong on the live session too — the driver harness calls our
+    queries with its own SparkSession, which won't have the builder config."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

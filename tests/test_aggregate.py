@@ -1,0 +1,66 @@
+"""Aggregate framework: oracle checks + exact golden parity with
+TestAggregates.java (reference style-3 golden test)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_1_spark.operators import aggregate as agg
+from tests.conftest import assert_query_matches_oracle
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["agg_framework", "agg_sums_by_flag", "uniq_count_capped", "value_histogram", "dbcount_pageview"],
+)
+def test_matches_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name)
+
+
+def _golden_input(spark):
+    """TestAggregates.launch() input: lines 1..19, line i = "%04d" repeated i
+    times, space-separated (TestAggregates.java:58-68)."""
+    rows = [(" ".join([f"{i:04d}"] * i),) for i in range(1, 20)]
+    return spark.createDataFrame(rows, "line string")
+
+
+def test_aggregates_golden(spark):
+    """Replicates TestAggregates.java:53-72 expected output exactly,
+    including the cap quirk (cap 14 -> uniq_count 15)."""
+    df = _golden_input(spark)
+    word = F.explode(F.split("line", " ")).alias("word")
+    words = df.select(word)
+    descriptors = [
+        agg.Descriptor(agg.LONG_VALUE_SUM, F.concat(F.lit("count_"), F.col("word")), F.lit(1)),
+        agg.Descriptor(agg.LONG_VALUE_MAX, F.lit("max"), F.col("word").cast("long")),
+        agg.Descriptor(agg.LONG_VALUE_MIN, F.lit("min"), F.col("word").cast("long")),
+        agg.Descriptor(agg.STRING_VALUE_MAX, F.lit("value_as_string_max"), F.col("word").cast("long")),
+        agg.Descriptor(agg.STRING_VALUE_MIN, F.lit("value_as_string_min"), F.col("word").cast("long")),
+        agg.Descriptor(agg.UNIQ_VALUE_COUNT, F.lit("uniq_count"), F.col("word")),
+    ]
+    out = agg.aggregate_descriptors(words, descriptors, uniq_cap=14)
+    got = {r["key"]: r["value"] for r in out.collect()}
+
+    expected = {"max": "19", "min": "1", "value_as_string_max": "9", "value_as_string_min": "1", "uniq_count": "15"}
+    for i in range(1, 20):
+        expected[f"count_{i:04d}"] = str(i)
+    assert got == expected
+
+
+def test_histogram_report_golden(spark):
+    """ValueHistogram.getReport parity: frequencies {a:1, b:2, c:3} ->
+    "3\t1\t2\t3\t2.0\t0.816496580927726" (n, min, counts[n/2], max,
+    avg via Double.toString, population stddev)."""
+    rows = [("h", "a"), ("h", "b"), ("h", "b"), ("h", "c"), ("h", "c"), ("h", "c")]
+    df = spark.createDataFrame(rows, "id string, value string")
+    out = agg.histogram_report_df(df).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == "3\t1\t2\t3\t2.0\t0.816496580927726"
+
+
+def test_histogram_tab_count_inputs(spark):
+    """addNextValue parses "value\tcount" (ValueHistogram.java:46-64)."""
+    rows = [("h", "a\t3"), ("h", "a"), ("h", "b\t2")]
+    df = spark.createDataFrame(rows, "id string, value string")
+    out = agg.histogram_report_df(df).collect()
+    # freqs: a=4, b=2 -> n=2 min=2 median=counts[1]=4 max=4 avg=3.0 sd=1.0
+    assert out[0]["value"] == "2\t2\t4\t4\t3.0\t1.0"
