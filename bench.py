@@ -1,0 +1,74 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver-side collect of the result set). Mirrors the reference's benchmark
+harnesses (MRBench.java:41 latency loop, gridmix shapes) at small scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hadoop_1_spark import registry  # noqa: E402
+from hadoop_1_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (SURVEY.md §7 Phase 8). Extend as
+# families land.
+BENCH_QUERIES = [
+    "grep",                # scan → regex explode → count → global sort
+    "wordcount",           # tokenize + map-side-combined count
+    "agg_framework",       # aggregate-descriptor multi-agg
+    "agg_sums_by_flag",    # grouped decimal sums (pricing summary)
+    "value_histogram",     # two-level frequency histogram stats
+    "fieldsel",            # field-spec projection
+    "top_k",               # per-partition top-k + merge
+    "secondary_sort",      # partition-by-key windowed rank
+    "terasort_validate",   # generate → total-order sort → validate
+]
+
+
+def run_query(spark, name: str) -> float:
+    fn = registry.QUERIES[name]
+    t0 = time.monotonic()
+    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    spark = get_spark("hadoop_1_spark_bench")
+    # JVM/codegen warmup on a trivial plan so query #1 isn't charged for it.
+    spark.range(1000).agg({"id": "sum"}).collect()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in registry.QUERIES:
+            continue
+        times[name] = round(run_query(spark, name), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Unix-sort-style key-field sort & partition spec compiler.
+
+Reference parity:
+- KeyFieldBasedComparator (mapred/lib/KeyFieldBasedComparator.java:46,65-117)
+  with spec strings like ``-k2,2nr -k1.3,1``: per-key-field numeric (``n``)
+  and reverse (``r``) options, 1-based field indices, optional char offsets
+  within a field, fields joined by a configurable separator.
+- KeyFieldBasedPartitioner (mapred/lib/KeyFieldBasedPartitioner.java:43):
+  shuffle on selected key fields only.
+- Spec parser twin: mapred/lib/KeyFieldHelper.java (tested by
+  src/test/.../mapred/lib/TestKeyFieldHelper.java).
+
+DataFrame-land has no raw comparators, so the compiler emits *sort
+expressions* (SURVEY.md §4.3): each ``-k`` becomes a Column (substring of
+the line's field range, numerically cast if ``n``) with ascending/descending
+direction.  Catalyst then range-partitions and sorts on those expressions —
+byte-comparator performance comes from UnsafeRow binary sorts for free.
+
+Supported subset: ``-kF1[.C1][opts][,F2[.C2][opts]]`` with opts ⊆ {n, r};
+char offsets honored on both endpoints (C2 = last char of field F2 taken,
+Java semantics).  Multiple -k specs compose left-to-right.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_KSPEC = re.compile(
+    r"-k\s*(?P<f1>\d+)(?:\.(?P<c1>\d+))?(?P<opt1>[nr]*)"
+    r"(?:,(?P<f2>\d+)(?:\.(?P<c2>\d+))?(?P<opt2>[nr]*))?"
+)
+
+
+@dataclass
+class KeySpec:
+    field_start: int  # 1-based
+    field_end: int | None  # inclusive; None = to end of line
+    char_start: int  # 1-based offset within field_start
+    char_end: int | None  # 1-based last char within field_end; None = whole field
+    numeric: bool
+    reverse: bool
+
+
+def parse_sort_spec(spec: str) -> list[KeySpec]:
+    """Parse a ``-k...`` option string (KeyFieldHelper.parseOption)."""
+    specs: list[KeySpec] = []
+    for m in _KSPEC.finditer(spec):
+        opts = (m.group("opt1") or "") + (m.group("opt2") or "")
+        specs.append(
+            KeySpec(
+                field_start=int(m.group("f1")),
+                field_end=int(m.group("f2")) if m.group("f2") else None,
+                char_start=int(m.group("c1")) if m.group("c1") else 1,
+                char_end=int(m.group("c2")) if m.group("c2") else None,
+                numeric="n" in opts,
+                reverse="r" in opts,
+            )
+        )
+    if not specs:
+        raise ValueError(f"no -k specs found in {spec!r}")
+    return specs
+
+
+def key_expr(fields: Column, ks: KeySpec, separator: str) -> Column:
+    """Extract the key substring for one -k spec from a split-fields array."""
+    if ks.field_end is None:
+        sub = F.array_join(F.slice(fields, ks.field_start, 1_000_000), separator)
+    else:
+        n = ks.field_end - ks.field_start + 1
+        sub = F.array_join(F.slice(fields, ks.field_start, n), separator)
+        if ks.char_end is not None:
+            # Keep through char_end of the LAST field: full leading fields +
+            # separators + char_end chars of the final field.
+            last = F.coalesce(F.try_element_at(fields, F.lit(ks.field_end)), F.lit(""))
+            keep = F.length(sub) - F.length(last) + F.least(F.lit(ks.char_end), F.length(last))
+            sub = sub.substr(F.lit(1), keep)
+    if ks.char_start > 1:
+        sub = sub.substr(F.lit(ks.char_start), F.length(sub))
+    return sub
+
+
+def compile_sort_exprs(line: Column, spec: str, separator: str = "\t") -> list[Column]:
+    """Compile a full sort spec into ordered Column expressions."""
+    fields = F.split(line, re.escape(separator))
+    out: list[Column] = []
+    for ks in parse_sort_spec(spec):
+        e = key_expr(fields, ks, separator)
+        if ks.numeric:
+            e = e.cast("double")
+        out.append(e.desc() if ks.reverse else e.asc())
+    return out
+
+
+def key_field_sort(
+    df: DataFrame, spec: str, separator: str = "\t", column: str = "line"
+) -> DataFrame:
+    """Globally sort lines by the compiled key-field spec (tiebreak: whole
+    line, matching sort(1)'s last-resort comparison)."""
+    exprs = compile_sort_exprs(F.col(column), spec, separator)
+    return df.orderBy(*exprs, F.col(column).asc())
+
+
+def key_field_partition(
+    df: DataFrame, spec: str, num_partitions: int, separator: str = "\t", column: str = "line"
+) -> DataFrame:
+    """KeyFieldBasedPartitioner: hash-shuffle on the selected key fields only
+    (combine with sortWithinPartitions for the O3+O4 unix-sort idiom)."""
+    fields = F.split(F.col(column), re.escape(separator))
+    keys = [key_expr(fields, ks, separator) for ks in parse_sort_spec(spec)]
+    return df.repartition(num_partitions, *keys)

@@ -1,0 +1,128 @@
+"""Sort family: global total-order sort, secondary sort, top-k, validation.
+
+Reference parity:
+- Global total-order sort: examples/Sort.java:53 + TotalOrderPartitioner
+  (mapreduce/lib/partition/TotalOrderPartitioner.java:50) + InputSampler
+  (mapreduce/lib/partition/InputSampler.java:56).  Spark's ``orderBy`` uses a
+  RangePartitioner with reservoir sampling — the same design, built in, so
+  ``total_order_sort`` is a thin wrapper that exists to *name* the operator.
+- TeraSort/TeraValidate: examples/terasort/TeraSort.java:50,
+  TeraValidate.java:52,79 (global order + checksum) -> ``sort_validate``.
+- Secondary sort: examples/SecondarySort.java:51,133,145 (partition by
+  key-part, sort by (key, value), group by key) -> two faithful forms:
+  ``secondary_sort_partitions`` keeps the *pipeline* contract (each partition
+  holds whole groups, rows within a group sorted — feed to mapInPandas /
+  foreachPartition); ``secondary_sort_rank`` is the *query* form (explicit
+  per-group rank, fully declarative).
+- Top-k: the reference reaches top-k with a 1-reducer sorted job
+  (Grep.java:71-84, gridmix "reference select" README:46-52); Spark's
+  ``orderBy().limit(k)`` runs per-partition top-k + a tiny final merge —
+  strictly better at scale (no single-reducer bottleneck).
+
+SortValidator parity (src/test/.../mapred/SortValidator.java:93-173): sorted
+output is valid iff (records, bytes, order-insensitive checksum) match the
+input and keys are non-decreasing across the concatenated partitions.
+``sort_validate`` computes those invariants + the sortedness flag in one
+pass; at 100 TB the inversion check is a window lag over the sort key —
+range-partitioned, no single point of serialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def total_order_sort(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """Globally-ordered output (sampled range partitioner under the hood)."""
+    return df.orderBy(*cols)
+
+
+def top_k(df: DataFrame, k: int, *cols: Column | str) -> DataFrame:
+    """Top-k by sort spec: per-partition top-k then merge — replaces the
+    reference's single-reducer pattern."""
+    return df.orderBy(*cols).limit(k)
+
+
+def secondary_sort_partitions(
+    df: DataFrame, partition_key: str, *sort_cols: Column | str, num_partitions: int | None = None
+) -> DataFrame:
+    """Secondary-sort *pipeline* contract: co-locate whole groups, sort rows
+    within partitions by (key, secondary) — the reducer-iterator shape
+    (grouped, values sorted) without materializing per-group arrays."""
+    parts = df.repartition(num_partitions, partition_key) if num_partitions else df.repartition(partition_key)
+    return parts.sortWithinPartitions(partition_key, *sort_cols)
+
+
+def secondary_sort_rank(df: DataFrame, partition_key: str, *sort_cols: Column | str) -> DataFrame:
+    """Secondary-sort *query* form: explicit rank within each group in
+    (secondary-sort order). Ties must be broken by the caller's sort spec for
+    determinism."""
+    w = Window.partitionBy(partition_key).orderBy(*sort_cols)
+    return df.withColumn("rn", F.row_number().over(w))
+
+
+def sort_validate(df: DataFrame, key: Column, checksum: Column | None = None) -> DataFrame:
+    """One-row invariants in the SortValidator/TeraValidate style: record
+    count, min/max key, an order-insensitive checksum, and whether the data
+    is globally sorted by ``key``.
+
+    Distributed exactly like TeraValidate (TeraValidate.java:79: each map
+    emits its split's first/last key + checksum; one tiny reduce checks the
+    boundaries): a mapInPandas pass computes per-partition (count, min, max,
+    checksum-sum, sorted-within) — row order inside a partition is preserved,
+    so within-partition sortedness is checkable without any window — then the
+    #partitions-row summary is folded with a lag over partition id (range
+    partitions are pid-ordered after orderBy). No global single-partition
+    window; scales to any number of partitions.
+    """
+    import pandas as pd
+
+    rows = df.select(key.alias("k"), (checksum if checksum is not None else key).alias("chk"))
+    k_type = rows.schema["k"].dataType.simpleString()
+
+    def per_partition(batches):
+        n = 0
+        lo = hi = None
+        chk = 0
+        ok = True
+        last = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n += len(pdf)
+            chk += int(pdf["chk"].sum())
+            k = pdf["k"]
+            if not k.is_monotonic_increasing:
+                ok = False
+            if last is not None and k.iloc[0] < last:
+                ok = False
+            last = k.iloc[-1]
+            if ok:
+                kmin, kmax = k.iloc[0], k.iloc[-1]
+            else:
+                kmin, kmax = k.min(), k.max()
+            lo = kmin if lo is None or kmin < lo else lo
+            hi = kmax if hi is None or kmax > hi else hi
+        if n:
+            yield pd.DataFrame(
+                {"records": [n], "min_k": [lo], "max_k": [hi], "chk": [chk], "ok": [ok]}
+            )
+
+    per_part = rows.mapInPandas(
+        per_partition,
+        schema=f"records bigint, min_k {k_type}, max_k {k_type}, chk bigint, ok boolean",
+    ).withColumn("pid", F.spark_partition_id())
+
+    w = Window.orderBy("pid")
+    bounded = per_part.withColumn("prev_max", F.lag("max_k").over(w))
+    return bounded.agg(
+        F.sum("records").cast("bigint").alias("records"),
+        F.min("min_k").alias("min_key"),
+        F.max("max_k").alias("max_key"),
+        F.sum("chk").cast("bigint").alias("checksum"),
+        (
+            F.bool_and("ok")
+            & (F.sum(F.when(F.col("prev_max") > F.col("min_k"), 1).otherwise(0)) == 0)
+        ).alias("is_sorted"),
+    )

@@ -1,0 +1,142 @@
+"""Sort-family queries (SURVEY.md §2.6): global total-order sort, key-field
+sort-spec compiler, secondary sort, top-k, and the TeraGen/TeraSort/
+TeraValidate pipeline.
+
+Ordering queries are verified through explicit ``row_number`` ranks: the
+driver's value-hash is order-insensitive, so the *rank column itself* carries
+the order assertion. The rank window is a correctness harness for sf0.01;
+the production output of a total-order sort is the range-partitioned sorted
+write (``df.orderBy(...).write``), which needs no global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_1_spark.operators import keyfield, sort
+from hadoop_1_spark.registry import _load, register
+
+# Six dash-joined string fields from lineitem (fixture F3, as in q_fieldsel).
+_LINE_COLS = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity", "l_partkey"]
+# Unix-sort spec: field 5 (l_quantity) numeric descending, then field 1
+# (l_orderkey) numeric ascending — KeyFieldBasedComparator "-k5,5nr -k1,1n".
+KEYFIELD_SPEC = "-k5,5nr -k1,1n"
+
+
+def _lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat_ws("-", *[F.col(c).cast("string") for c in _LINE_COLS]).alias("line")
+    )
+
+
+@register(
+    "keyfield_sort",
+    oracle="""
+WITH f AS (
+  SELECT concat_ws('-',
+    CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+    l_returnflag, l_linestatus,
+    CAST(l_quantity AS VARCHAR), CAST(l_partkey AS VARCHAR)) AS line
+  FROM lineitem
+)
+SELECT CAST(row_number() OVER (
+         ORDER BY CAST(string_split(line, '-')[5] AS DOUBLE) DESC,
+                  CAST(string_split(line, '-')[1] AS DOUBLE) ASC,
+                  line ASC) AS BIGINT) AS rank,
+       line
+FROM f
+""",
+)
+def keyfield_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unix-sort key-field spec "-k5,5nr -k1,1n" compiled to sort expressions
+    (mapred/lib/KeyFieldBasedComparator.java:46, KeyFieldHelper spec grammar).
+    Rank column asserts the global order; whole-line tiebreak for determinism
+    (sort(1) last-resort compare)."""
+    lines = _lines(spark, sf_dir)
+    exprs = keyfield.compile_sort_exprs(F.col("line"), KEYFIELD_SPEC, separator="-")
+    w = Window.orderBy(*exprs, F.col("line").asc())
+    return lines.select(F.row_number().over(w).cast("bigint").alias("rank"), "line")
+
+
+@register(
+    "top_k",
+    oracle="""
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+""",
+)
+def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (Grep.java:71-84 single-reducer pattern / gridmix "reference
+    select"): orderBy().limit(k) runs per-partition top-k + an O(k) driver
+    merge — no single-reducer bottleneck at 100 TB."""
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    return sort.top_k(orders, 25, F.desc("o_totalprice"), F.asc("o_orderkey"))
+
+
+@register(
+    "secondary_sort",
+    oracle="""
+SELECT o_custkey,
+       CAST(row_number() OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate ASC, o_orderkey ASC) AS INT) AS rn,
+       o_orderkey
+FROM orders
+""",
+)
+def secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary sort, query form (examples/SecondarySort.java:51: partition
+    by key-part, order values within the group): per-customer order sequence
+    by date. Shuffles once on o_custkey; the rank window reuses that
+    partitioning (no second exchange)."""
+    orders = _load(spark, sf_dir, "orders")
+    ranked = sort.secondary_sort_rank(
+        orders, "o_custkey", F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return ranked.select("o_custkey", F.col("rn").cast("int").alias("rn"), "o_orderkey")
+
+
+# TeraGen row count for the synthetic pipeline (sf-independent).
+TERA_ROWS = 100_000
+
+
+@register(
+    "terasort_validate",
+    oracle=f"""
+WITH gen AS (
+  SELECT md5(CAST(i AS VARCHAR)) AS key,
+         CAST(concat('0x', substr(md5(CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) AS chk
+  FROM range({TERA_ROWS}) t(i)
+)
+SELECT CAST(count(*) AS BIGINT) AS records,
+       min(key) AS min_key,
+       max(key) AS max_key,
+       CAST(sum(chk) AS BIGINT) AS checksum,
+       TRUE AS is_sorted
+FROM gen
+""",
+)
+def terasort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TeraGen -> TeraSort -> TeraValidate (examples/terasort/TeraGen.java:60,
+    TeraSort.java:50, TeraValidate.java:52,79): synthesize keyed rows from
+    spark.range (S14/S16 generator parity), total-order sort them (O1/O2 —
+    Spark's RangePartitioner = sampled split points, the TotalOrderPartitioner
+    design), then validate count + min/max + order-insensitive checksum +
+    global sortedness in one pass (SortValidator.java:93-173 invariants).
+    The oracle recomputes the invariants; is_sorted=TRUE is the assertion."""
+    gen = spark.range(TERA_ROWS).select(
+        F.md5(F.col("id").cast("string")).alias("key"),
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("chk"),
+    )
+    sorted_df = sort.total_order_sort(gen, "key")
+    return sort.sort_validate(sorted_df, F.col("key"), checksum=F.col("chk")).select(
+        "records", "min_key", "max_key", "checksum", "is_sorted"
+    )

@@ -58,5 +58,6 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 from hadoop_1_spark.queries import (  # noqa: E402,F401
     q_aggregate,
     q_fieldsel,
+    q_sort,
     q_transforms,
 )

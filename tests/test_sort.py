@@ -1,0 +1,78 @@
+"""Sort family (SURVEY.md §2.6): spec parser units + oracle-checked queries
++ the secondary-sort partition contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_1_spark.operators import keyfield, sort
+from tests.conftest import SF_DIR, assert_query_matches_oracle
+
+
+def test_parse_sort_spec():
+    specs = keyfield.parse_sort_spec("-k2,2nr -k1.3,1")
+    assert len(specs) == 2
+    a, b = specs
+    assert (a.field_start, a.field_end, a.numeric, a.reverse) == (2, 2, True, True)
+    assert (b.field_start, b.field_end, b.char_start) == (1, 1, 3)
+    assert not b.numeric and not b.reverse
+
+
+def test_keyfield_sort_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "keyfield_sort")
+
+
+def test_top_k_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "top_k")
+
+
+def test_secondary_sort_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "secondary_sort")
+
+
+def test_terasort_validate_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "terasort_validate")
+
+
+def test_sort_validate_detects_unsorted(spark):
+    df = spark.range(1000).select((F.lit(999999) - F.col("id")).alias("key"))
+    unsorted = df.repartition(4)
+    row = sort.sort_validate(unsorted, F.col("key")).collect()[0]
+    assert row["records"] == 1000
+    assert not row["is_sorted"]
+    row2 = sort.sort_validate(unsorted.orderBy("key"), F.col("key")).collect()[0]
+    assert row2["is_sorted"]
+    assert row2["checksum"] == row["checksum"]
+
+
+def test_secondary_sort_partitions_contract(spark):
+    """Each partition holds whole groups; rows within a partition are sorted
+    by (key, secondary) — the reducer-iterator shape."""
+    from hadoop_1_spark.session import load_table
+
+    orders = load_table(spark, SF_DIR, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    parts = sort.secondary_sort_partitions(
+        orders, "o_custkey", "o_orderdate", "o_orderkey", num_partitions=8
+    )
+
+    def check(pdf):
+        import pandas as pd
+
+        ok = bool(
+            pdf.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+            .reset_index(drop=True)
+            .equals(pdf.reset_index(drop=True))
+        )
+        return pd.DataFrame({"ok": [ok], "keys": [pdf["o_custkey"].nunique()]})
+
+    per_part = (
+        parts.mapInPandas(
+            lambda it: (check(pdf) for pdf in [__import__("pandas").concat(list(it))]),
+            schema="ok boolean, keys long",
+        )
+        .collect()
+    )
+    assert all(r["ok"] for r in per_part)
+    total_keys = sum(r["keys"] for r in per_part)
+    distinct_keys = orders.select("o_custkey").distinct().count()
+    assert total_keys == distinct_keys  # groups not split across partitions
