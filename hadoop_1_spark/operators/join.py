@@ -1,0 +1,131 @@
+"""Join family (SURVEY.md §2.4).
+
+Reference parity:
+- Map-side merge join expression language ``inner(a,b,...)``/``outer(...)``/
+  ``override(...)`` over key-aligned sources: CompositeInputFormat grammar
+  (mapred/join/CompositeInputFormat.java:57-71), parser
+  (mapred/join/Parser.java:64), merge driver (CompositeRecordReader.java:38).
+  Here the expression is a tiny builder AST (``tbl``/``inner``/``outer``/
+  ``override``) that *compiles to a DataFrame plan* — Catalyst picks
+  sort-merge or broadcast physically. The reference's no-shuffle property
+  (pre-partitioned, key-sorted inputs) is recovered at scale by writing the
+  sources as bucketed tables (bucketBy(key).sortBy(key)) so the SMJ needs no
+  exchange.
+- inner: keys present in ALL sources, cross-product of per-key value lists
+  (InnerJoinRecordReader.java:41) = chained inner equi-joins.
+- outer: keys in ANY source, absent slots null in the TupleWritable
+  (OuterJoinRecordReader.java:41) = chained full-outer USING joins (nullable
+  columns stand in for the presence bitmask, TupleWritable.java:43).
+- override: per key, values only from the RIGHTMOST source containing it;
+  no cross-product (OverrideRecordReader.java:36,49,62) = tagged union +
+  per-key max-priority filter (one shuffle, no join blow-up).
+- Reduce-side tagged join with arbitrary residual predicate within the key
+  group (contrib/data_join DataJoinReducerBase.java:174-214 joinAndCollect
+  cartesian + user combine()) = equi-join on the key + ``where(residual)``.
+- Map-side hash join against a DistributedCache'd small table
+  (filecache/DistributedCache.java:77-83) = ``F.broadcast`` hash join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+KEY = "key"
+
+
+@dataclass(frozen=True)
+class JoinExpr:
+    """A node of the composite-join expression tree."""
+
+    kind: str  # "tbl" | "inner" | "outer" | "override"
+    children: tuple["JoinExpr", ...] = ()
+    df: DataFrame | None = None
+    value_cols: tuple[str, ...] = ()
+
+    def compile(self) -> DataFrame:
+        return _compile(self)
+
+    @property
+    def leaf_cols(self) -> tuple[str, ...]:
+        if self.kind == "tbl":
+            return self.value_cols
+        return tuple(c for ch in self.children for c in ch.leaf_cols)
+
+
+def tbl(df: DataFrame, key: Column | str, *value_cols: Column | str) -> JoinExpr:
+    """Leaf source: ``tbl(Format, path)`` in the reference grammar. ``key``
+    is aliased to the shared join-key column; value columns must be uniquely
+    named across the whole expression."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    vals = [F.col(c) if isinstance(c, str) else c for c in value_cols]
+    out = df.select(key_col.alias(KEY), *vals)
+    return JoinExpr("tbl", df=out, value_cols=tuple(out.columns[1:]))
+
+
+def inner(*children: JoinExpr) -> JoinExpr:
+    return JoinExpr("inner", children=children)
+
+
+def outer(*children: JoinExpr) -> JoinExpr:
+    return JoinExpr("outer", children=children)
+
+
+def override(*children: JoinExpr) -> JoinExpr:
+    return JoinExpr("override", children=children)
+
+
+def _compile(node: JoinExpr) -> DataFrame:
+    if node.kind == "tbl":
+        return node.df
+    cols = node.leaf_cols
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate value columns across sources: {cols}")
+    kids = [_compile(ch) for ch in node.children]
+    if node.kind == "inner":
+        return reduce(lambda a, b: a.join(b, on=KEY, how="inner"), kids)
+    if node.kind == "outer":
+        # USING-join full outer coalesces the key column automatically.
+        return reduce(lambda a, b: a.join(b, on=KEY, how="full_outer"), kids)
+    if node.kind == "override":
+        # Tagged union + keep only rows of the highest-priority source per
+        # key. Exactly the winner's rows survive — no cross-product, unlike
+        # a join-based rewrite with duplicate keys.
+        tagged = []
+        for i, (kid, ch) in enumerate(zip(kids, node.children)):
+            tagged.append(kid.withColumn("_src", F.lit(i)))
+        unioned = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), tagged
+        )
+        w = Window.partitionBy(KEY)
+        return (
+            unioned.withColumn("_max_src", F.max("_src").over(w))
+            .filter(F.col("_src") == F.col("_max_src"))
+            .select(KEY, *cols)
+        )
+    raise ValueError(f"unknown join expr kind {node.kind!r}")
+
+
+def tagged_join(
+    left: DataFrame,
+    right: DataFrame,
+    key,
+    residual: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Reduce-side tagged join: group both tagged inputs by the join key,
+    cartesian within the key group, keep pairs passing the residual predicate
+    (DataJoinReducerBase.joinAndCollect:174-214 + combine()). Spark's shuffled
+    equi-join IS that regrouping; the residual is a post-join filter that
+    Catalyst evaluates inside the join when possible."""
+    joined = left.join(right, on=key, how=how)
+    return joined.where(residual) if residual is not None else joined
+
+
+def broadcast_hash_join(big: DataFrame, small: DataFrame, key, how: str = "inner") -> DataFrame:
+    """DistributedCache map-side hash join: ship the small table to every
+    task, stream the big side with no shuffle (DistributedCache.java:77-83)."""
+    return big.join(F.broadcast(small), on=key, how=how)

@@ -1,0 +1,194 @@
+"""Join-family queries (SURVEY.md §2.4).
+
+The datamerge_* queries replicate the reference's join test design
+(src/test/.../mapred/join/TestDatamerge.java:249-296): four synthetic
+sources whose keys are the multiples of 2,3,4,5 and whose values encode
+(key, source) arithmetically — so inner/outer/override/nested correctness is
+independently checkable per-record, and the DuckDB oracle recomputes the
+expected relation from the same arithmetic instead of mirroring our joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_1_spark.operators import join as J
+from hadoop_1_spark.registry import _load, register
+
+N_KEYS = 10_000  # range upper bound for the synthetic sources
+_DIVS = (2, 3, 4, 5)  # source i has the multiples of _DIVS[i]
+
+
+def _source(spark: SparkSession, i: int) -> J.JoinExpr:
+    """Source i: keys = multiples of _DIVS[i] in [0, N_KEYS); value = k*10+i+1."""
+    d = _DIVS[i]
+    df = (
+        spark.range(N_KEYS)
+        .filter(F.col("id") % d == 0)
+        .select(F.col("id"), (F.col("id") * 10 + i + 1).alias(f"v{i + 1}"))
+    )
+    return J.tbl(df, "id", f"v{i + 1}")
+
+
+def _sources(spark: SparkSession) -> list[J.JoinExpr]:
+    return [_source(spark, i) for i in range(4)]
+
+
+@register(
+    "datamerge_inner",
+    oracle=f"""
+SELECT k AS key, k*10+1 AS v1, k*10+2 AS v2, k*10+3 AS v3, k*10+4 AS v4
+FROM range({N_KEYS}) t(k)
+WHERE k % 2 = 0 AND k % 3 = 0 AND k % 4 = 0 AND k % 5 = 0
+""",
+)
+def datamerge_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inner(s1,s2,s3,s4): keys present in ALL sources
+    (InnerJoinRecordReader.java:41). Expected keys: multiples of lcm=60."""
+    return J.inner(*_sources(spark)).compile()
+
+
+@register(
+    "datamerge_outer",
+    oracle=f"""
+SELECT k AS key,
+       CASE WHEN k % 2 = 0 THEN k*10+1 END AS v1,
+       CASE WHEN k % 3 = 0 THEN k*10+2 END AS v2,
+       CASE WHEN k % 4 = 0 THEN k*10+3 END AS v3,
+       CASE WHEN k % 5 = 0 THEN k*10+4 END AS v4
+FROM range({N_KEYS}) t(k)
+WHERE k % 2 = 0 OR k % 3 = 0 OR k % 4 = 0 OR k % 5 = 0
+""",
+)
+def datamerge_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """outer(s1,s2,s3,s4): keys in ANY source, absent slots null — nullable
+    columns are the TupleWritable presence bitmask
+    (OuterJoinRecordReader.java:41, TupleWritable.java:43)."""
+    return J.outer(*_sources(spark)).compile()
+
+
+@register(
+    "datamerge_override",
+    oracle=f"""
+WITH u AS (
+  SELECT k, CASE WHEN k % 5 = 0 THEN 4 WHEN k % 4 = 0 THEN 3
+                 WHEN k % 3 = 0 THEN 2 WHEN k % 2 = 0 THEN 1 END AS win
+  FROM range({N_KEYS}) t(k)
+)
+SELECT k AS key,
+       CASE WHEN win = 1 THEN k*10+1 END AS v1,
+       CASE WHEN win = 2 THEN k*10+2 END AS v2,
+       CASE WHEN win = 3 THEN k*10+3 END AS v3,
+       CASE WHEN win = 4 THEN k*10+4 END AS v4
+FROM u WHERE win IS NOT NULL
+""",
+)
+def datamerge_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """override(s1,s2,s3,s4): per key, values only from the RIGHTMOST source
+    containing it, no cross-product (OverrideRecordReader.java:36,49,62)."""
+    return J.override(*_sources(spark)).compile()
+
+
+@register(
+    "datamerge_nested",
+    oracle=f"""
+SELECT k AS key,
+       CASE WHEN k % 6 = 0 THEN k*10+1 END AS v1,
+       CASE WHEN k % 6 = 0 THEN k*10+2 END AS v2,
+       CASE WHEN k % 4 = 0 THEN k*10+3 END AS v3,
+       CASE WHEN k % 5 = 0 THEN k*10+4 END AS v4
+FROM range({N_KEYS}) t(k)
+WHERE k % 6 = 0 OR k % 4 = 0 OR k % 5 = 0
+""",
+)
+def datamerge_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested composite expression outer(inner(s1,s2), outer(s3,s4)) — the
+    exact shape of TestDatamerge.java:261-296 / the CompositeInputFormat
+    grammar's recursive case (Parser.java:64)."""
+    s1, s2, s3, s4 = _sources(spark)
+    return J.outer(J.inner(s1, s2), J.outer(s3, s4)).compile()
+
+
+@register(
+    "join_3way",
+    oracle="""
+SELECT c_mktsegment, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS line_count,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_mktsegment, o_orderpriority
+""",
+)
+def join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained n-way equi-join (J2/J6 shape) customer ⋈ orders ⋈ lineitem +
+    grouped revenue. At 100 TB both joins shuffle on their keys with AQE
+    skew-splitting; co-location comes free when the tables are bucketed by
+    custkey/orderkey (the CompositeInputFormat no-shuffle analog)."""
+    c = _load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    dp = F.col("l_extendedprice").cast("decimal(18,4)")
+    dd = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("line_count"),
+            F.sum(dp * (F.lit(1) - dd)).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side hash join against small dims (J7, DistributedCache.java:77-83):
+    nation and region are broadcast — zero shuffle on the fact side until the
+    final aggregation exchange."""
+    c = _load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    n = _load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dims = J.broadcast_hash_join(n, r, n.n_regionkey == r.r_regionkey)
+    joined = J.broadcast_hash_join(c, dims, F.col("c_nationkey") == F.col("n_nationkey"))
+    return joined.groupBy("r_name", "n_name").agg(
+        F.count("*").cast("bigint").alias("customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("total_acctbal"),
+    )
+
+
+@register(
+    "join_tagged_residual",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS big_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_extendedprice > o_totalprice * 0.5
+GROUP BY o_orderpriority
+""",
+)
+def join_tagged_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduce-side tagged join with a residual theta predicate inside the key
+    group (DataJoinReducerBase.joinAndCollect:174-214): equi-join on orderkey
+    + a non-equi residual that the reference would evaluate in combine()."""
+    o = _load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderpriority")
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    joined = J.tagged_join(
+        o, li, F.col("o_orderkey") == F.col("l_orderkey"),
+        residual=F.col("l_extendedprice") > F.col("o_totalprice") * 0.5,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("big_lines")
+    )

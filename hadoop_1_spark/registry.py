@@ -58,6 +58,7 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 from hadoop_1_spark.queries import (  # noqa: E402,F401
     q_aggregate,
     q_fieldsel,
+    q_join,
     q_sort,
     q_transforms,
 )

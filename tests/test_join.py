@@ -1,0 +1,77 @@
+"""Join family (SURVEY.md §2.4): composite expression semantics, edge cases
+(duplicate keys, empty sources), and oracle-checked queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_1_spark.operators import join as J
+from tests.conftest import assert_query_matches_oracle
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "datamerge_inner",
+        "datamerge_outer",
+        "datamerge_override",
+        "datamerge_nested",
+        "join_3way",
+        "join_broadcast",
+        "join_tagged_residual",
+    ],
+)
+def test_join_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name)
+
+
+def _df(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def test_override_duplicate_keys_no_cross_product(spark):
+    """Override emits exactly the winner's rows — duplicate keys in loser
+    sources must not multiply output (OverrideRecordReader skips the
+    cross-product)."""
+    a = J.tbl(_df(spark, [(1, "a1"), (1, "a2"), (2, "a3")], ["k", "va"]), "k", "va")
+    b = J.tbl(_df(spark, [(1, "b1"), (3, "b2")], ["k", "vb"]), "k", "vb")
+    got = {tuple(r) for r in J.override(a, b).compile().collect()}
+    assert got == {(1, None, "b1"), (2, "a3", None), (3, None, "b2")}
+
+
+def test_inner_cross_product_per_key(spark):
+    """Inner join emits the per-key cross-product of value lists
+    (InnerJoinRecordReader: ValuesIterator cross-product)."""
+    a = J.tbl(_df(spark, [(1, "a1"), (1, "a2")], ["k", "va"]), "k", "va")
+    b = J.tbl(_df(spark, [(1, "b1"), (1, "b2"), (2, "b3")], ["k", "vb"]), "k", "vb")
+    rows = J.inner(a, b).compile().collect()
+    assert len(rows) == 4  # 2 x 2 for key 1; key 2 absent from a
+    assert {tuple(r) for r in rows} == {
+        (1, "a1", "b1"), (1, "a1", "b2"), (1, "a2", "b1"), (1, "a2", "b2")
+    }
+
+
+def test_outer_with_empty_source(spark):
+    """Empty source contributes null slots everywhere, drops nothing."""
+    a = J.tbl(_df(spark, [(1, "a1")], ["k", "va"]), "k", "va")
+    empty = _df(spark, [(0, "x")], ["k", "vb"]).filter(F.lit(False))
+    b = J.tbl(empty, "k", "vb")
+    assert [tuple(r) for r in J.outer(a, b).compile().collect()] == [(1, "a1", None)]
+    assert J.inner(a, b).compile().count() == 0
+
+
+def test_duplicate_value_columns_rejected(spark):
+    a = J.tbl(_df(spark, [(1, "x")], ["k", "v"]), "k", "v")
+    b = J.tbl(_df(spark, [(1, "y")], ["k", "v"]), "k", "v")
+    with pytest.raises(ValueError, match="duplicate value columns"):
+        J.inner(a, b).compile()
+
+
+def test_broadcast_join_is_broadcast(spark):
+    """The physical plan must contain a BroadcastHashJoin (J7 parity is a
+    *plan* property, not just a result property)."""
+    big = spark.range(10_000).select(F.col("id"), (F.col("id") % 5).alias("fk"))
+    small = spark.range(5).select(F.col("id").alias("sk"), F.lit("dim").alias("name"))
+    plan = J.broadcast_hash_join(big, small, F.col("fk") == F.col("sk"))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
