@@ -1,0 +1,228 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Extensions beyond the reference surface (BASELINE.json north-star): the
+reference's text handling is tokenize/regex only (mapred/lib/TokenCountMapper.java:35,
+mapred/lib/RegexMapper.java:42); these operators add the LLM-data-pipeline
+layer — language ID, quality scoring, token counting, document
+fingerprinting — built from the same primitives (tokenize + hash + aggregate).
+
+Scale notes (100 TB design intent):
+- everything here is pure built-in column expressions (JVM-side, whole-stage
+  codegen); no Python UDFs in any hot path.
+- per-document ops are narrow (no shuffle); lang-id joins a tiny broadcast
+  weight table; fingerprints shuffle only doc_id-keyed shingle rows.
+- all hashing is md5-based so results are engine-portable (same bits in the
+  DuckDB oracle) and stable across runs/partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Tokenization contract shared with the DuckDB oracles: trim, split on runs
+# of whitespace, drop empty tokens.
+TOKEN_RE = r"\s+"
+
+# BPE-ish word/number/punct splitter (token *counting*, not a real BPE):
+# letter runs, digit runs, and single non-alnum marks each count as one token.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Punctuation class written out explicitly (POSIX classes differ between
+# engines; this exact list is used verbatim on both sides).
+PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
+
+# Tiny function-word weight table for the n-gram/stopword language-ID
+# heuristic. Deliberately small and deterministic — a real deployment swaps
+# in larger profiles; the operator shape (broadcast join + argmax) is the
+# point.
+LANG_PROFILES: dict[str, dict[str, float]] = {
+    "en": {"the": 1.0, "a": 0.6, "of": 1.0, "and": 1.0, "to": 0.8, "is": 0.8},
+    "de": {"der": 1.0, "die": 1.0, "das": 1.0, "und": 1.0, "ist": 0.8, "ein": 0.6},
+    "fr": {"le": 1.0, "la": 1.0, "et": 1.0, "est": 0.8, "un": 0.6, "de": 0.8},
+    "es": {"el": 1.0, "la": 0.8, "y": 1.0, "es": 0.8, "un": 0.6, "de": 0.8},
+    "zh": {"de": 0.2},  # placeholder profile; zh needs char-level features
+}
+
+STOPWORDS = sorted({w for p in LANG_PROFILES.values() for w in p})
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens as an array<string>, empties removed."""
+    return F.filter(F.split(F.trim(text), TOKEN_RE), lambda t: t != F.lit(""))
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish tokens, chars, mean token
+    length. One narrow projection — no shuffle."""
+    toks = ws_tokens(F.col(text_col))
+    n_ws = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n_ws.cast("long").alias("n_tokens_ws"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_RE)).cast("long").alias("n_tokens_bpe"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+            / F.greatest(n_ws, F.lit(1)),
+            6,
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality: length/punct/stopword/digit ratios folded
+    into one [0,1] score. All ratios are per-row deterministic doubles
+    (rounded to 6dp for cross-engine stability)."""
+    text = F.col(text_col)
+    toks = ws_tokens(text)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(text).cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    punct_ratio = F.regexp_count(text, F.lit(PUNCT_RE)) / F.greatest(n_chars, F.lit(1.0))
+    digit_ratio = F.regexp_count(text, F.lit(r"[0-9]")) / F.greatest(n_chars, F.lit(1.0))
+    stop_ratio = stop_hits / F.greatest(n_tok, F.lit(1.0))
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    raw = (
+        F.lit(0.4) * len_score
+        + F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 10 + digit_ratio * 5, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0)), 6).alias("quality"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+    )
+
+
+def lang_profile_df(spark: SparkSession) -> DataFrame:
+    """The LANG_PROFILES weight table as a (lang, token, weight) DataFrame —
+    broadcast side of the lang-id join."""
+    rows = [
+        (lang, tok, float(w))
+        for lang, prof in sorted(LANG_PROFILES.items())
+        for tok, w in sorted(prof.items())
+    ]
+    return spark.createDataFrame(rows, "lang string, token string, weight double")
+
+
+def lang_id(
+    df: DataFrame, spark: SparkSession, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Language ID via function-word profiles: explode tokens, broadcast-join
+    the weight table, sum weight per (doc, lang), argmax with deterministic
+    tie-break (higher score, then lang asc; docs with no hits → 'und').
+
+    Scale: the only shuffle is the groupBy on (doc_id, lang) — partial
+    aggregation collapses it map-side; profile join is broadcast."""
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    scored = (
+        toks.join(F.broadcast(lang_profile_df(spark)), "token")
+        .groupBy(id_col, "lang")
+        # decimal-exact sum (engine-portable regardless of partial-agg order)
+        .agg(F.sum(F.col("weight").cast("decimal(18,4)")).cast("double").alias("score"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("lang"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, F.col("lang").alias("lang_pred"), "score")
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+            F.coalesce("score", F.lit(0.0)).alias("score"),
+        )
+    )
+
+
+def shingles(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct k-token shingles per document: (id, shingle). The primitive
+    under minhash / Jaccard / fingerprinting. Narrow until the consumer
+    shuffles."""
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    return (
+        df.select(F.col(id_col), toks.alias("toks"), n.alias("n"))
+        .where(F.col("n") >= k)
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(f"transform(sequence(1, n - {k} + 1), i -> concat_ws(' ', slice(toks, i, {k})))")).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def shingle_hash(col: Column, seed: int) -> Column:
+    """Portable 60-bit shingle hash: md5 prefixed with a seed, first 15 hex
+    chars as decimal. Identical in DuckDB:
+    ('0x'||substr(md5(seed||':'||s),1,15))::BIGINT."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signature(
+    sh: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature: per doc, min of seeded hash per permutation →
+    (id, sig array<long>). One groupBy shuffle on doc_id; signatures are
+    num_hashes longs regardless of doc size."""
+    aggs = [
+        F.min(shingle_hash(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return (
+        sh.groupBy(id_col)
+        .agg(*aggs)
+        .select(F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    )
+
+
+def simhash64(sh_tokens: DataFrame, id_col: str = "doc_id", term_col: str = "token") -> DataFrame:
+    """64-bit SimHash over terms: per bit b, sum ±1 of bit b of each term
+    hash; fingerprint bit b = 1 iff the sum > 0.
+
+    Implemented as an explode over 64 bit positions (rows × 64) — all
+    JVM-side expressions; the only shuffle is the (id, bit) partial-agg
+    groupBy. The reference analog is MD5Hash keys (io/MD5Hash.java:30)."""
+    h = shingle_hash(F.col(term_col), 0)
+    bits = (
+        sh_tokens.select(F.col(id_col), h.alias("h"))
+        .select(id_col, F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"), F.col("h"))
+        .select(id_col, "b", F.expr("(shiftright(h, b) & 1) * 2 - 1").alias("c"))
+    )
+    return (
+        bits.groupBy(id_col, "b")
+        .agg(F.sum("c").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.expr("if(s > 0, shiftleft(1L, b), 0L)")).alias("simhash")
+        )
+    )
+
+
+def fingerprint(df: DataFrame, k: int = 3, s: int = 4, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: bottom-s sketch of the k-shingle hash set,
+    folded to one md5 hex string. Two docs share a fingerprint iff their
+    bottom-s shingle hashes agree — a compact near-dup key."""
+    sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
+    bottom = (
+        sh.select(F.col(id_col), shingle_hash(F.col("shingle"), 0).alias("h"))
+        .groupBy(id_col)
+        .agg(F.slice(F.sort_array(F.collect_list("h")), 1, s).alias("bottom"))
+    )
+    return bottom.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(",", F.transform(F.col("bottom"), lambda x: x.cast("string")))).alias(
+            "fingerprint"
+        ),
+    )

@@ -1,0 +1,138 @@
+"""Text-analysis queries over the documents table (north-star extensions:
+token counting, quality scoring, language ID, document fingerprinting).
+
+Reference parity anchors: tokenize (mapred/lib/TokenCountMapper.java:35),
+regex ops (mapred/lib/RegexMapper.java:42), md5 keys (io/MD5Hash.java:30).
+Every oracle reproduces the exact same tokenization + md5-hash contract in
+DuckDB SQL so value hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_1_spark.operators import textops
+from hadoop_1_spark.registry import _load, register
+
+_SQL_PUNCT = textops.PUNCT_RE.replace("'", "''")
+_SQL_BPE = textops.BPE_RE
+
+# Shared oracle fragment: the whitespace-token array (empties dropped).
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in textops.STOPWORDS) + "]"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '{_SQL_BPE}')) AS BIGINT) AS n_tokens_bpe,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       round(CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+             / greatest(len({_TOKS}), 1), 6) AS mean_token_len
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) per document."""
+    return textops.token_stats(_load(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks, x -> list_contains({_STOP_LIST}, lower(x)))) AS DOUBLE)
+           / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS stop_ratio,
+         CAST(len(regexp_extract_all(text, '[{_SQL_PUNCT[1:-1]}]')) AS DOUBLE)
+           / greatest(n_chars, 1.0) AS punct_ratio,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+           / greatest(n_chars, 1.0) AS digit_ratio
+  FROM t
+)
+SELECT doc_id,
+       round(least(greatest(
+         0.4 * least(n_tok / 64.0, 1.0)
+         + 0.4 * least(stop_ratio * 4, 1.0)
+         + 0.2 * (1.0 - least(punct_ratio * 10 + digit_ratio * 5, 1.0)),
+         0.0), 1.0), 6) AS quality,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(punct_ratio, 6) AS punct_ratio
+FROM r
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring per document."""
+    return textops.quality_score(_load(spark, sf_dir, "documents"))
+
+
+def _profile_values() -> str:
+    rows = [
+        f"('{lang}', '{tok}', {float(w)})"
+        for lang, prof in sorted(textops.LANG_PROFILES.items())
+        for tok, w in sorted(prof.items())
+    ]
+    return ", ".join(rows)
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+WITH prof(lang, token, weight) AS (VALUES {_profile_values()}),
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(sum(CAST(weight AS DECIMAL(18,4))) AS DOUBLE) AS score
+  FROM toks JOIN prof USING (token)
+  GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang AS lang_pred, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM scored
+)
+SELECT d.doc_id,
+       coalesce(b.lang_pred, 'und') AS lang_pred,
+       coalesce(b.score, 0.0) AS score
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via broadcast-joined function-word profiles + argmax."""
+    return textops.lang_id(_load(spark, sf_dir, "documents"), spark)
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3 + 2)) AS i FROM t WHERE len(toks) >= 3)
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT AS h
+  FROM sh
+), bottom AS (
+  SELECT doc_id, list_sort(list(h))[1:4] AS bottom FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       md5(array_to_string(list_transform(bottom, x -> x::VARCHAR), ',')) AS fingerprint
+FROM bottom
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-4 minhash-sketch fingerprint over 3-token shingles."""
+    return textops.fingerprint(_load(spark, sf_dir, "documents"), k=3, s=4)

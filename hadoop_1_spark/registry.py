@@ -61,5 +61,6 @@ from hadoop_1_spark.queries import (  # noqa: E402,F401
     q_join,
     q_setops,
     q_sort,
+    q_textops,
     q_transforms,
 )

@@ -1,0 +1,57 @@
+"""Text-analysis family (textops.py) vs DuckDB oracle + unit checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_1_spark.operators import textops
+from tests.conftest import assert_query_matches_oracle
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["text_token_stats", "text_quality", "text_lang_id", "text_fingerprint"],
+)
+def test_textops_queries_match_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name)
+
+
+def test_ws_tokens_drops_empties(spark):
+    df = spark.createDataFrame([("  a  b   c ",), ("",)], "text string")
+    rows = df.select(textops.ws_tokens(F.col("text")).alias("t")).collect()
+    assert rows[0]["t"] == ["a", "b", "c"]
+    assert rows[1]["t"] == []
+
+
+def test_shingles_k3(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "x y")], "doc_id long, text string")
+    got = {(r["doc_id"], r["shingle"]) for r in textops.shingles(df, k=3).collect()}
+    assert got == {(1, "a b c"), (1, "b c d")}  # doc 2 too short
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (3, "something else entirely here now")],
+        "doc_id long, text string",
+    )
+    sig = textops.minhash_signature(textops.shingles(df, k=2), num_hashes=8)
+    rows = {r["doc_id"]: tuple(r["sig"]) for r in sig.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_simhash_close_docs_close_hamming(spark):
+    base = "spark query engine shuffles data across the cluster nodes quickly"
+    near = base.replace("quickly", "slowly")
+    far = "completely different words about cooking pasta tomatoes basil garlic"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    toks = df.select("doc_id", F.explode(textops.ws_tokens(F.col("text"))).alias("token"))
+    sh = {r["doc_id"]: r["simhash"] for r in textops.simhash64(toks).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**60 - 1)).count("1")
+
+    assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
