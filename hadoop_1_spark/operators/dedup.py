@@ -1,0 +1,235 @@
+"""Deduplication operators for large-scale training-data pipelines
+(north-star extensions, BASELINE.json).
+
+Five near-dup regimes over a documents-style table, all built on the
+hash/shingle primitives in textops.py (md5-portable, engine-stable):
+
+- exact:        hash-groupBy on normalized text
+- n-gram Jaccard: exact pairwise Jaccard over k-token shingles
+- MinHash+LSH:  signature -> band buckets -> bucket join -> verify
+- SimHash:      60-bit fingerprints -> band join -> hamming verify
+- embedding:    pairwise cosine over the embeddings table
+
+Scale notes (100 TB design intent):
+- Exact pairwise Jaccard/cosine are the CORRECTNESS baselines; their
+  shuffles grow O(pairs). The scale paths are the LSH variants: work is
+  proportional to bucket collisions, and band keys are md5-stable so the
+  bucket join shuffles only (band_key, doc_id) pairs.
+- All ops are built-in column expressions — no Python in the hot path.
+- Candidate joins use (d1 < d2) dedup so each pair shuffles once.
+- Ultra-frequent shingles (stopword runs) are the skew risk in the
+  shingle self-join: `df_cap` drops shingles whose document frequency
+  exceeds a cap, the standard web-dedup mitigation (cf. AQE skew-join in
+  session.py for the residual).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_1_spark.operators import textops
+
+# SimHash banding: 60-bit hash split into 4 bands of 15 bits. By pigeonhole,
+# any pair with hamming distance <= 3 shares at least one exact band.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15
+
+
+def normalize_text(text: Column) -> Column:
+    """Normalization contract for exact dedup: lowercase, collapse
+    whitespace runs, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash-groupBy on normalized text: one representative
+    (min id) + member count per group. Single shuffle on the md5 key —
+    partial agg collapses duplicates map-side."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+    )
+
+
+def _pair_jaccard(sh: DataFrame, id_col: str) -> DataFrame:
+    """Exact Jaccard for every doc pair sharing >=1 shingle: self-join on the
+    shingle key, count intersections, divide by union of set sizes."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("n2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            (F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (jaccard >= threshold).
+
+    df_cap (document-frequency cap) drops shingles appearing in more than
+    df_cap docs before the self-join — the skew guard for web-scale corpora
+    (a shingle in 1M docs would emit 10^12 join rows)."""
+    sh = textops.shingles(df, k=k, text_col=text_col, id_col=id_col)
+    if df_cap is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(F.broadcast(freq.where(F.col("df") > df_cap)), "shingle", "left_anti")
+    return _pair_jaccard(sh, id_col).where(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + LSH near-dup: signature (num_hashes mins) -> band keys
+    (md5 of each band's slice) -> docs sharing a band become candidates ->
+    exact-Jaccard verify >= threshold.
+
+    This is the 100 TB path: per-doc state is num_hashes longs; the only
+    large shuffle is (band_key, doc_id). rows_per_band = num_hashes/bands
+    tunes the S-curve: 8 bands x 2 rows catches j>=0.8 w.p. ~1-(1-0.64)^8."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sh = textops.shingles(df, k=k, text_col=text_col, id_col=id_col)
+    sig = textops.minhash_signature(sh, num_hashes=num_hashes, id_col=id_col)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                *[
+                    F.element_at(F.col("sig"), b * rows + r + 1).cast("string")
+                    for r in range(rows)
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "band_key")
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("d1"), F.col(f"y.{id_col}").alias("d2"))
+        .distinct()
+    )
+    jac = _pair_jaccard(sh, id_col)
+    return cand.join(jac, ["d1", "d2"]).where(F.col("jaccard") >= threshold)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup: 60-bit token simhash per doc, 4x15-bit band join
+    for candidates (pigeonhole-complete for hamming <= 3), verify
+    bit_count(xor) <= max_hamming."""
+    toks = df.select(
+        F.col(id_col), F.explode(textops.ws_tokens(F.col(text_col))).alias("token")
+    )
+    sh = textops.simhash64(toks, id_col=id_col)
+    band_exprs = [
+        F.expr(
+            f"shiftright(simhash, {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"
+        ).alias("band_val")
+        for b in range(SIMHASH_BANDS)
+    ]
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(str(b)), band_exprs[b].cast("string"))
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "band_key")
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("d1"),
+            F.col(f"y.{id_col}").alias("d2"),
+            F.col("x.simhash").alias("h1"),
+            F.col("y.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "d1",
+        "d2",
+        F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int").alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Engine-portable cosine similarity between two float-array columns:
+    decimal-exact sums (order-independent) -> double sqrt/divide
+    (IEEE-deterministic). Matches the DuckDB oracle bit-for-bit."""
+    def dsum(arr: Column) -> Column:
+        # Spark decimal(38,18)+decimal(38,18) widens to (38,17); re-cast so
+        # the fold keeps a stable type. The per-step 1e-18 rounding is
+        # absorbed by the final round(..., 9).
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("decimal(38,18)"),
+            lambda acc, x: (acc + x.cast("decimal(38,18)")).cast("decimal(38,18)"),
+        ).cast("double")
+
+    dot = dsum(F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double"))))
+    na = dsum(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+    nb = dsum(F.transform(b, lambda x: x.cast("double") * x.cast("double")))
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup: all-pairs cosine >= threshold. Correctness
+    baseline (O(n^2) pairs); the scale path is LSH bucketing
+    (similarity.random_hyperplane_buckets) feeding the same verify."""
+    a = emb.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
+    b = emb.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.round(cosine_expr(F.col("v1"), F.col("v2")), 9).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,163 @@
+"""Deduplication queries (north-star extensions): exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine — each with a full DuckDB oracle
+replica of the same md5-based pipeline so results match bit-for-bit.
+
+Thresholds are tuned to the driver corpus: the generator plants 25 near-dup
+doc pairs (Jaccard >= 0.8; the background distribution tops out at ~0.03),
+and cosine >= 0.45 selects the top ~14 embedding pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_1_spark.operators import dedup
+from hadoop_1_spark.registry import _load, register
+
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+# Shared oracle CTEs: distinct 3-token shingles + exact pairwise Jaccard.
+_SHINGLE_CTES = f"""
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t WHERE len(toks) >= 3)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+       min(doc_id) AS rep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text."""
+    return dedup.exact_dedup(_load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"WITH {_SHINGLE_CTES} SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.8",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs at threshold 0.8."""
+    return dedup.ngram_jaccard_pairs(_load(spark, sf_dir, "documents"), k=3, threshold=0.8)
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 8) -> str:
+    rows = num_hashes // bands
+    mins = ",\n    ".join(
+        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "md5('{b}' || ',' || {parts})".format(
+            b=b,
+            parts=" || ',' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLE_CTES},
+mins AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+),
+banded AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM mins),
+cand AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+  FROM banded x JOIN banded y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT cand.d1, cand.d2, jac.jaccard
+FROM cand JOIN jac ON cand.d1 = jac.d1 AND cand.d2 = jac.d2
+WHERE jac.jaccard >= 0.8
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(8 bands x 2 rows) candidates, exact-Jaccard
+    verified at 0.8. The oracle replicates the full LSH pipeline (same md5
+    band keys), so candidate-set equality is part of the check."""
+    return dedup.minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"), k=3, num_hashes=16, bands=8, threshold=0.8
+    )
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    bands = ", ".join(
+        f"'{b}' || ':' || ((simhash >> {b * dedup.SIMHASH_BAND_BITS}) & {(1 << dedup.SIMHASH_BAND_BITS) - 1})::VARCHAR"
+        for b in range(dedup.SIMHASH_BANDS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+th AS (SELECT doc_id, ('0x' || substr(md5('0:' || token), 1, 15))::BIGINT AS h FROM tok),
+bits AS (
+  SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS c
+  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+),
+s AS (SELECT doc_id, b, sum(c) AS s FROM bits GROUP BY 1, 2),
+sh64 AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+  FROM s GROUP BY doc_id
+),
+banded AS (SELECT doc_id, simhash, unnest([{bands}]) AS band_key FROM sh64),
+cand AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2, x.simhash AS h1, y.simhash AS h2
+  FROM banded x JOIN banded y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+FROM cand
+WHERE CAST(bit_count(xor(h1, h2)) AS INT) <= {max_hamming}
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit token simhash, 4x15-bit band
+    candidates, hamming <= 3."""
+    return dedup.simhash_pairs(_load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+_COSINE_ORACLE = """
+WITH p AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2, a.embedding AS v1, b.embedding AS v2
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+prods AS (SELECT d1, d2, unnest(v1) AS x, unnest(v2) AS y FROM p),
+c AS (
+  SELECT d1, d2,
+    CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+    CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na,
+    CAST(sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nb
+  FROM prods GROUP BY d1, d2
+)
+SELECT d1, d2, round(dot / (sqrt(na) * sqrt(nb)), 9) AS cosine
+FROM c
+WHERE round(dot / (sqrt(na) * sqrt(nb)), 9) >= 0.45
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_COSINE_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at threshold 0.45 (decimal-exact
+    sums -> deterministic doubles; see dedup.cosine_expr)."""
+    return dedup.embedding_cosine_pairs(_load(spark, sf_dir, "embeddings"), threshold=0.45)

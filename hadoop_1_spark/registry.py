@@ -57,6 +57,7 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # bottom so `register`/`_load` exist when they import back.
 from hadoop_1_spark.queries import (  # noqa: E402,F401
     q_aggregate,
+    q_dedup,
     q_fieldsel,
     q_join,
     q_setops,

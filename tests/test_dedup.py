@@ -1,0 +1,68 @@
+"""Dedup family (dedup.py) vs DuckDB oracle + unit semantics checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_1_spark.operators import dedup
+from tests.conftest import assert_query_matches_oracle
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+    ],
+)
+def test_dedup_queries_match_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name)
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    rows = {r["rep_id"]: r["n_dups"] for r in dedup.exact_dedup(df).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_finds_planted_pair(spark):
+    a = "the quick brown fox jumps over the lazy dog again today"
+    b = a.replace("today", "tomorrow")
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, "unrelated words entirely different from all others here")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["d1"], r["d2"]) for r in dedup.ngram_jaccard_pairs(df, k=3, threshold=0.5).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_minhash_lsh_recall_matches_exact(spark, duck):
+    """At threshold 0.8 with 8x2 bands, LSH must recover every exact pair
+    on the driver corpus (planted dups are ~0.9+ Jaccard)."""
+    from hadoop_1_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["d1"], r["d2"])
+        for r in registry.QUERIES["dedup_ngram_jaccard"](spark, sf).collect()
+    }
+    lsh = {
+        (r["d1"], r["d2"])
+        for r in registry.QUERIES["dedup_minhash_lsh"](spark, sf).collect()
+    }
+    assert lsh == exact
+
+
+def test_df_cap_drops_hot_shingles(spark):
+    df = spark.createDataFrame(
+        [(i, "common shingle text here") for i in range(5)],
+        "doc_id long, text string",
+    )
+    # every shingle appears in all 5 docs; df_cap=3 drops them all -> no pairs
+    assert dedup.ngram_jaccard_pairs(df, k=3, threshold=0.1, df_cap=3).count() == 0
