@@ -1,0 +1,166 @@
+"""Approximate-nearest-neighbor similarity search over an embedding column
+(north-star extension, BASELINE.json).
+
+Three strategies over `embeddings(vec_id, embedding array<float>, label)`:
+
+- brute-force cosine top-k: the correctness baseline. Query set is small
+  and broadcast; the corpus streams once per partition; one final shuffle
+  on query_id for the per-query top-k window.
+- random-hyperplane LSH: nbits sign-bits of fixed Rademacher hyperplanes
+  bucket the corpus; a query only scores its own bucket. The hyperplane
+  sign matrix is derived from md5 at *build* time (plain constants in the
+  plan), so Spark and the DuckDB oracle share it exactly.
+- IVF-style probe: the `label` column stands in for an offline-trained
+  coarse quantizer (k-means cell id); a query scores only its own cell.
+  At 100 TB the cell id is the partition key -> partition-pruned probes.
+
+Scale notes:
+- Brute force is O(|corpus| x |queries|) dot products — fine for reranking
+  a candidate set, wrong as the primary path; LSH/IVF cut the scored set
+  by the bucket/cell factor and their shuffles carry only (bucket, id).
+- All dot products are built-in column expressions; the double-addition
+  chains are emitted in a fixed order so results are bit-identical across
+  engines (IEEE doubles, no reassociation).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_1_spark.operators.dedup import cosine_expr
+
+DIMS = 64
+
+
+def hyperplane_signs(nbits: int, dims: int = DIMS, seed: int = 42) -> list[list[int]]:
+    """Deterministic Rademacher (+1/-1) hyperplane matrix from md5 — plain
+    constants shared verbatim by the Spark plan and the oracle SQL."""
+    return [
+        [
+            1 if hashlib.md5(f"{seed}:{i}:{d}".encode()).digest()[0] & 1 else -1
+            for d in range(dims)
+        ]
+        for i in range(nbits)
+    ]
+
+
+def _signed_sum(vec: Column, signs: list[int]) -> Column:
+    """Left-associated +/- chain of vector elements (fixed fp order)."""
+    acc = F.element_at(vec, 1).cast("double") * signs[0]
+    for d in range(1, len(signs)):
+        term = F.element_at(vec, d + 1).cast("double")
+        acc = acc + term if signs[d] == 1 else acc - term
+    return acc
+
+
+def bucket_expr(vec: Column, signs: list[list[int]]) -> Column:
+    """LSH bucket id: integer whose bit i is sign(h_i . v)."""
+    acc = F.lit(0).cast("int")
+    for i, row in enumerate(signs):
+        acc = acc + F.when(_signed_sum(vec, row) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return acc
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _score(q: DataFrame, c: DataFrame, extra_cond=None) -> DataFrame:
+    cond = q["query_id"] != c["neighbor_id"]
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return q.join(c, cond).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(q["qv"], c["cv"]), 9).alias("cosine"),
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set, score the full
+    corpus, per-query window rank. Ties broken by neighbor_id asc."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    return _topk(_score(q, c), k)
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nbits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: score only corpus vectors in the query's bucket.
+    nbits tunes recall/cost: scored set shrinks ~2^nbits-fold."""
+    signs = hyperplane_signs(nbits, seed=seed)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            bucket_expr(F.col(vec_col), signs).alias("qb"),
+        )
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        bucket_expr(F.col(vec_col), signs).alias("cb"),
+    )
+    scored = q.join(c, (q["qb"] == c["cb"]) & (q["query_id"] != c["neighbor_id"])).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(q["qv"], c["cv"]), 9).alias("cosine"),
+    )
+    return _topk(scored, k)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style probe: score only the query's coarse cell (here the
+    pre-assigned `label`; a real deployment trains centroids offline and
+    partitions the corpus by cell for partition-pruned probes)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(cell_col).alias("qcell"),
+        )
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(cell_col).alias("ccell"),
+    )
+    scored = q.join(
+        c, (q["qcell"] == c["ccell"]) & (q["query_id"] != c["neighbor_id"])
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(q["qv"], c["cv"]), 9).alias("cosine"),
+    )
+    return _topk(scored, k)

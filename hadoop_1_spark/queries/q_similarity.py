@@ -1,0 +1,108 @@
+"""Similarity-search queries (north-star extensions): brute-force cosine
+top-k, random-hyperplane LSH ANN, IVF-style cell probe — over the
+embeddings table, query set = vec_id < 10, k = 5.
+
+The oracle replicates each pipeline exactly: the same hyperplane sign
+constants (generated once in similarity.hyperplane_signs) and the same
+fixed-order floating-point chains, so ANN candidate sets — not just final
+scores — must agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_1_spark.operators import similarity
+from hadoop_1_spark.registry import _load, register
+
+K = 5
+NBITS = 4
+
+# Engine-portable cosine over zipped unnests (same decimal-exact pattern as
+# q_dedup): produces round(cosine, 9).
+_COSINE_CTES = """
+prods AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y FROM p),
+s AS (
+  SELECT query_id, neighbor_id,
+    CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+    CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na,
+    CAST(sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nb
+  FROM prods GROUP BY 1, 2
+),
+sc AS (SELECT query_id, neighbor_id, round(dot / (sqrt(na) * sqrt(nb)), 9) AS cosine FROM s),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM sc
+)
+"""
+
+_FINAL = f"SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM r WHERE rn <= {K}"
+
+
+def _bucket_sql(vec: str, signs: list[list[int]]) -> str:
+    """SQL twin of similarity.bucket_expr: same left-associated +/- chain."""
+    parts = []
+    for i, row in enumerate(signs):
+        chain = f"CAST({vec}[1] AS DOUBLE) * ({row[0]})"
+        for d in range(1, len(row)):
+            op = "+" if row[d] == 1 else "-"
+            chain += f" {op} CAST({vec}[{d + 1}] AS DOUBLE)"
+        parts.append(f"(CASE WHEN ({chain}) > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+p AS (SELECT query_id, neighbor_id, qv, cv FROM q JOIN c ON query_id <> neighbor_id),
+{_COSINE_CTES}
+{_FINAL}
+""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for vec_id < 10."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.where("vec_id < 10"), k=K)
+
+
+def _lsh_oracle() -> str:
+    signs = similarity.hyperplane_signs(NBITS)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, {_bucket_sql("embedding", signs)} AS qb
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, {_bucket_sql("embedding", signs)} AS cb
+  FROM embeddings
+),
+p AS (SELECT query_id, neighbor_id, qv, cv FROM q JOIN c ON qb = cb AND query_id <> neighbor_id),
+{_COSINE_CTES}
+{_FINAL}
+"""
+
+
+@register("sim_lsh_topk", oracle=_lsh_oracle())
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN top-5 (4-bit buckets) for vec_id < 10."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(emb, emb.where("vec_id < 10"), k=K, nbits=NBITS)
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qcell FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS ccell FROM embeddings),
+p AS (SELECT query_id, neighbor_id, qv, cv FROM q JOIN c ON qcell = ccell AND query_id <> neighbor_id),
+{_COSINE_CTES}
+{_FINAL}
+""",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style cell-probed top-5 (label = coarse cell) for vec_id < 10."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.where("vec_id < 10"), k=K)
