@@ -60,6 +60,7 @@ from hadoop_1_spark.queries import (  # noqa: E402,F401
     q_dedup,
     q_fieldsel,
     q_join,
+    q_multimodal,
     q_setops,
     q_similarity,
     q_sort,

@@ -1,0 +1,52 @@
+"""Multimodal plumbing (multimodal.py) vs DuckDB oracle + unit checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_1_spark.operators import multimodal
+from tests.conftest import assert_query_matches_oracle
+
+
+@pytest.mark.parametrize(
+    "name", ["mm_manifest", "mm_features", "mm_resize_plan", "mm_frame_sample"]
+)
+def test_multimodal_queries_match_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name)
+
+
+def test_sniff_format_reads_magic_bytes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, multimodal.MAGICS["image"] + b"payload"),
+            (2, multimodal.MAGICS["audio"] + b"wav"),
+            (3, multimodal.MAGICS["video"] + b"mp4"),
+            (4, b"garbage"),
+        ],
+        "media_id long, content binary",
+    )
+    got = {
+        r["media_id"]: r["fmt"]
+        for r in df.select("media_id", multimodal.sniff_format(F.col("content")).alias("fmt")).collect()
+    }
+    assert got == {1: "image", 2: "audio", 3: "video", 4: "unknown"}
+
+
+def test_decode_real_is_a_marked_seam():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"\x89PNG", "image")
+
+
+def test_extract_features_batch_shape(spark):
+    """mapInPandas output schema + deterministic kernel across partitions."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "s", 10 + i) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).repartition(4)
+    feats = multimodal.extract_features(multimodal.synthesize_media(docs))
+    assert feats.columns == ["media_id", "modality", "byte_len", "digest", "brightness"]
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(0.0 <= r["brightness"] < 1.0 for r in rows)
+    assert all(len(r["digest"]) == 32 for r in rows)
