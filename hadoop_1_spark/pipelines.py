@@ -1,0 +1,126 @@
+"""Domain pipelines shipped with the reference, re-expressed Spark-first
+(SURVEY.md §2.11).
+
+- inverted_index : contrib/index shape (IndexUpdater.java:40,
+  IntermediateForm.java:46) — map: doc -> analyzed terms; combine/reduce:
+  merge per-term postings; shard policy = partitioned write. Here the
+  whole build is one explode -> groupBy(term) aggregation; Catalyst's
+  partial aggregation replaces IntermediateForm combining.
+- logalyzer      : tools/Logalyzer.java:53-64,69,97-144 — grep
+  (-grep <pattern>) + multi-column sort (-sort col1,col2 -separator) over
+  archived logs, as filter(rlike) + orderBy.
+- rumen_parse    : tools/rumen (TraceBuilder/JobBuilder, LoggedJob) —
+  parse semi-structured job logs into typed records + statistical CDFs
+  (percentiles) for simulation input.
+- distcp_plan    : tools/DistCp.java:78,96-134 — manifest diff between a
+  source and destination file tree: copy what's missing, update what
+  differs (-update = size/checksum diff), optionally delete dst-only
+  paths (-delete).
+
+Scale notes (100 TB design intent):
+- inverted index: one shuffle on term; postings stored sorted; ultra-hot
+  terms are the skew risk — AQE skew handling plus an optional df cap
+  (dedup.py pattern) if needed. Sharded output = write.partitionBy.
+- distcp: the *diff* is a distributed join over file manifests (millions
+  of rows, trivially shuffled); the copy itself would be foreachPartition
+  against the filesystem — deliberately not executed in queries.
+- rumen: JSON parse with an explicit schema (no schema inference scans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_1_spark.operators.textops import ws_tokens
+
+
+def inverted_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverted index: per term -> document frequency, total term
+    frequency, and a doc_id-sorted postings string "doc:tf,doc:tf,...".
+
+    The postings list is built with sort_array(collect_list(struct(...)))
+    so ordering is deterministic; at scale, write.partitionBy(shard) on
+    pmod(hash(term), n) reproduces the reference's hashing shard policy
+    (contrib/index example/HashingDistributionPolicy.java)."""
+    tf = (
+        docs.select(F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(F.col(id_col), F.col("tf")))),
+                    lambda s: F.concat_ws(":", s[id_col].cast("string"), s["tf"].cast("string")),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
+
+
+def logalyzer(
+    logs: DataFrame,
+    grep_pattern: str,
+    sort_cols: list[str],
+    ascending: list[bool] | None = None,
+) -> DataFrame:
+    """Logalyzer: filter lines matching -grep, order by -sort columns.
+    The reference's <separator>-split columns are already real columns
+    here; the sort compiles to orderBy exprs (a total-order sort, O1)."""
+    if ascending is None:
+        ascending = [True] * len(sort_cols)
+    order = [
+        F.col(c).asc() if asc else F.col(c).desc() for c, asc in zip(sort_cols, ascending)
+    ]
+    matched = logs.where(
+        F.concat_ws("\t", *[F.col(c).cast("string") for c in logs.columns]).rlike(grep_pattern)
+    )
+    return matched.orderBy(*order)
+
+
+PROPS_SCHEMA = "struct<k: bigint>"
+
+
+def rumen_parse(events: DataFrame) -> DataFrame:
+    """Rumen-style trace statistics: parse the JSON props payload with an
+    explicit schema, then per event_type emit count + exact percentile CDF
+    points of the numeric payload (the reference computes CDFs of task
+    runtimes for simulation; percentile() is the Spark-native form)."""
+    typed = events.select(
+        "event_type", F.from_json(F.col("props"), PROPS_SCHEMA).getField("k").alias("k")
+    )
+    pct = lambda p: F.round(F.percentile(F.col("k"), F.lit(p)), 6)  # noqa: E731
+    return typed.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        pct(0.25).alias("p25"),
+        pct(0.5).alias("p50"),
+        pct(0.75).alias("p75"),
+        pct(0.95).alias("p95"),
+    )
+
+
+def distcp_plan(src: DataFrame, dst: DataFrame, delete: bool = True) -> DataFrame:
+    """DistCp -update [-delete] manifest diff. Inputs: (path, size)
+    manifests. Output: (path, action) with copy/update/skip/delete.
+
+    Full outer join on path — the only shuffle; at 100 TB of *files* the
+    manifests are still small rows and AQE handles the skewless join."""
+    s = src.select(F.col("path"), F.col("size").alias("src_size"))
+    d = dst.select(F.col("path"), F.col("size").alias("dst_size"))
+    joined = s.join(d, "path", "full_outer")
+    action = (
+        F.when(F.col("dst_size").isNull(), F.lit("copy"))
+        .when(F.col("src_size").isNull(), F.lit("delete") if delete else F.lit("ignore"))
+        .when(F.col("src_size") != F.col("dst_size"), F.lit("update"))
+        .otherwise(F.lit("skip"))
+    )
+    out = joined.select("path", action.alias("action"))
+    return out if delete else out.where(F.col("action") != "ignore")

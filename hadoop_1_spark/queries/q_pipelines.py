@@ -1,0 +1,125 @@
+"""Domain-pipeline queries (SURVEY.md §2.11): inverted index build,
+Logalyzer grep+sort, Rumen-style CDF statistics, DistCp manifest diff.
+
+The distcp query diffs two deterministic synthetic manifests derived from
+documents (src tree vs a dst tree with every 7th file missing, every 5th
+size-drifted, plus a few dst-only strays) — the same manifest-join the
+real tool would run over `input_file_name()` listings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_1_spark import pipelines
+from hadoop_1_spark.registry import _load, register
+
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+@register(
+    "index_build",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY term
+""",
+)
+def index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed inverted-index build over documents (contrib/index)."""
+    return pipelines.inverted_index(_load(spark, sf_dir, "documents"))
+
+
+@register(
+    "logalyzer_grep_sort",
+    oracle="""
+SELECT event_type, user_id, value
+FROM events
+WHERE regexp_matches(event_type, 'error|purchase')
+""",
+)
+def logalyzer_grep_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logalyzer: grep 'error|purchase' + sort by (value desc, user_id).
+    The grep runs over the whole tab-joined record (the reference greps
+    raw lines); on this schema only event_type can match."""
+    logs = _load(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    return pipelines.logalyzer(
+        logs, "error|purchase", ["value", "user_id"], ascending=[False, True]
+    )
+
+
+@register(
+    "rumen_cdf",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(k, 0.25), 6) AS p25,
+       round(quantile_cont(k, 0.5), 6) AS p50,
+       round(quantile_cont(k, 0.75), 6) AS p75,
+       round(quantile_cont(k, 0.95), 6) AS p95
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type
+""",
+)
+def rumen_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rumen-style typed JSON parse + percentile CDF per event type."""
+    return pipelines.rumen_parse(_load(spark, sf_dir, "events"))
+
+
+_SRC_SQL = "SELECT source || '/' || doc_id || '.txt' AS path, n_chars AS size FROM documents"
+_DST_SQL = """
+SELECT source || '/' || doc_id || '.txt' AS path,
+       n_chars + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS size
+FROM documents WHERE doc_id % 7 <> 0
+UNION ALL
+SELECT 'stray/' || doc_id || '.tmp' AS path, doc_id AS size
+FROM documents WHERE doc_id % 97 = 3
+"""
+
+
+def _manifests(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    docs = _load(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat_ws("/", F.col("source"), F.concat(F.col("doc_id").cast("string"), F.lit(".txt"))).alias("path"),
+        F.col("n_chars").alias("size"),
+    )
+    dst = (
+        docs.where(F.col("doc_id") % 7 != 0)
+        .select(
+            F.concat_ws(
+                "/", F.col("source"), F.concat(F.col("doc_id").cast("string"), F.lit(".txt"))
+            ).alias("path"),
+            (F.col("n_chars") + F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0)).alias("size"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 97 == 3).select(
+                F.concat(F.lit("stray/"), F.col("doc_id").cast("string"), F.lit(".tmp")).alias("path"),
+                F.col("doc_id").alias("size"),
+            )
+        )
+    )
+    return src, dst
+
+
+@register(
+    "distcp_manifest_diff",
+    oracle=f"""
+WITH src AS ({_SRC_SQL}), dst AS ({_DST_SQL})
+SELECT coalesce(src.path, dst.path) AS path,
+       CASE WHEN dst.path IS NULL THEN 'copy'
+            WHEN src.path IS NULL THEN 'delete'
+            WHEN src.size <> dst.size THEN 'update'
+            ELSE 'skip' END AS action
+FROM src FULL OUTER JOIN dst ON src.path = dst.path
+""",
+)
+def distcp_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistCp -update -delete plan from a src/dst manifest full-outer
+    diff (tools/DistCp.java:96-134)."""
+    src, dst = _manifests(spark, sf_dir)
+    return pipelines.distcp_plan(src, dst, delete=True)

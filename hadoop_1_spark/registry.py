@@ -61,6 +61,7 @@ from hadoop_1_spark.queries import (  # noqa: E402,F401
     q_fieldsel,
     q_join,
     q_multimodal,
+    q_pipelines,
     q_setops,
     q_similarity,
     q_sort,
