@@ -67,4 +67,5 @@ from hadoop_1_spark.queries import (  # noqa: E402,F401
     q_sort,
     q_textops,
     q_transforms,
+    q_udf,
 )
