@@ -34,6 +34,18 @@ BENCH_QUERIES = [
     "top_k",               # per-partition top-k + merge
     "secondary_sort",      # partition-by-key windowed rank
     "terasort_validate",   # generate → total-order sort → validate
+    "join_3way",           # broadcast-dim star join
+    "datamerge_outer",     # n-way full-outer composite join
+    "text_lang_id",        # explode + broadcast profile join + argmax
+    "text_fingerprint",    # shingle → hash → bottom-s sketch
+    "dedup_minhash_lsh",   # signature → band join → verify
+    "dedup_simhash",       # 60-bit simhash band join
+    "sim_lsh_topk",        # hyperplane-bucketed ANN
+    "index_build",         # inverted index (explode + 2-level agg)
+    "mm_features",         # Arrow mapInPandas over binary blobs
+    "rumen_cdf",           # JSON parse + percentile CDFs
+    "stream_tumbling_counts",  # Structured Streaming windowed agg
+    "pipe_wordcount",      # external-process mapper (API-overhead shape)
 ]
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hadoop_1_spark.operators import textops
+from hadoop_1_spark.operators.textops import shingle_hash
 
 # SimHash banding: 60-bit hash split into 4 bands of 15 bits. By pigeonhole,
 # any pair with hamming distance <= 3 shares at least one exact band.
@@ -120,21 +121,30 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sh = textops.shingles(df, k=k, text_col=text_col, id_col=id_col)
-    sig = textops.minhash_signature(sh, num_hashes=num_hashes, id_col=id_col)
+    # ONE aggregation produces both the minhash signature and the full
+    # shingle-hash set per doc — the corpus is exploded exactly once, and
+    # the candidate verify below runs on compact per-doc arrays instead of
+    # re-joining the shingle relation (which would re-scan the corpus).
+    # Hashes are fixed-width hex strings (min == numeric min, no conv
+    # cost); each md5 digest yields two independent 60-bit hashes.
+    perms = textops.minhash_permutations(F.col("shingle"), num_hashes)
+    per_doc = sh.groupBy(id_col).agg(
+        *[F.min(p).alias(f"h{i}") for i, p in enumerate(perms)],
+        F.collect_set(textops.hex_hash(F.col("shingle"), 0)).alias("hs"),
+    )
     band_cols = [
         F.md5(
             F.concat_ws(
                 ",",
                 F.lit(str(b)),
-                *[
-                    F.element_at(F.col("sig"), b * rows + r + 1).cast("string")
-                    for r in range(rows)
-                ],
+                *[F.col(f"h{b * rows + r}") for r in range(rows)],
             )
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key"))
+    banded = per_doc.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
+    )
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), "band_key")
@@ -142,8 +152,23 @@ def minhash_lsh_pairs(
         .select(F.col(f"x.{id_col}").alias("d1"), F.col(f"y.{id_col}").alias("d2"))
         .distinct()
     )
-    jac = _pair_jaccard(sh, id_col)
-    return cand.join(jac, ["d1", "d2"]).where(F.col("jaccard") >= threshold)
+    # exact Jaccard over the 60-bit hash sets (collision odds ~|S|^2/2^61):
+    # verify work is O(|candidates| x shingles/doc), the LSH-scale path —
+    # never an all-pairs join.
+    sets_ = per_doc.select(F.col(id_col), "hs")
+    pairs = (
+        cand.join(sets_.select(F.col(id_col).alias("d1"), F.col("hs").alias("hs1")), "d1")
+        .join(sets_.select(F.col(id_col).alias("d2"), F.col("hs").alias("hs2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.size(F.array_intersect("hs1", "hs2")).cast("double")
+                / (F.size("hs1") + F.size("hs2") - F.size(F.array_intersect("hs1", "hs2")))
+            ).alias("jaccard"),
+        )
+    )
+    return pairs.where(F.col("jaccard") >= threshold)
 
 
 def simhash_pairs(

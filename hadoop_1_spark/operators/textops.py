@@ -99,13 +99,15 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def lang_profile_df(spark: SparkSession) -> DataFrame:
     """The LANG_PROFILES weight table as a (lang, token, weight) DataFrame —
-    broadcast side of the lang-id join."""
-    rows = [
-        (lang, tok, float(w))
+    broadcast side of the lang-id join. Built from a SQL VALUES literal
+    (not createDataFrame) so the broadcast build stays JVM-only — a local
+    Python RDD would fork Python workers just to ship 30 constant rows."""
+    rows = ", ".join(
+        f"('{lang}', '{tok}', CAST({float(w)} AS DOUBLE))"
         for lang, prof in sorted(LANG_PROFILES.items())
         for tok, w in sorted(prof.items())
-    ]
-    return spark.createDataFrame(rows, "lang string, token string, weight double")
+    )
+    return spark.sql(f"SELECT * FROM VALUES {rows} AS t(lang, token, weight)")
 
 
 def lang_id(
@@ -163,23 +165,40 @@ def shingles(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "d
 
 
 def shingle_hash(col: Column, seed: int) -> Column:
-    """Portable 60-bit shingle hash: md5 prefixed with a seed, first 15 hex
-    chars as decimal. Identical in DuckDB:
-    ('0x'||substr(md5(seed||':'||s),1,15))::BIGINT."""
+    """Portable 60-bit shingle hash as a NUMBER: md5 prefixed with a seed,
+    first 15 hex chars as decimal. Identical in DuckDB:
+    ('0x'||substr(md5(seed||':'||s),1,15))::BIGINT. Use only where numeric
+    bits are required (simhash); hex_hash is cheaper (no conv)."""
     return F.conv(
         F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
     ).cast("long")
+
+
+def hex_hash(col: Column, seed: int, offset: int = 1) -> Column:
+    """Portable 60-bit hash as a fixed-width HEX STRING (min/sort order ==
+    numeric order, no decimal conversion cost). offset 1 or 16 selects the
+    first/second independent half of the digest, so one md5 yields two
+    hashes. DuckDB twin: substr(md5(seed||':'||s), offset, 15)."""
+    return F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), offset, 15)
+
+
+def minhash_permutations(col: Column, num_hashes: int) -> list[Column]:
+    """num_hashes independent 60-bit hex hashes from ceil(n/2) md5 calls
+    (two 15-hex-char slices per 128-bit digest)."""
+    return [
+        hex_hash(col, i // 2, offset=1 if i % 2 == 0 else 16)
+        for i in range(num_hashes)
+    ]
 
 
 def minhash_signature(
     sh: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
     """MinHash signature: per doc, min of seeded hash per permutation →
-    (id, sig array<long>). One groupBy shuffle on doc_id; signatures are
-    num_hashes longs regardless of doc size."""
-    aggs = [
-        F.min(shingle_hash(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)
-    ]
+    (id, sig array<string>). One groupBy shuffle on doc_id; signatures are
+    num_hashes fixed-width hex strings regardless of doc size."""
+    perms = minhash_permutations(F.col("shingle"), num_hashes)
+    aggs = [F.min(p).alias(f"h{i}") for i, p in enumerate(perms)]
     return (
         sh.groupBy(id_col)
         .agg(*aggs)
@@ -216,13 +235,11 @@ def fingerprint(df: DataFrame, k: int = 3, s: int = 4, text_col: str = "text", i
     bottom-s shingle hashes agree — a compact near-dup key."""
     sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
     bottom = (
-        sh.select(F.col(id_col), shingle_hash(F.col("shingle"), 0).alias("h"))
+        sh.select(F.col(id_col), hex_hash(F.col("shingle"), 0).alias("h"))
         .groupBy(id_col)
         .agg(F.slice(F.sort_array(F.collect_list("h")), 1, s).alias("bottom"))
     )
     return bottom.select(
         F.col(id_col),
-        F.md5(F.concat_ws(",", F.transform(F.col("bottom"), lambda x: x.cast("string")))).alias(
-            "fingerprint"
-        ),
+        F.md5(F.concat_ws(",", F.col("bottom"))).alias("fingerprint"),
     )

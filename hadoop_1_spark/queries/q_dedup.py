@@ -62,14 +62,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 8) -> str:
     rows = num_hashes // bands
+    # hex-string permutations: two independent 15-hex-char slices per md5
+    # digest (matches textops.minhash_permutations)
     mins = ",\n    ".join(
-        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS h{i}"
+        f"min(substr(md5('{i // 2}:' || shingle), {1 if i % 2 == 0 else 16}, 15)) AS h{i}"
         for i in range(num_hashes)
     )
     band_keys = ", ".join(
         "md5('{b}' || ',' || {parts})".format(
             b=b,
-            parts=" || ',' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows)),
+            parts=" || ',' || ".join(f"h{b * rows + r}" for r in range(rows)),
         )
         for b in range(bands)
     )

@@ -123,13 +123,13 @@ WITH t AS (
          array_to_string(toks[i:i+2], ' ') AS shingle
   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3 + 2)) AS i FROM t WHERE len(toks) >= 3)
 ), h AS (
-  SELECT doc_id, ('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT AS h
+  SELECT doc_id, substr(md5('0:' || shingle), 1, 15) AS h
   FROM sh
 ), bottom AS (
   SELECT doc_id, list_sort(list(h))[1:4] AS bottom FROM h GROUP BY doc_id
 )
 SELECT doc_id,
-       md5(array_to_string(list_transform(bottom, x -> x::VARCHAR), ',')) AS fingerprint
+       md5(array_to_string(bottom, ',')) AS fingerprint
 FROM bottom
 """,
 )
