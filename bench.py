@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "rumen_cdf",           # JSON parse + percentile CDFs
     "stream_tumbling_counts",  # Structured Streaming windowed agg
     "pipe_wordcount",      # external-process mapper (API-overhead shape)
+    "gridmix_three_stage",     # gridmix job-1: staged keep-% pipeline
+    "gridmix_reference_select",  # gridmix job-3: 0.2% select, 1 reducer
 ]
 
 

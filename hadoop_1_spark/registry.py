@@ -59,6 +59,7 @@ from hadoop_1_spark.queries import (  # noqa: E402,F401
     q_aggregate,
     q_dedup,
     q_fieldsel,
+    q_gridmix,
     q_join,
     q_multimodal,
     q_pipelines,
