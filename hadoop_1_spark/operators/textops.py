@@ -207,26 +207,26 @@ def minhash_signature(
 
 
 def simhash64(sh_tokens: DataFrame, id_col: str = "doc_id", term_col: str = "token") -> DataFrame:
-    """64-bit SimHash over terms: per bit b, sum ±1 of bit b of each term
+    """60-bit SimHash over terms: per bit b, sum ±1 of bit b of each term
     hash; fingerprint bit b = 1 iff the sum > 0.
 
-    Implemented as an explode over 64 bit positions (rows × 64) — all
-    JVM-side expressions; the only shuffle is the (id, bit) partial-agg
-    groupBy. The reference analog is MD5Hash keys (io/MD5Hash.java:30)."""
+    Implemented as 60 aggregate columns over the token rows (NOT a 60-way
+    row explosion — same sums, 60x fewer shuffle rows). All JVM-side
+    expressions; one partial-agg groupBy on doc. The reference analog is
+    MD5Hash keys (io/MD5Hash.java:30)."""
     h = shingle_hash(F.col(term_col), 0)
-    bits = (
-        sh_tokens.select(F.col(id_col), h.alias("h"))
-        .select(id_col, F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"), F.col("h"))
-        .select(id_col, "b", F.expr("(shiftright(h, b) & 1) * 2 - 1").alias("c"))
+    bits = sh_tokens.select(F.col(id_col), h.alias("h"))
+    sums = bits.groupBy(id_col).agg(
+        *[
+            F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"s{b}")
+            for b in range(60)
+        ]
     )
-    return (
-        bits.groupBy(id_col, "b")
-        .agg(F.sum("c").alias("s"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.expr("if(s > 0, shiftleft(1L, b), 0L)")).alias("simhash")
-        )
-    )
+    fingerprint = None
+    for b in range(60):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return sums.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def fingerprint(df: DataFrame, k: int = 3, s: int = 4, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
