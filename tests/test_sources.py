@@ -104,3 +104,21 @@ def test_random_text_writer_shape(spark):
 def test_empty_relation(spark):
     df = generators.empty(spark)
     assert df.count() == 0 and df.columns == ["key", "value"]
+
+
+def test_mapfile_style_point_lookup(spark, tmp_path):
+    """K3 MapFileOutputFormat parity: sorted-by-key parquet + point lookup.
+    The lookup predicate must reach the scan (PushedFilters) so row-group
+    min/max stats prune — the MapFile sparse-index analog."""
+    path = str(tmp_path / "mapfile")
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("key"), F.md5(F.col("id").cast("string")).alias("value")
+    )
+    df.repartition(4, "key").sortWithinPartitions("key").write.parquet(path)
+
+    back = spark.read.parquet(path)
+    lookup = back.where(F.col("key") == 1234)
+    plan = lookup._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(key), EqualTo(key,1234)]" in plan
+    rows = lookup.collect()
+    assert len(rows) == 1 and rows[0]["value"].startswith(rows[0]["value"][:4])
