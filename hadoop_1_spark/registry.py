@@ -71,3 +71,7 @@ from hadoop_1_spark.queries import (  # noqa: E402,F401
     q_transforms,
     q_udf,
 )
+
+# q_corpus composes oracle SQL registered by q_textops/q_dedup, so it must
+# import after them.
+from hadoop_1_spark.queries import q_corpus  # noqa: E402,F401
