@@ -124,3 +124,38 @@ def distcp_plan(src: DataFrame, dst: DataFrame, delete: bool = True) -> DataFram
     )
     out = joined.select("path", action.alias("action"))
     return out if delete else out.where(F.col("action") != "ignore")
+
+
+def distch_plan(manifest: DataFrame) -> DataFrame:
+    """DistCh parity (tools/DistCh.java:56): parallel chmod/chown plan.
+    Input: (path, owner, perm, target_owner, target_perm) manifest; output
+    the rows needing a change with the ops to apply. Same distributed
+    manifest pattern as distcp — the mutation itself would run in
+    foreachPartition against the filesystem."""
+    need_chown = F.col("owner") != F.col("target_owner")
+    need_chmod = F.col("perm") != F.col("target_perm")
+    return (
+        manifest.where(need_chown | need_chmod)
+        .select(
+            "path",
+            F.concat_ws(
+                ",",
+                F.when(need_chown, F.lit("chown")),
+                F.when(need_chmod, F.lit("chmod")),
+            ).alias("ops"),
+            "target_owner",
+            "target_perm",
+        )
+    )
+
+
+def xml_records(lines: DataFrame, begin: str, end: str, col: str = "line") -> DataFrame:
+    """StreamXmlRecordReader parity (contrib/streaming
+    StreamXmlRecordReader.java:46,52-61): extract records delimited by
+    begin/end patterns from text. Implemented per-line with
+    regexp_extract_all (records spanning lines need a whole-file read —
+    `spark.read.text(wholetext)` — then the same extract)."""
+    pat = f"{begin}(.*?){end}"
+    return lines.select(
+        F.explode(F.expr(f"regexp_extract_all({col}, '{pat}', 1)")).alias("record")
+    )

@@ -123,3 +123,91 @@ def distcp_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff (tools/DistCp.java:96-134)."""
     src, dst = _manifests(spark, sf_dir)
     return pipelines.distcp_plan(src, dst, delete=True)
+
+
+@register(
+    "distch_plan",
+    oracle="""
+WITH m AS (
+  SELECT source || '/' || doc_id || '.txt' AS path,
+         'u' || (doc_id % 3) AS owner,
+         CASE WHEN doc_id % 2 = 0 THEN '644' ELSE '755' END AS perm,
+         'u0' AS target_owner,
+         '644' AS target_perm
+  FROM documents
+)
+SELECT path,
+       concat_ws(',',
+         CASE WHEN owner <> target_owner THEN 'chown' END,
+         CASE WHEN perm <> target_perm THEN 'chmod' END) AS ops,
+       target_owner, target_perm
+FROM m
+WHERE owner <> target_owner OR perm <> target_perm
+""",
+)
+def distch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistCh chmod/chown plan over a synthetic permission manifest
+    (tools/DistCh.java:56)."""
+    docs = _load(spark, sf_dir, "documents")
+    manifest = docs.select(
+        F.concat_ws(
+            "/", F.col("source"), F.concat(F.col("doc_id").cast("string"), F.lit(".txt"))
+        ).alias("path"),
+        F.concat(F.lit("u"), (F.col("doc_id") % 3).cast("string")).alias("owner"),
+        F.when(F.col("doc_id") % 2 == 0, "644").otherwise("755").alias("perm"),
+        F.lit("u0").alias("target_owner"),
+        F.lit("644").alias("target_perm"),
+    )
+    return pipelines.distch_plan(manifest)
+
+
+@register(
+    "xml_records",
+    oracle="""
+SELECT unnest(regexp_extract_all(
+         '<r>' || lang || '</r><r>' || source || '</r>', '<r>(.*?)</r>', 1)) AS record
+FROM documents
+""",
+)
+def xml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StreamXmlRecordReader: begin/end-pattern record extraction over a
+    synthesized XML column."""
+    docs = _load(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("<r>"), F.col("lang"), F.lit("</r><r>"), F.col("source"), F.lit("</r>")
+        ).alias("line")
+    )
+    return pipelines.xml_records(docs, "<r>", "</r>")
+
+
+@register(
+    "wordcount_salted",
+    oracle="""
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+""",
+)
+def wordcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe wordcount: two-stage salted aggregation (hot tokens spread
+    over 16 salt shards, then recombined). Result is identical to the
+    direct groupBy — the oracle is plain wordcount."""
+    from hadoop_1_spark.operators.skew import salted_aggregate
+    from hadoop_1_spark.operators.textops import ws_tokens
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"), F.explode(ws_tokens(F.col("text"))).alias("token")
+    )
+    out = salted_aggregate(
+        toks,
+        key="token",
+        salt_n=16,
+        salt_src=F.col("doc_id"),
+        partials=[("cnt", lambda c: F.count("*"), lambda c: F.sum(c))],
+    )
+    return out.select("token", F.col("cnt").cast("long").alias("cnt"))

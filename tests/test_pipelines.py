@@ -33,3 +33,41 @@ def test_distcp_plan_actions(spark):
     assert plan == {"a": "copy", "b": "skip", "c": "update", "d": "delete"}
     no_del = {r["path"]: r["action"] for r in pipelines.distcp_plan(src, dst, delete=False).collect()}
     assert "d" not in no_del
+
+
+@pytest.mark.parametrize("name", ["distch_plan", "xml_records", "wordcount_salted"])
+def test_pipeline_extras_match_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name)
+
+
+def test_salted_aggregate_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 3 else f"k{i}") for i in range(300)], "id long, key string"
+    )
+    direct = {(r["key"], r["cnt"]) for r in df.groupBy("key").agg(F.count("*").alias("cnt")).collect()}
+    salted = {
+        (r["key"], r["cnt"])
+        for r in salted_aggregate(
+            df, "key", 8, F.col("id"), [("cnt", lambda c: F.count("*"), lambda c: F.sum(c))]
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_har_style_compaction(spark, tmp_path):
+    """HAR archive intent (HadoopArchives.java:77): many small files ->
+    few larger ones via coalesce + rewrite."""
+    import os
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compact")
+    spark.range(0, 1000).repartition(50).write.parquet(src)
+    n_small = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    spark.read.parquet(src).coalesce(2).write.parquet(dst)
+    n_big = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_small == 50 and n_big == 2
+    assert spark.read.parquet(dst).count() == 1000
