@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "pipe_wordcount",      # external-process mapper (API-overhead shape)
     "gridmix_three_stage",     # gridmix job-1: staged keep-% pipeline
     "gridmix_reference_select",  # gridmix job-3: 0.2% select, 1 reducer
+    "corpus_clean",            # composed LLM-data pipeline (quality+lang+dedup)
+    "wordcount_salted",        # skew-safe two-stage aggregation
 ]
 
 

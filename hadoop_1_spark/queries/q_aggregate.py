@@ -161,3 +161,23 @@ def dbcount_pageview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy(F.col("event_type").alias("url")).agg(
         F.count("*").cast("bigint").alias("pageview")
     )
+
+
+@register(
+    "value_histogram_details",
+    oracle="""
+SELECT event_type AS id, CAST(user_id AS VARCHAR) AS val, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2
+""",
+)
+def value_histogram_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValueHistogram.getReportDetails parity (ValueHistogram.java:103-115):
+    the per-(id, value) frequency dump behind the report stats."""
+    events = _load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.col("event_type").alias("id"),
+            F.col("user_id").cast("string").alias("val"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )

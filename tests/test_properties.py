@@ -1,0 +1,115 @@
+"""Property-based tests (SURVEY.md §5 style 4: randomized self-validating
+round-trips, the TestMapRed.java / SortValidator.java model) using
+hypothesis. Spark evaluations are batched per example set via a single
+DataFrame to keep runtime bounded."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hadoop_1_spark.operators import fieldsel
+from hadoop_1_spark.operators.textops import ws_tokens
+
+# ---------------------------------------------------------------------------
+# FieldSelection spec parser vs a direct reference implementation
+
+
+def _reference_select(fields: list[str], field_list, all_from, sep: str) -> str:
+    """Literal transcription of FieldSelectionHelper.selectFields semantics
+    (as compiled by select_fields_expr): each enumerated field (empty when
+    out of range) + sep; then the open-range tail joined by sep + sep when
+    non-empty; finally exactly one trailing char stripped."""
+    s = "".join((fields[i] if i < len(fields) else "") + sep for i in field_list)
+    if all_from is not None:
+        tail = fields[all_from:]
+        if tail:
+            s += sep.join(tail) + sep
+    return s[:-1] if s else ""
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc123", min_size=0, max_size=4), min_size=1, max_size=8
+    ),
+    st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=5),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+)
+@settings(max_examples=30, deadline=None)
+def test_field_spec_parser_roundtrip(fields, enum_fields, all_from):
+    """parse_field_spec(spec string built from parts) == the parts."""
+    spec_items = [str(i) for i in enum_fields]
+    if all_from is not None:
+        spec_items.append(f"{all_from}-")
+    spec = ",".join(spec_items)
+    got_fields, got_all_from = fieldsel.parse_field_spec(spec)
+    assert got_fields == enum_fields
+    assert got_all_from == all_from
+
+
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="abcxyz01", min_size=0, max_size=5), min_size=1, max_size=6),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_field_selection_matches_reference(spark, lines):
+    """Spark field_selection == the reference-transcribed Python on random
+    lines, for a fixed representative spec ("1,3,0-" style)."""
+    sep = "\t"
+    field_list, all_from = fieldsel.parse_field_spec("1,0,2-")
+    raw = [sep.join(parts) for parts in lines]
+    df = spark.createDataFrame([(ln,) for ln in raw], "line string")
+    out = df.select(
+        fieldsel.select_fields_expr(
+            F.split(F.col("line"), sep), field_list, all_from, sep
+        ).alias("sel")
+    ).collect()
+    expected = [
+        _reference_select(ln.split(sep), field_list, all_from, sep) for ln in raw
+    ]
+    assert [r["sel"] for r in out] == expected
+
+
+# ---------------------------------------------------------------------------
+# Sort validator invariance (SortValidator.java model): the (records, bytes,
+# xor-of-record-hashes) statistics triple is identical before and after any
+# repartition/sort, and orderedness holds after orderBy.
+
+
+@given(st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=200))
+@settings(max_examples=10, deadline=None)
+def test_sort_preserves_stats_triple(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    shuffled = df.repartition(7)
+    sorted_df = shuffled.orderBy("v")
+
+    def stats(d):
+        row = d.select(
+            F.count("*").alias("n"),
+            F.sum(F.length(F.col("v").cast("string"))).alias("bytes"),
+            # xor aggregate of per-record hashes — order-insensitive
+            F.expr("cast(aggregate(collect_list(xxhash64(v)), 0L, (a, x) -> a ^ x) as long)").alias("x"),
+        ).collect()[0]
+        return (row["n"], row["bytes"], row["x"])
+
+    assert stats(shuffled) == stats(sorted_df)
+    out = [r["v"] for r in sorted_df.collect()]
+    assert out == sorted(values)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer totals: token counting is partition-invariant
+
+
+@given(st.lists(st.text(alphabet="ab c\t", min_size=0, max_size=30), min_size=1, max_size=50))
+@settings(max_examples=10, deadline=None)
+def test_token_count_partition_invariant(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    n1 = df.select(F.explode(ws_tokens(F.col("text")))).count()
+    n2 = df.repartition(5).select(F.explode(ws_tokens(F.col("text")))).count()
+    expected = sum(len(t.split()) for t in texts)
+    assert n1 == n2 == expected

@@ -122,3 +122,31 @@ def test_mapfile_style_point_lookup(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(key), EqualTo(key,1234)]" in plan
     rows = lookup.collect()
     assert len(rows) == 1 and rows[0]["value"].startswith(rows[0]["value"][:4])
+
+
+def test_bloom_filter_parquet_write(spark, tmp_path):
+    """BloomMapFile parity (io/BloomMapFile.java:45,73): parquet bloom
+    filters on the key column guard point lookups before touching data
+    pages. pyarrow here doesn't expose bloom metadata, so assert the
+    bloom-enabled file carries the extra filter bytes vs a plain write."""
+    plain = str(tmp_path / "plain")
+    bloom = str(tmp_path / "bloom")
+    df = spark.range(0, 5000).select(F.md5(F.col("id").cast("string")).alias("key"))
+    df.coalesce(1).write.parquet(plain)
+    (
+        df.coalesce(1)
+        .write.option("parquet.bloom.filter.enabled#key", "true")
+        .option("parquet.bloom.filter.expected.ndv#key", "5000")
+        .parquet(bloom)
+    )
+
+    def nbytes(d):
+        return sum(
+            os.path.getsize(os.path.join(d, x))
+            for x in os.listdir(d)
+            if x.endswith(".parquet")
+        )
+
+    assert nbytes(bloom) > nbytes(plain) + 2000  # filter bitset present
+    back = spark.read.parquet(bloom).where(F.col("key") == "x")
+    assert back.count() == 0
