@@ -120,3 +120,35 @@ def pi_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(PI_POINTS).cast("bigint").alias("total"),
         (F.lit(4.0) * F.count("*") / F.lit(PI_POINTS)).alias("pi_estimate"),
     )
+
+
+@register(
+    "pentomino_search",
+    oracle="SELECT CAST(92 AS BIGINT) AS solutions",
+)
+def pentomino_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistributedPentomino pattern (examples/dancing/DistributedPentomino.java:44):
+    partition a search space by prefix, solve each prefix independently,
+    sum. Here: 8-queens split by first-row column (8 prefixes fan out
+    across executors); the solution count 92 is the verifiable invariant."""
+    from pyspark.sql import functions as F
+
+    def solutions_for_first_col(c0: int) -> int:
+        def ok(cols, c):
+            r = len(cols)
+            return all(c != cc and abs(c - cc) != r - rr for rr, cc in enumerate(cols))
+
+        def solve(cols):
+            if len(cols) == 8:
+                return 1
+            return sum(solve(cols + [c]) for c in range(8) if ok(cols, c))
+
+        return solve([c0])
+
+    counts = (
+        spark.range(0, 8, 1, 8)
+        .rdd.map(lambda r: solutions_for_first_col(r["id"]))
+        .map(lambda n: (n,))
+    )
+    df = spark.createDataFrame(counts, "n long")
+    return df.agg(F.sum("n").cast("long").alias("solutions"))

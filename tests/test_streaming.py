@@ -40,3 +40,59 @@ def test_session_windows_bounded_by_gap(spark):
     for r in rows:
         # end = last event + gap, so every session spans >= gap
         assert r["session_end_us"] - r["session_start_us"] >= gap_us
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark discipline with a real two-batch file stream: batch 2's
+    fresh events advance the watermark past window W; a too-late event for
+    W arriving in batch 3 is dropped (append mode emits W exactly once,
+    without the late row)."""
+    import os
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    chk = str(tmp_path / "chk")
+
+    def write_batch(name, rows):
+        (
+            spark.createDataFrame(rows, "ts string, k string")
+            .select(F.col("ts").cast("timestamp").alias("ts"), "k")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    t0 = "2024-01-01 00:00:"
+    write_batch("b1", [(f"{t0}10", "a"), (f"{t0}20", "a")])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .parquet(src)
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 minute"), "k")
+        .count()
+        .select(F.col("window.start").cast("string").alias("w"), "k", "count")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wm_sink")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance watermark far past the first window...
+        write_batch("b2", [("2024-01-01 00:05:00", "b")])
+        q.processAllAvailable()
+        # ...then send a LATE event for the closed first window
+        write_batch("b3", [(f"{t0}30", "a")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {(r["w"], r["k"]): r["count"] for r in spark.table("wm_sink").collect()}
+    # first window emitted once with the on-time count only (late row dropped)
+    assert rows[("2024-01-01 00:00:00", "a")] == 2
