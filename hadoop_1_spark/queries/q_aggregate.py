@@ -181,3 +181,26 @@ def value_histogram_details(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+@register("uniq_count_approx")  # rows-only: HLL sketch values are engine-specific
+def uniq_count_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-scale variant of UniqValueCount: approx_count_distinct
+    (HyperLogLog++, fixed-size sketch, no exact-distinct shuffle). No SQL
+    oracle — sketch estimates are engine-specific, so the driver applies
+    its weaker rows-only check; the exact twin is uniq_count_capped."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+@register("percentile_approx_cdf")  # rows-only: t-digest values are engine-specific
+def percentile_approx_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale variant of rumen_cdf: percentile_approx (bounded-memory
+    sketch) instead of exact percentile. Rows-only check; exact twin is
+    rumen_cdf."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.75, 0.95], 10000).alias("quantiles")
+    )

@@ -192,3 +192,38 @@ def join_tagged_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("big_lines")
     )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join (customers having orders). The reference can only
+    express this with a hand-written reducer (SURVEY §2.4 note); Spark
+    gives it as a first-class join type — listed as an extension."""
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join (customers with no large orders) — extension twin of
+    join_semi; the filtered right side keeps the result non-trivial."""
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders").where("o_totalprice > 300000")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")

@@ -150,3 +150,23 @@ def test_bloom_filter_parquet_write(spark, tmp_path):
     assert nbytes(bloom) > nbytes(plain) + 2000  # filter bitset present
     back = spark.read.parquet(bloom).where(F.col("key") == "x")
     assert back.count() == 0
+
+
+@pytest.mark.parametrize("codec", ["snappy", "gzip", "zstd"])
+def test_compression_codecs_roundtrip(spark, tmp_path, codec):
+    """Codec parity (§1.3: DefaultCodec/GzipCodec/BZip2Codec/SnappyCodec):
+    per-file compression is a write option; reads are codec-transparent."""
+    path = str(tmp_path / codec)
+    df = spark.range(0, 1000).select(F.col("id"), F.md5(F.col("id").cast("string")).alias("v"))
+    df.write.option("compression", codec).parquet(path)
+    assert spark.read.parquet(path).count() == 1000
+
+
+def test_text_gzip_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "txtgz")
+    spark.createDataFrame([("hello",), ("world",)], "value string").coalesce(1).write.option(
+        "compression", "gzip"
+    ).text(path)
+    assert any(f.endswith(".gz") for f in os.listdir(path))
+    got = sorted(r["value"] for r in spark.read.text(path).collect())
+    assert got == ["hello", "world"]
