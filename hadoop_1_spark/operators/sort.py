@@ -126,3 +126,18 @@ def sort_validate(df: DataFrame, key: Column, checksum: Column | None = None) ->
             & (F.sum(F.when(F.col("prev_max") > F.col("min_k"), 1).otherwise(0)) == 0)
         ).alias("is_sorted"),
     )
+
+
+def grouped_sorted_apply(df, key_col: str, order_col: str, fn, schema: str):
+    """Secondary-sort ITERATOR contract (SURVEY §2.6 O3 / hard-part (c)):
+    the reference reducer receives each key's values in sort order
+    (examples/SecondarySort.java:223-224). applyInPandas delivers the whole
+    group; we sort inside the batch and hand ``fn`` a key-ordered frame —
+    correct iterator semantics, bounded by the group fitting in memory
+    (use secondary_sort_partitions for streaming-style consumption when
+    groups are huge)."""
+
+    def apply(pdf):
+        return fn(pdf.sort_values(order_col, kind="mergesort"))
+
+    return df.groupBy(key_col).applyInPandas(apply, schema=schema)

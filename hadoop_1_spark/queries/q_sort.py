@@ -140,3 +140,52 @@ def terasort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sort.sort_validate(sorted_df, F.col("key"), checksum=F.col("chk")).select(
         "records", "min_key", "max_key", "checksum", "is_sorted"
     )
+
+
+@register(
+    "secondary_sort_iterator",
+    oracle="""
+WITH d AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) + 1 AS BIGINT) AS n_events,
+       CAST(max(t - prev) AS BIGINT) AS max_gap_us
+FROM d WHERE prev IS NOT NULL
+GROUP BY user_id
+""",
+)
+def secondary_sort_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user max inter-event gap via the applyInPandas sorted-iterator
+    contract: each group arrives ts-ordered, consecutive deltas computed
+    imperatively (what a reference reducer would do with its sorted values
+    iterator). Oracle = the declarative lag() twin. Users with one event
+    have no gap and are dropped (matching the reducer that never emits)."""
+    import pandas as pd
+
+    from hadoop_1_spark.operators.sort import grouped_sorted_apply
+    from hadoop_1_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("t")
+    )
+
+    def max_gap(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["user_id", "n_events", "max_gap_us"]).astype(
+                {"user_id": "int64", "n_events": "int64", "max_gap_us": "int64"}
+            )
+        gaps = pdf["t"].diff().dropna()
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "max_gap_us": [int(gaps.max())],
+            }
+        )
+
+    return grouped_sorted_apply(
+        ev, "user_id", "t", max_gap, "user_id long, n_events long, max_gap_us long"
+    )
