@@ -113,3 +113,71 @@ def test_token_count_partition_invariant(spark, texts):
     n2 = df.repartition(5).select(F.explode(ws_tokens(F.col("text")))).count()
     expected = sum(len(t.split()) for t in texts)
     assert n1 == n2 == expected
+
+
+# ---------------------------------------------------------------------------
+# Key-field sort spec compiler (O4, SURVEY hard-part e) vs a Python
+# reference implementation of the same -k semantics
+
+
+def _py_key(fields: list[str], ks, sep: str):
+    """Python twin of keyfield.key_expr + numeric/reverse handling."""
+    if ks.field_end is None:
+        sub = sep.join(fields[ks.field_start - 1 :])
+    else:
+        sub = sep.join(fields[ks.field_start - 1 : ks.field_end])
+        if ks.char_end is not None:
+            last = fields[ks.field_end - 1] if ks.field_end <= len(fields) else ""
+            keep = len(sub) - len(last) + min(ks.char_end, len(last))
+            sub = sub[:keep]
+    if ks.char_start > 1:
+        sub = sub[ks.char_start - 1 :]
+    return sub
+
+
+def _py_sortkey(line: str, specs, sep: str):
+    fields = line.split(sep)
+    key = []
+    for ks in specs:
+        s = _py_key(fields, ks, sep)
+        if ks.numeric:
+            try:
+                v = float(s)
+            except ValueError:
+                v = None  # Spark cast -> NULL; NULLs first on asc
+            key.append((v is not None, v if v is not None else 0.0, "") if not ks.reverse
+                       else (v is None, -(v if v is not None else 0.0), ""))
+        else:
+            key.append(s if not ks.reverse else _Rev(s))
+    key.append(line)  # last-resort whole-line tiebreak
+    return key
+
+
+class _Rev:
+    def __init__(self, s):
+        self.s = s
+    def __lt__(self, other):
+        return self.s > other.s
+    def __eq__(self, other):
+        return self.s == other.s
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=99), min_size=3, max_size=3),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from(["-k2,2n", "-k1,1r", "-k3,3nr -k1,1", "-k2", "-k1,2"]),
+)
+@settings(max_examples=12, deadline=None)
+def test_keyfield_sort_matches_python_reference(spark, rows, spec):
+    from hadoop_1_spark.operators import keyfield
+
+    sep = "\t"
+    lines = [sep.join(str(x) for x in r) for r in rows]
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    got = [r["line"] for r in keyfield.key_field_sort(df, spec, sep).collect()]
+    specs = keyfield.parse_sort_spec(spec)
+    expected = sorted(lines, key=lambda ln: _py_sortkey(ln, specs, sep))
+    assert got == expected
