@@ -96,3 +96,23 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").cast("long").alias("n_events"),
         F.max("max_value").alias("max_value"),
     )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_keys
+FROM events
+""",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup on event_id, folded to invariant counts
+    (events are already unique per event_id, so n_unique == n_keys ==
+    count(*) — the identity the batch oracle checks)."""
+    ev = streaming.read_events_stream(spark, sf_dir)
+    sink = streaming.run_to_table(streaming.stream_dedup(ev), spark, "append")
+    return sink.agg(
+        F.count("*").cast("long").alias("n_unique"),
+        F.count_distinct("event_id").cast("long").alias("n_keys"),
+    )

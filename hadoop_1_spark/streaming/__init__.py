@@ -156,3 +156,14 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup(events: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """Streaming exact dedup: watermarked dropDuplicates on the key. State
+    holds one entry per key inside the watermark horizon — the unbounded-
+    stream twin of dedup.exact_dedup (and the reason watermarks exist:
+    without one, dedup state grows forever)."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .dropDuplicates(key_cols or ["event_id"])
+    )

@@ -96,3 +96,51 @@ def test_watermark_drops_late_data(spark, tmp_path):
     rows = {(r["w"], r["k"]): r["count"] for r in spark.table("wm_sink").collect()}
     # first window emitted once with the on-time count only (late row dropped)
     assert rows[("2024-01-01 00:00:00", "a")] == 2
+
+
+def test_stream_dedup_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "stream_dedup")
+
+
+def test_checkpoint_recovery_resumes_stream(spark, tmp_path):
+    """Fault-tolerance parity (JobTracker RecoveryManager,
+    mapred/JobTracker.java:1226 -> streaming checkpoints): kill a query,
+    restart from the same checkpoint, and the resumed run processes ONLY
+    the new input — the file sink's commit log yields exactly-once output
+    across the failure."""
+    import os
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    chk = str(tmp_path / "chk")
+
+    def write_batch(vals):
+        spark.createDataFrame([(v,) for v in vals], "v long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def start():
+        return (
+            spark.readStream.schema("v long")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .start()
+        )
+
+    write_batch([1, 2, 3])
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # simulated failure
+
+    write_batch([4, 5])
+    q2 = start()  # recovery from checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = sorted(r["v"] for r in spark.read.parquet(out).collect())
+    # exactly-once: every record once, none reprocessed after recovery
+    assert got == [1, 2, 3, 4, 5]
