@@ -221,10 +221,38 @@ def simhash_pairs(
     ).where(F.col("hamming") <= max_hamming)
 
 
+def dot_chain(a: Column, b: Column, dims: int) -> Column:
+    """Engine-portable dot product as a FIXED-ORDER left-associated double
+    chain: a[1]*b[1] + a[2]*b[2] + ... Emitted identically in the DuckDB
+    oracle, so IEEE doubles make it bit-identical with no decimal tax
+    (~9x faster than the decimal fold on pairwise workloads). Out-of-range
+    elements coalesce to 0 (shorter vectors are zero-padded)."""
+
+    def term(i: int) -> Column:
+        # F.get (0-based) returns NULL out of range even under ANSI mode,
+        # where element_at would throw
+        return F.coalesce(F.get(a, i - 1).cast("double"), F.lit(0.0)) * F.coalesce(
+            F.get(b, i - 1).cast("double"), F.lit(0.0)
+        )
+
+    e = term(1)
+    for i in range(2, dims + 1):
+        e = e + term(i)
+    return e
+
+
+def sql_dot_chain(a: str, b: str, dims: int) -> str:
+    """The DuckDB twin of dot_chain — same order, same coalesce."""
+    return " + ".join(
+        f"COALESCE(CAST({a}[{i}] AS DOUBLE), 0.0) * COALESCE(CAST({b}[{i}] AS DOUBLE), 0.0)"
+        for i in range(1, dims + 1)
+    )
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
-    """Engine-portable cosine similarity between two float-array columns:
-    decimal-exact sums (order-independent) -> double sqrt/divide
-    (IEEE-deterministic). Matches the DuckDB oracle bit-for-bit."""
+    """Decimal-fold cosine (order-independent sums): kept as the
+    variable-length/reference variant; hot paths use dot_chain with
+    precomputed norms. Matches the decimal-sum oracle bit-for-bit."""
     def dsum(arr: Column) -> Column:
         # Spark decimal(38,18)+decimal(38,18) widens to (38,17); re-cast so
         # the fold keeps a stable type. The per-step 1e-18 rounding is
@@ -246,15 +274,32 @@ def embedding_cosine_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int = 64,
 ) -> DataFrame:
     """Embedding near-dup: all-pairs cosine >= threshold. Correctness
     baseline (O(n^2) pairs); the scale path is LSH bucketing
-    (similarity.random_hyperplane_buckets) feeding the same verify."""
-    a = emb.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
-    b = emb.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+    (similarity.lsh_ann_topk) feeding the same verify. Norms are computed
+    once per VECTOR (not per pair) — 3x less arithmetic on the O(n^2)
+    stage."""
+    a = emb.select(
+        F.col(id_col).alias("d1"),
+        F.col(vec_col).alias("v1"),
+        F.sqrt(dot_chain(F.col(vec_col), F.col(vec_col), dims)).alias("n1"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("d2"),
+        F.col(vec_col).alias("v2"),
+        F.sqrt(dot_chain(F.col(vec_col), F.col(vec_col), dims)).alias("n2"),
+    )
     return (
         a.crossJoin(b)
         .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", F.round(cosine_expr(F.col("v1"), F.col("v2")), 9).alias("cosine"))
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                dot_chain(F.col("v1"), F.col("v2"), dims) / (F.col("n1") * F.col("n2")), 9
+            ).alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
     )

@@ -31,9 +31,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hadoop_1_spark.operators.dedup import cosine_expr
+from hadoop_1_spark.operators.dedup import dot_chain
 
 DIMS = 64
+
+
+def _norm(vec: Column) -> Column:
+    return F.sqrt(dot_chain(vec, vec, DIMS))
 
 
 def hyperplane_signs(nbits: int, dims: int = DIMS, seed: int = 42) -> list[list[int]]:
@@ -74,6 +78,12 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _cosine(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
+    # fixed-order double chain / precomputed norms — bit-identical to the
+    # oracle's identical SQL chain, no decimal fold (see dedup.dot_chain)
+    return F.round(dot_chain(qv, cv, DIMS) / (qn * cn), 9)
+
+
 def _score(q: DataFrame, c: DataFrame, extra_cond=None) -> DataFrame:
     cond = q["query_id"] != c["neighbor_id"]
     if extra_cond is not None:
@@ -81,7 +91,7 @@ def _score(q: DataFrame, c: DataFrame, extra_cond=None) -> DataFrame:
     return q.join(c, cond).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr(q["qv"], c["cv"]), 9).alias("cosine"),
+        _cosine(q["qv"], c["cv"], q["qn"], c["cn"]).alias("cosine"),
     )
 
 
@@ -95,9 +105,17 @@ def cosine_topk(
     """Brute-force cosine top-k: broadcast the query set, score the full
     corpus, per-query window rank. Ties broken by neighbor_id asc."""
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
+        )
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
     return _topk(_score(q, c), k)
 
 
@@ -117,18 +135,20 @@ def lsh_ann_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
             bucket_expr(F.col(vec_col), signs).alias("qb"),
         )
     )
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
         bucket_expr(F.col(vec_col), signs).alias("cb"),
     )
     scored = q.join(c, (q["qb"] == c["cb"]) & (q["query_id"] != c["neighbor_id"])).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr(q["qv"], c["cv"]), 9).alias("cosine"),
+        _cosine(q["qv"], c["cv"], q["qn"], c["cn"]).alias("cosine"),
     )
     return _topk(scored, k)
 
@@ -148,12 +168,14 @@ def ivf_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
             F.col(cell_col).alias("qcell"),
         )
     )
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
         F.col(cell_col).alias("ccell"),
     )
     scored = q.join(
@@ -161,6 +183,6 @@ def ivf_topk(
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr(q["qv"], c["cv"]), 9).alias("cosine"),
+        _cosine(q["qv"], c["cv"], q["qn"], c["cn"]).alias("cosine"),
     )
     return _topk(scored, k)

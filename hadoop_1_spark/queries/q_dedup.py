@@ -139,22 +139,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_load(spark, sf_dir, "documents"), max_hamming=3)
 
 
-_COSINE_ORACLE = """
-WITH p AS (
-  SELECT a.vec_id AS d1, b.vec_id AS d2, a.embedding AS v1, b.embedding AS v2
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+_COSINE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({dedup.sql_dot_chain("embedding", "embedding", 64)}) AS nrm
+  FROM embeddings
 ),
-prods AS (SELECT d1, d2, unnest(v1) AS x, unnest(v2) AS y FROM p),
+p AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2, a.embedding AS v1, b.embedding AS v2,
+         a.nrm AS n1, b.nrm AS n2
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+),
 c AS (
-  SELECT d1, d2,
-    CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
-    CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na,
-    CAST(sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nb
-  FROM prods GROUP BY d1, d2
+  SELECT d1, d2, round(({dedup.sql_dot_chain("v1", "v2", 64)}) / (n1 * n2), 9) AS cosine
+  FROM p
 )
-SELECT d1, d2, round(dot / (sqrt(na) * sqrt(nb)), 9) AS cosine
-FROM c
-WHERE round(dot / (sqrt(na) * sqrt(nb)), 9) >= 0.45
+SELECT d1, d2, cosine FROM c WHERE cosine >= 0.45
 """
 
 

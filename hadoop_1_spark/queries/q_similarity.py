@@ -18,18 +18,17 @@ from hadoop_1_spark.registry import _load, register
 K = 5
 NBITS = 4
 
-# Engine-portable cosine over zipped unnests (same decimal-exact pattern as
-# q_dedup): produces round(cosine, 9).
-_COSINE_CTES = """
-prods AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(cv) AS y FROM p),
-s AS (
+from hadoop_1_spark.operators.dedup import sql_dot_chain
+
+# Engine-portable cosine: the SAME fixed-order double chain the Spark side
+# emits (dedup.dot_chain) with per-vector precomputed norms; rounds to 9.
+_NRM = f"sqrt({sql_dot_chain('embedding', 'embedding', 64)})"
+_COSINE_CTES = f"""
+sc AS (
   SELECT query_id, neighbor_id,
-    CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS dot,
-    CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS na,
-    CAST(sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) AS nb
-  FROM prods GROUP BY 1, 2
+         round(({sql_dot_chain("qv", "cv", 64)}) / (qn * cn), 9) AS cosine
+  FROM p
 ),
-sc AS (SELECT query_id, neighbor_id, round(dot / (sqrt(na) * sqrt(nb)), 9) AS cosine FROM s),
 r AS (
   SELECT query_id, neighbor_id, cosine,
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
@@ -55,9 +54,9 @@ def _bucket_sql(vec: str, signs: list[list[int]]) -> str:
 @register(
     "sim_cosine_topk",
     oracle=f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-p AS (SELECT query_id, neighbor_id, qv, cv FROM q JOIN c ON query_id <> neighbor_id),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {_NRM} AS qn FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, {_NRM} AS cn FROM embeddings),
+p AS (SELECT query_id, neighbor_id, qv, cv, qn, cn FROM q JOIN c ON query_id <> neighbor_id),
 {_COSINE_CTES}
 {_FINAL}
 """,
@@ -72,14 +71,14 @@ def _lsh_oracle() -> str:
     signs = similarity.hyperplane_signs(NBITS)
     return f"""
 WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qv, {_bucket_sql("embedding", signs)} AS qb
+  SELECT vec_id AS query_id, embedding AS qv, {_NRM} AS qn, {_bucket_sql("embedding", signs)} AS qb
   FROM embeddings WHERE vec_id < 10
 ),
 c AS (
-  SELECT vec_id AS neighbor_id, embedding AS cv, {_bucket_sql("embedding", signs)} AS cb
+  SELECT vec_id AS neighbor_id, embedding AS cv, {_NRM} AS cn, {_bucket_sql("embedding", signs)} AS cb
   FROM embeddings
 ),
-p AS (SELECT query_id, neighbor_id, qv, cv FROM q JOIN c ON qb = cb AND query_id <> neighbor_id),
+p AS (SELECT query_id, neighbor_id, qv, cv, qn, cn FROM q JOIN c ON qb = cb AND query_id <> neighbor_id),
 {_COSINE_CTES}
 {_FINAL}
 """
@@ -95,9 +94,9 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ivf_topk",
     oracle=f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qcell FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS ccell FROM embeddings),
-p AS (SELECT query_id, neighbor_id, qv, cv FROM q JOIN c ON qcell = ccell AND query_id <> neighbor_id),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {_NRM} AS qn, label AS qcell FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, {_NRM} AS cn, label AS ccell FROM embeddings),
+p AS (SELECT query_id, neighbor_id, qv, cv, qn, cn FROM q JOIN c ON qcell = ccell AND query_id <> neighbor_id),
 {_COSINE_CTES}
 {_FINAL}
 """,
