@@ -221,29 +221,26 @@ def simhash_pairs(
     ).where(F.col("hamming") <= max_hamming)
 
 
-def dot_chain(a: Column, b: Column, dims: int) -> Column:
-    """Engine-portable dot product as a FIXED-ORDER left-associated double
-    chain: a[1]*b[1] + a[2]*b[2] + ... Emitted identically in the DuckDB
-    oracle, so IEEE doubles make it bit-identical with no decimal tax
-    (~9x faster than the decimal fold on pairwise workloads). Out-of-range
-    elements coalesce to 0 (shorter vectors are zero-padded)."""
-
-    def term(i: int) -> Column:
-        # F.get (0-based) returns NULL out of range even under ANSI mode,
-        # where element_at would throw
-        return F.coalesce(F.get(a, i - 1).cast("double"), F.lit(0.0)) * F.coalesce(
-            F.get(b, i - 1).cast("double"), F.lit(0.0)
-        )
-
-    e = term(1)
-    for i in range(2, dims + 1):
-        e = e + term(i)
-    return e
+def dot_chain(a: Column, b: Column, dims: int = 64) -> Column:
+    """Engine-portable dot product: a left-fold with a DOUBLE accumulator,
+    0.0 + a[1]*b[1] + a[2]*b[2] + ... The DuckDB oracle emits the same
+    left-associated chain (sql_dot_chain), so IEEE doubles make it
+    bit-identical — with none of the decimal-fold arithmetic tax AND none
+    of the giant-expression codegen tax (an unrolled 64-term chain makes
+    whole-stage codegen emit ~1 MB methods that take seconds to compile
+    per plan; the higher-order fold stays interpreted and cheap). `dims`
+    only parameterizes the SQL twin; the fold is length-agnostic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def sql_dot_chain(a: str, b: str, dims: int) -> str:
-    """The DuckDB twin of dot_chain — same order, same coalesce."""
-    return " + ".join(
+    """The DuckDB twin of dot_chain — same fold order including the 0.0
+    seed; out-of-range terms coalesce to 0 (exact under IEEE: x+0.0==x)."""
+    return "0.0 + " + " + ".join(
         f"COALESCE(CAST({a}[{i}] AS DOUBLE), 0.0) * COALESCE(CAST({b}[{i}] AS DOUBLE), 0.0)"
         for i in range(1, dims + 1)
     )

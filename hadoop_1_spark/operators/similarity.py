@@ -53,12 +53,15 @@ def hyperplane_signs(nbits: int, dims: int = DIMS, seed: int = 42) -> list[list[
 
 
 def _signed_sum(vec: Column, signs: list[int]) -> Column:
-    """Left-associated +/- chain of vector elements (fixed fp order)."""
-    acc = F.element_at(vec, 1).cast("double") * signs[0]
-    for d in range(1, len(signs)):
-        term = F.element_at(vec, d + 1).cast("double")
-        acc = acc + term if signs[d] == 1 else acc - term
-    return acc
+    """Signed sum as a left-fold with a double accumulator (same fp order
+    as the oracle's 0.0 + ... chain; a fold, not an unrolled chain, for
+    the same codegen-size reason as dedup.dot_chain)."""
+    sign_arr = F.array(*[F.lit(float(s)) for s in signs])
+    return F.aggregate(
+        F.zip_with(vec, sign_arr, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def bucket_expr(vec: Column, signs: list[list[int]]) -> Column:

@@ -40,13 +40,13 @@ _FINAL = f"SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank FROM r 
 
 
 def _bucket_sql(vec: str, signs: list[list[int]]) -> str:
-    """SQL twin of similarity.bucket_expr: same left-associated +/- chain."""
+    """SQL twin of similarity.bucket_expr: the same 0.0-seeded
+    left-associated signed-sum fold per hyperplane."""
     parts = []
     for i, row in enumerate(signs):
-        chain = f"CAST({vec}[1] AS DOUBLE) * ({row[0]})"
-        for d in range(1, len(row)):
-            op = "+" if row[d] == 1 else "-"
-            chain += f" {op} CAST({vec}[{d + 1}] AS DOUBLE)"
+        chain = "0.0 + " + " + ".join(
+            f"CAST({vec}[{d + 1}] AS DOUBLE) * ({float(row[d])})" for d in range(len(row))
+        )
         parts.append(f"(CASE WHEN ({chain}) > 0 THEN {1 << i} ELSE 0 END)")
     return " + ".join(parts)
 
