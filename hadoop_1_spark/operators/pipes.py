@@ -133,3 +133,38 @@ def grouped_aggregate(
     ValueAggregator job shape (ValueAggregatorReducer.java:48)."""
     aggs = [UDAF_REGISTRY[f](F.col(value)).alias(f) for f in funcs]
     return df.groupBy(key).agg(*aggs)
+
+
+def subprocess_map_typedbytes(df: DataFrame, argv: list[str]) -> DataFrame:
+    """`-io typedbytes` parity: rows framed as typedbytes VECTOR records on
+    the subprocess's stdin; its stdout decoded as typedbytes records with
+    the streaming (key, value) contract (first two slots). Binary-safe —
+    no tab/newline escaping issues (the reason the reference grew
+    typedbytes in the first place)."""
+    from hadoop_1_spark.operators import typedbytes as tb
+
+    cols = [F.col(c).cast("string") for c in df.columns]
+    lines = df.select(*[c.alias(f"c{i}") for i, c in enumerate(cols)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payload = b"".join(
+                tb.encode(tuple(str(v) for v in row)) for row in pdf.itertuples(index=False)
+            )
+            out = subprocess.run(
+                argv, input=payload, stdout=subprocess.PIPE, check=True
+            ).stdout
+            recs = tb.decode_all(out)
+            yield pd.DataFrame(
+                {
+                    "key": [str(r[0]) if isinstance(r, (tuple, list)) and r else str(r) for r in recs],
+                    "value": [
+                        str(r[1]) if isinstance(r, (tuple, list)) and len(r) > 1 else ""
+                        for r in recs
+                    ],
+                }
+            )
+
+    return lines.mapInPandas(run, schema="key string, value string")

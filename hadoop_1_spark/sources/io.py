@@ -175,3 +175,19 @@ def multiple_outputs(
 def null_sink(df: DataFrame) -> None:
     """K7 NullOutputFormat: execute the plan, discard the output."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def write_sequence_file(df, path: str) -> None:
+    """K2 SequenceFileOutputFormat: byte-level compatible SequenceFile
+    write via the RDD API (first two columns become key/value Writables).
+    Parquet remains the native format; this is the compat path."""
+    cols = df.columns[:2]
+    df.select(*cols).rdd.map(tuple).saveAsSequenceFile(path)
+
+
+def read_sequence_file(spark, path: str):
+    """S4 SequenceFileInputFormat: byte-level compatible read back into a
+    (key, value) DataFrame."""
+    return spark.createDataFrame(
+        spark.sparkContext.sequenceFile(path), "key string, value string"
+    )

@@ -41,3 +41,13 @@ def test_udaf_registry_plugin():
     pipes.register_udaf("MyCount", lambda c: F.count(c))
     assert "MyCount" in pipes.UDAF_REGISTRY
     del pipes.UDAF_REGISTRY["MyCount"]
+
+
+def test_subprocess_typedbytes_identity(spark):
+    """-io typedbytes through a real process (cat): binary framing survives
+    values that would break text framing (tabs/newlines in data)."""
+    df = spark.createDataFrame(
+        [("k1", "v with\ttab"), ("k2", "v with\nnewline")], "k string, v string"
+    )
+    out = {r["key"]: r["value"] for r in pipes.subprocess_map_typedbytes(df, ["cat"]).collect()}
+    assert out == {"k1": "v with\ttab", "k2": "v with\nnewline"}

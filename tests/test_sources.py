@@ -170,3 +170,13 @@ def test_text_gzip_roundtrip(spark, tmp_path):
     assert any(f.endswith(".gz") for f in os.listdir(path))
     got = sorted(r["value"] for r in spark.read.text(path).collect())
     assert got == ["hello", "world"]
+
+
+def test_sequence_file_roundtrip(spark, tmp_path):
+    """S4/K2: byte-level SequenceFile write -> read round trip (the compat
+    path next to parquet-native)."""
+    path = str(tmp_path / "seq")
+    df = spark.createDataFrame([("k1", "v1"), ("k2", "v2")], "key string, value string")
+    io.write_sequence_file(df, path)
+    back = io.read_sequence_file(spark, path)
+    assert sorted(map(tuple, back.collect())) == [("k1", "v1"), ("k2", "v2")]
