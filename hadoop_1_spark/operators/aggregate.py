@@ -188,25 +188,40 @@ def aggregate_descriptors(
     reducer output (ValueAggregatorReducer.java:48)."""
     long_df = _long_form(df, descriptors)
 
-    def by(func: str) -> DataFrame:
-        return long_df.filter(F.col("func") == func)
+    # ONE shuffle for all scalar functions (the reference's shape: one MR
+    # job evaluates every descriptor): group on (func, id) with conditional
+    # aggregates — each group carries a single func, so exactly one of the
+    # agg columns is non-null and the CASE below picks it.
+    def when_func(name: str, col: Column) -> Column:
+        return F.when(F.col("func") == name, col)
 
-    outs: list[DataFrame] = []
     num = F.col("value").cast("long")
     dbl = F.col("value").cast("double")
-    specs = [
-        (LONG_VALUE_SUM, F.sum(num)),
-        (DOUBLE_VALUE_SUM, F.sum(dbl)),
-        (LONG_VALUE_MAX, F.max(num)),
-        (LONG_VALUE_MIN, F.min(num)),
-        (STRING_VALUE_MAX, F.max("value")),
-        (STRING_VALUE_MIN, F.min("value")),
-        (UNIQ_VALUE_COUNT, uniq_value_count(F.col("value"), uniq_cap)),
-    ]
-    for func, agg in specs:
-        outs.append(by(func).groupBy("id").agg(agg.cast("string").alias("value")))
-    outs.append(histogram_report_df(by(VALUE_HISTOGRAM).select("id", "value")))
-    out = outs[0]
-    for p in outs[1:]:
-        out = out.unionAll(p)
+    scalar = (
+        long_df.filter(F.col("func") != VALUE_HISTOGRAM)
+        .groupBy("func", "id")
+        .agg(
+            F.sum(when_func(LONG_VALUE_SUM, num)).alias("lsum"),
+            F.sum(when_func(DOUBLE_VALUE_SUM, dbl)).alias("dsum"),
+            F.max(when_func(LONG_VALUE_MAX, num)).alias("lmax"),
+            F.min(when_func(LONG_VALUE_MIN, num)).alias("lmin"),
+            F.max(when_func(STRING_VALUE_MAX, F.col("value"))).alias("smax"),
+            F.min(when_func(STRING_VALUE_MIN, F.col("value"))).alias("smin"),
+            uniq_value_count(when_func(UNIQ_VALUE_COUNT, F.col("value")), uniq_cap).alias(
+                "ucnt"
+            ),
+        )
+    )
+    picked = (
+        F.when(F.col("func") == LONG_VALUE_SUM, F.col("lsum").cast("string"))
+        .when(F.col("func") == DOUBLE_VALUE_SUM, F.col("dsum").cast("string"))
+        .when(F.col("func") == LONG_VALUE_MAX, F.col("lmax").cast("string"))
+        .when(F.col("func") == LONG_VALUE_MIN, F.col("lmin").cast("string"))
+        .when(F.col("func") == STRING_VALUE_MAX, F.col("smax"))
+        .when(F.col("func") == STRING_VALUE_MIN, F.col("smin"))
+        .when(F.col("func") == UNIQ_VALUE_COUNT, F.col("ucnt").cast("string"))
+    )
+    out = scalar.select("id", picked.alias("value"))
+    hist = long_df.filter(F.col("func") == VALUE_HISTOGRAM)
+    out = out.unionAll(histogram_report_df(hist.select("id", "value")))
     return out.select(F.col("id").alias("key"), "value")
