@@ -214,18 +214,11 @@ def simhash64(sh_tokens: DataFrame, id_col: str = "doc_id", term_col: str = "tok
     row explosion — same sums, 60x fewer shuffle rows). All JVM-side
     expressions; one partial-agg groupBy on doc. The reference analog is
     MD5Hash keys (io/MD5Hash.java:30)."""
-    # hash the DISTINCT vocabulary once and join back with occurrence
-    # counts (sum of c*(±1) == sum over occurrences): md5 work scales with
-    # |vocab|, not corpus token count — the hash-caching trick that matters
-    # when occurrences >> distinct terms.
-    tf = sh_tokens.groupBy(id_col, term_col).agg(F.count("*").alias("c"))
-    vocab = tf.select(term_col).distinct().select(
-        F.col(term_col), shingle_hash(F.col(term_col), 0).alias("h")
-    )
-    bits = tf.join(F.broadcast(vocab), term_col)
+    h = shingle_hash(F.col(term_col), 0)
+    bits = sh_tokens.select(F.col(id_col), h.alias("h"))
     sums = bits.groupBy(id_col).agg(
         *[
-            F.sum(F.expr(f"c * ((shiftright(h, {b}) & 1) * 2 - 1)")).alias(f"s{b}")
+            F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"s{b}")
             for b in range(60)
         ]
     )
