@@ -10,6 +10,7 @@ DuckDB SQL so value hashes match bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hadoop_1_spark.operators import textops
 from hadoop_1_spark.registry import _load, register
@@ -136,3 +137,33 @@ FROM bottom
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-4 minhash-sketch fingerprint over 3-token shingles."""
     return textops.fingerprint(_load(spark, sf_dir, "documents"), k=3, s=4)
+
+
+@register(
+    "text_bigrams",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT array_to_string(toks[i:i+1], ' ') AS bigram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+FROM bg GROUP BY bigram
+""",
+)
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency profile (n-gram statistics over the shingle
+    primitive with k=2, duplicates kept — the language-model counting
+    twin of the dedup shingles)."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = textops.ws_tokens(F.col("text"))
+    bg = (
+        docs.select(toks.alias("toks"), F.size(toks).alias("n"))
+        .where(F.col("n") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, n - 1), i -> concat_ws(' ', slice(toks, i, 2)))")
+            ).alias("bigram")
+        )
+    )
+    return bg.groupBy("bigram").agg(F.count("*").cast("long").alias("cnt"))
