@@ -96,7 +96,10 @@ def subprocess_map_batches(
 # aggregate library's function names; plugins register alongside them.
 UDAF_REGISTRY: dict[str, Callable[[Column], Column]] = {
     "LongValueSum": lambda c: F.sum(c.cast("long")),
-    "DoubleValueSum": lambda c: F.sum(c.cast("decimal(18,4)")).cast("double"),
+    # Double-precision accumulation, matching the reference's DoubleValueSum
+    # (aggregate/DoubleValueSum.java:29) and operators/aggregate.py; queries
+    # needing bit-stable cross-engine sums cast to decimal themselves.
+    "DoubleValueSum": lambda c: F.sum(c.cast("double")),
     "LongValueMax": lambda c: F.max(c.cast("long")),
     "LongValueMin": lambda c: F.min(c.cast("long")),
     "StringValueMax": lambda c: F.max(c.cast("string")),

@@ -155,7 +155,9 @@ def xml_records(lines: DataFrame, begin: str, end: str, col: str = "line") -> Da
     begin/end patterns from text. Implemented per-line with
     regexp_extract_all (records spanning lines need a whole-file read —
     `spark.read.text(wholetext)` — then the same extract)."""
-    pat = f"{begin}(.*?){end}"
+    # Bind the pattern as a literal column — never interpolated into SQL
+    # text, so quotes/backslashes in the begin/end patterns are safe.
+    pat = F.lit(f"{begin}(.*?){end}")
     return lines.select(
-        F.explode(F.expr(f"regexp_extract_all({col}, '{pat}', 1)")).alias("record")
+        F.explode(F.regexp_extract_all(F.col(col), pat, F.lit(1))).alias("record")
     )

@@ -195,12 +195,17 @@ def uniq_count_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("percentile_approx_cdf")  # rows-only: t-digest values are engine-specific
+@register("percentile_approx_cdf")  # rows-only: sketch values are engine-specific
 def percentile_approx_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale variant of rumen_cdf: percentile_approx (bounded-memory
     sketch) instead of exact percentile. Rows-only check; exact twin is
-    rumen_cdf."""
+    rumen_cdf. Scalar columns (not one array column) so the driver's
+    row canonicalization can sort/hash the result."""
     ev = _load(spark, sf_dir, "events")
+    q = F.percentile_approx("value", [0.25, 0.5, 0.75, 0.95], 10000)
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.25, 0.5, 0.75, 0.95], 10000).alias("quantiles")
+        F.element_at(q, 1).alias("p25"),
+        F.element_at(q, 2).alias("p50"),
+        F.element_at(q, 3).alias("p75"),
+        F.element_at(q, 4).alias("p95"),
     )

@@ -56,13 +56,14 @@ def read_kv_text(
     semantics (findSeparator / whole-line key)."""
     lines = spark.read.text(path)
     pos = F.instr(F.col("value"), separator)
+    # Column APIs only — the separator is always a bound literal, never
+    # interpolated into SQL text (quotes/backslashes in it are safe).
+    rest = F.col("value").substr(pos + len(separator), F.length("value"))
     return lines.select(
         F.when(pos > 0, F.substring_index(F.col("value"), separator, 1))
         .otherwise(F.col("value"))
         .alias("key"),
-        F.when(pos > 0, F.expr(f"substring(value, instr(value, '{separator}') + {len(separator)})"))
-        .otherwise(F.lit(""))
-        .alias("value"),
+        F.when(pos > 0, rest).otherwise(F.lit("")).alias("value"),
     )
 
 
@@ -114,21 +115,56 @@ def read_jdbc(
     return reader.load()
 
 
-def read_auto(spark: SparkSession, path: str) -> DataFrame:
-    """S13 AutoInputFormat: sniff the container per file. Parquet magic
-    ('PAR1') / SequenceFile magic ('SEQ') / else text. The reference sniffs
-    SequenceFile-vs-text the same way (first bytes)."""
-    magic = b""
+def _sniff_magic_local(path: str) -> bytes:
     if os.path.isfile(path):
         with open(path, "rb") as fh:
-            magic = fh.read(4)
-    elif os.path.isdir(path):
+            return fh.read(4)
+    if os.path.isdir(path):
         for name in sorted(os.listdir(path)):
             p = os.path.join(path, name)
             if os.path.isfile(p) and not name.startswith(("_", ".")):
                 with open(p, "rb") as fh:
-                    magic = fh.read(4)
+                    return fh.read(4)
+    return b""
+
+
+def _sniff_magic_hadoop(spark: SparkSession, path: str) -> bytes:
+    """Head bytes of (the first non-hidden file under) ``path`` read through
+    the Hadoop FileSystem API — works for any URI Spark can read (hdfs://,
+    s3a://, file://), not just the local filesystem."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    status = fs.getFileStatus(hpath)
+    if status.isDirectory():
+        target = None
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                target = st.getPath()
                 break
+        if target is None:
+            return b""
+        hpath = target
+    stream = fs.open(hpath)
+    try:
+        head = [stream.read() for _ in range(4)]
+    finally:
+        stream.close()
+    return bytes(b for b in head if b >= 0)
+
+
+def read_auto(spark: SparkSession, path: str) -> DataFrame:
+    """S13 AutoInputFormat: sniff the container per file. Parquet magic
+    ('PAR1') / SequenceFile magic ('SEQ') / else text. The reference sniffs
+    SequenceFile-vs-text the same way (first bytes). Local paths are
+    sniffed with plain file I/O; URI paths go through the Hadoop
+    FileSystem API so a SequenceFile on hdfs://s3a:// is still detected."""
+    local = path.split("://", 1)[0] if "://" in path else None
+    if local is None or local == "file":
+        magic = _sniff_magic_local(path.removeprefix("file://"))
+    else:
+        magic = _sniff_magic_hadoop(spark, path)
     if magic == b"PAR1" or path.endswith(".parquet"):
         return spark.read.parquet(path)
     if magic[:3] == b"SEQ":

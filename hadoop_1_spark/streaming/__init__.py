@@ -159,11 +159,12 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
 
 
 def stream_dedup(events: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
-    """Streaming exact dedup: watermarked dropDuplicates on the key. State
-    holds one entry per key inside the watermark horizon — the unbounded-
-    stream twin of dedup.exact_dedup (and the reason watermarks exist:
-    without one, dedup state grows forever)."""
+    """Streaming exact dedup: watermarked dropDuplicatesWithinWatermark on
+    the key. Unlike plain dropDuplicates (whose state is only evicted when
+    an event-time column is part of the dedup key), WithinWatermark evicts
+    every key older than the watermark horizon — state is bounded by the
+    horizon, the unbounded-stream twin of dedup.exact_dedup."""
     return (
         events.withWatermark("ts", "30 minutes")
-        .dropDuplicates(key_cols or ["event_id"])
+        .dropDuplicatesWithinWatermark(key_cols or ["event_id"])
     )
