@@ -120,24 +120,51 @@ def minhash_lsh_pairs(
     tunes the S-curve: 8 bands x 2 rows catches j>=0.8 w.p. ~1-(1-0.64)^8."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sh = textops.shingles(df, k=k, text_col=text_col, id_col=id_col)
+    # Pre-partition the corpus by doc id: the per-doc aggregation below
+    # needs this exact partitioning anyway (Catalyst reuses it — ONE
+    # exchange total), and moving the exchange before the shingle/md5 work
+    # spreads the hashing across the cluster even when the input arrives as
+    # a handful of coarse splits (same intent as FileInputFormat's
+    # goalSize-based split sizing, mapred/FileInputFormat.java:261).
+    # Explicit partition count: without it AQE's coalescer sizes the
+    # exchange by pre-explosion BYTES and would collapse a small corpus of
+    # long documents to one task — the hash work is per-shingle, not
+    # per-byte.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(par, F.col(id_col))
+    # Duplicate shingles don't change min() or collect_set(), so skip the
+    # per-(id, shingle) distinct shuffle entirely (shingles distinct=False).
+    sh = textops.shingles(df, k=k, text_col=text_col, id_col=id_col, distinct=False)
     # ONE aggregation produces both the minhash signature and the full
     # shingle-hash set per doc — the corpus is exploded exactly once, and
     # the candidate verify below runs on compact per-doc arrays instead of
     # re-joining the shingle relation (which would re-scan the corpus).
-    # Hashes are fixed-width hex strings (min == numeric min, no conv
-    # cost); each md5 digest yields two independent 60-bit hashes.
-    perms = textops.minhash_permutations(F.col("shingle"), num_hashes)
-    per_doc = sh.groupBy(id_col).agg(
+    # One md5 per shingle: the 60-bit digest prefix is both the hs-set
+    # member (hex) and the base of the affine permutation family (long).
+    hx = textops.hex_hash(F.col("shingle"), 0)
+    base = F.conv(hx, 16, 10).cast("long") % F.lit(textops.MINHASH_P)
+    hashed = sh.select(F.col(id_col), hx.alias("hx"), base.alias("hm"))
+    perms = textops.minhash_affine(F.col("hm"), num_hashes)
+    per_doc = hashed.groupBy(id_col).agg(
         *[F.min(p).alias(f"h{i}") for i, p in enumerate(perms)],
-        F.collect_set(textops.hex_hash(F.col("shingle"), 0)).alias("hs"),
+        F.collect_set("hx").alias("hs"),
     )
+    # The signature table is referenced by BOTH sides of the band self-join
+    # and both probes of the verify join. Without materialization each
+    # reference re-runs the whole shingle+md5 pipeline (exchange reuse is
+    # at the planner's discretion and AQE's broadcast choices defeat it
+    # unpredictably) — persist it once, spill-safe. Size is per-doc
+    # signatures + hash sets (a few % of corpus bytes), the standard
+    # trade in web-scale minhash dedup.
+    from pyspark.storagelevel import StorageLevel
+
+    per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
     band_cols = [
         F.md5(
             F.concat_ws(
                 ",",
                 F.lit(str(b)),
-                *[F.col(f"h{b * rows + r}") for r in range(rows)],
+                *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
             )
         ).alias(f"band{b}")
         for b in range(bands)
@@ -159,12 +186,13 @@ def minhash_lsh_pairs(
     pairs = (
         cand.join(sets_.select(F.col(id_col).alias("d1"), F.col("hs").alias("hs1")), "d1")
         .join(sets_.select(F.col(id_col).alias("d2"), F.col("hs").alias("hs2")), "d2")
+        .withColumn("i", F.size(F.array_intersect("hs1", "hs2")))
         .select(
             "d1",
             "d2",
             (
-                F.size(F.array_intersect("hs1", "hs2")).cast("double")
-                / (F.size("hs1") + F.size("hs2") - F.size(F.array_intersect("hs1", "hs2")))
+                F.col("i").cast("double")
+                / (F.size("hs1") + F.size("hs2") - F.col("i"))
             ).alias("jaccard"),
         )
     )

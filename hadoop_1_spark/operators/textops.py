@@ -147,21 +147,31 @@ def lang_id(
     )
 
 
-def shingles(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct k-token shingles per document: (id, shingle). The primitive
-    under minhash / Jaccard / fingerprinting. Narrow until the consumer
-    shuffles."""
+def shingles(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
+) -> DataFrame:
+    """k-token shingles per document: (id, shingle). The primitive under
+    minhash / Jaccard / fingerprinting. Narrow until the consumer shuffles.
+
+    distinct=True (default) dedups per (id, shingle) — required where rows
+    are COUNTED (Jaccard set sizes). Consumers whose aggregates are
+    idempotent under duplicates (min for minhash, collect_set) pass
+    distinct=False and skip that whole extra shuffle."""
     toks = ws_tokens(F.col(text_col))
     n = F.size(toks)
-    return (
+    out = (
         df.select(F.col(id_col), toks.alias("toks"), n.alias("n"))
         .where(F.col("n") >= k)
         .select(
             F.col(id_col),
             F.explode(F.expr(f"transform(sequence(1, n - {k} + 1), i -> concat_ws(' ', slice(toks, i, {k})))")).alias("shingle"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def shingle_hash(col: Column, seed: int) -> Column:
@@ -182,22 +192,50 @@ def hex_hash(col: Column, seed: int, offset: int = 1) -> Column:
     return F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), offset, 15)
 
 
-def minhash_permutations(col: Column, num_hashes: int) -> list[Column]:
-    """num_hashes independent 60-bit hex hashes from ceil(n/2) md5 calls
-    (two 15-hex-char slices per 128-bit digest)."""
+# Affine minhash permutations h_i(x) = (a_i*x + b_i) mod P over a single
+# md5-derived base hash — ONE md5 per shingle row instead of ceil(n/2);
+# the permutation family is pure 64-bit integer arithmetic (overflow-free:
+# (P-1)^2 + P < 2^63) that the DuckDB oracle replays with the same literal
+# coefficients. P = 2^31 - 1 (Mersenne prime).
+MINHASH_P = 2147483647
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the affine permutation family,
+    derived from md5 of the index at plan-build time (no RNG state)."""
+    import hashlib
+
+    def h32(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16)
+
     return [
-        hex_hash(col, i // 2, offset=1 if i % 2 == 0 else 16)
+        (h32(f"a{i}") % (MINHASH_P - 1) + 1, h32(f"b{i}") % MINHASH_P)
         for i in range(num_hashes)
+    ]
+
+
+def minhash_base(col: Column) -> Column:
+    """Base hash for the permutation family: first 60 bits of md5 (same
+    digest hex_hash(col, 0) slices, so consumers computing both pay for one
+    md5), reduced mod P."""
+    return F.conv(hex_hash(col, 0), 16, 10).cast("long") % F.lit(MINHASH_P)
+
+
+def minhash_affine(base: Column, num_hashes: int) -> list[Column]:
+    """num_hashes permuted hashes of a base-hash column, as long Columns."""
+    return [
+        (F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_P)
+        for a, b in minhash_coeffs(num_hashes)
     ]
 
 
 def minhash_signature(
     sh: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
-    """MinHash signature: per doc, min of seeded hash per permutation →
-    (id, sig array<string>). One groupBy shuffle on doc_id; signatures are
-    num_hashes fixed-width hex strings regardless of doc size."""
-    perms = minhash_permutations(F.col("shingle"), num_hashes)
+    """MinHash signature: per doc, min of permuted hash per permutation →
+    (id, sig array<long>). One groupBy shuffle on doc_id; signatures are
+    num_hashes longs regardless of doc size."""
+    perms = minhash_affine(minhash_base(F.col("shingle")), num_hashes)
     aggs = [F.min(p).alias(f"h{i}") for i, p in enumerate(perms)]
     return (
         sh.groupBy(id_col)

@@ -62,25 +62,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 8) -> str:
     rows = num_hashes // bands
-    # hex-string permutations: two independent 15-hex-char slices per md5
-    # digest (matches textops.minhash_permutations)
+    # affine permutations over one md5-derived base hash (matches
+    # textops.minhash_affine — same literal coefficients and modulus)
+    from hadoop_1_spark.operators.textops import MINHASH_P, minhash_coeffs
+
     mins = ",\n    ".join(
-        f"min(substr(md5('{i // 2}:' || shingle), {1 if i % 2 == 0 else 16}, 15)) AS h{i}"
-        for i in range(num_hashes)
+        f"min(({a} * hm + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     )
     band_keys = ", ".join(
         "md5('{b}' || ',' || {parts})".format(
             b=b,
-            parts=" || ',' || ".join(f"h{b * rows + r}" for r in range(rows)),
+            parts=" || ',' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows)),
         )
         for b in range(bands)
     )
     return f"""
 WITH {_SHINGLE_CTES},
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT % {MINHASH_P} AS hm
+  FROM sh
+),
 mins AS (
   SELECT doc_id,
     {mins}
-  FROM sh GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ),
 banded AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM mins),
 cand AS (
