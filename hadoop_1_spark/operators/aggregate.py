@@ -70,20 +70,22 @@ def uniq_value_count(col: Column, cap: int | None = None) -> Column:
 
 
 def _long_form(df: DataFrame, descriptors: list[Descriptor]) -> DataFrame:
-    """Union of (func, id, value) rows, one select per descriptor. Catalyst
-    prunes each branch to the columns it uses."""
-    parts = [
-        df.select(
-            F.lit(d.func).alias("func"),
-            d.id.cast("string").alias("id"),
-            d.value.cast("string").alias("value"),
-        )
-        for d in descriptors
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    """(func, id, value) rows from ONE scan: every record explodes into one
+    entry per descriptor — exactly the reference mapper's shape
+    (ValueAggregatorMapper.map emits each descriptor's generateKeyValPairs
+    per input record). A per-descriptor union would rescan the input
+    len(descriptors) times."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(d.func).alias("func"),
+                d.id.cast("string").alias("id"),
+                d.value.cast("string").alias("value"),
+            )
+            for d in descriptors
+        ]
+    )
+    return df.select(F.explode(entries).alias("e")).select("e.func", "e.id", "e.value")
 
 
 def _histogram_freqs(hist: DataFrame) -> DataFrame:
@@ -222,6 +224,9 @@ def aggregate_descriptors(
         .when(F.col("func") == UNIQ_VALUE_COUNT, F.col("ucnt").cast("string"))
     )
     out = scalar.select("id", picked.alias("value"))
-    hist = long_df.filter(F.col("func") == VALUE_HISTOGRAM)
-    out = out.unionAll(histogram_report_df(hist.select("id", "value")))
+    # Plan-time pruning: only attach the histogram pipeline (two extra
+    # aggregations) when a ValueHistogram descriptor is actually present.
+    if any(d.func == VALUE_HISTOGRAM for d in descriptors):
+        hist = long_df.filter(F.col("func") == VALUE_HISTOGRAM)
+        out = out.unionAll(histogram_report_df(hist.select("id", "value")))
     return out.select(F.col("id").alias("key"), "value")

@@ -212,6 +212,11 @@ def simhash_pairs(
         F.col(id_col), F.explode(textops.ws_tokens(F.col(text_col))).alias("token")
     )
     sh = textops.simhash64(toks, id_col=id_col)
+    # Both sides of the band self-join read the fingerprint table; persist
+    # so the 60-bit-plane aggregation runs once (tiny: one long per doc).
+    from pyspark.storagelevel import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     band_exprs = [
         F.expr(
             f"shiftright(simhash, {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"

@@ -271,11 +271,16 @@ def fingerprint(df: DataFrame, k: int = 3, s: int = 4, text_col: str = "text", i
     """Document fingerprint: bottom-s sketch of the k-shingle hash set,
     folded to one md5 hex string. Two docs share a fingerprint iff their
     bottom-s shingle hashes agree — a compact near-dup key."""
-    sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
+    # Pre-partition by doc id (exchange reused by the groupBy — see
+    # dedup.minhash_lsh_pairs) and dedup via collect_set instead of a
+    # distinct-shingles shuffle: the bottom-s sketch is over the hash SET.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(par, F.col(id_col))
+    sh = shingles(df, k=k, text_col=text_col, id_col=id_col, distinct=False)
     bottom = (
         sh.select(F.col(id_col), hex_hash(F.col("shingle"), 0).alias("h"))
         .groupBy(id_col)
-        .agg(F.slice(F.sort_array(F.collect_list("h")), 1, s).alias("bottom"))
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, s).alias("bottom"))
     )
     return bottom.select(
         F.col(id_col),
