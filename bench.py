@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "text_fingerprint",    # shingle → hash → bottom-s sketch
     "dedup_minhash_lsh",   # signature → band join → verify
     "dedup_simhash",       # 60-bit simhash band join
+    "dedup_embedding_lsh", # hyperplane-banded embedding near-dup (scale path)
     "sim_lsh_topk",        # hyperplane-bucketed ANN
     "index_build",         # inverted index (explode + 2-level agg)
     "mm_features",         # Arrow mapInPandas over binary blobs

@@ -299,6 +299,76 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (F.sqrt(na) * F.sqrt(nb))
 
 
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    bands: int = 4,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Embedding near-dup via banded random-hyperplane LSH: the 100 TB
+    path for embedding_cosine_pairs. Each vector gets `bands` bucket ids
+    (each from `bits` sign-bits of fixed Rademacher hyperplanes); vectors
+    sharing ANY band bucket become candidates; candidates are verified
+    with the exact fixed-order cosine.
+
+    Candidate probability for a pair at angle θ is 1-(1-p^bits)^bands with
+    p = 1-θ/π — the OR-of-ANDs S-curve; work scales with bucket collisions
+    (the only large shuffle carries (bucket, id)), never O(n²).
+    """
+    from hadoop_1_spark.operators import similarity
+    from pyspark.storagelevel import StorageLevel
+
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(dot_chain(F.col(vec_col), F.col(vec_col), dims)).alias("nrm"),
+        *[
+            similarity.bucket_expr(
+                F.col(vec_col), similarity.hyperplane_signs(bits, seed=100 + b)
+            ).alias(f"b{b}")
+            for b in range(bands)
+        ],
+    )
+    # base feeds both self-join sides and both verify probes: materialize
+    # the hyperplane work once (same rationale as the minhash signature).
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(str(b)), F.col(f"b{b}").cast("string"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "bucket")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("d1"), F.col("y.id").alias("d2"))
+        .distinct()
+    )
+    v1 = base.select(F.col("id").alias("d1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"))
+    v2 = base.select(F.col("id").alias("d2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"))
+    return (
+        cand.join(v1, "d1")
+        .join(v2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                dot_chain(F.col("v1"), F.col("v2"), dims) / (F.col("n1") * F.col("n2")), 9
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.45,

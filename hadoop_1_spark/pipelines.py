@@ -161,3 +161,38 @@ def xml_records(lines: DataFrame, begin: str, end: str, col: str = "line") -> Da
     return lines.select(
         F.explode(F.regexp_extract_all(F.col(col), pat, F.lit(1))).alias("record")
     )
+
+
+class VaidyaRule:
+    """One declarative diagnostic rule: a boolean test over counter columns
+    plus an impact expression in [0,1] — the DataFrame form of Vaidya's
+    DiagnosticTest (contrib/vaidya/.../PostExPerformanceDiagnoser.java:43,
+    rules declared in XML with evaluate()/getImpactLevel())."""
+
+    def __init__(self, name: str, test, impact):
+        self.name = name
+        self.test = test
+        self.impact = impact
+
+
+def vaidya_diagnose(counters: DataFrame, rules: list[VaidyaRule], *id_cols: str) -> DataFrame:
+    """Rule-based post-mortem diagnosis: evaluate every rule against every
+    job's counter row, emit (job, rule, impact) for the rules that fire.
+
+    One narrow pass (explode of a constant-width rule array) — no shuffle;
+    at 100 TB of job histories this is a scan-shaped analytics query."""
+    reports = F.array(
+        *[
+            F.struct(
+                F.lit(r.name).alias("rule"),
+                r.test.alias("fired"),
+                F.round(r.impact, 6).alias("impact"),
+            )
+            for r in rules
+        ]
+    )
+    return (
+        counters.select(*id_cols, F.explode(reports).alias("r"))
+        .where(F.col("r.fired"))
+        .select(*id_cols, F.col("r.rule").alias("rule"), F.col("r.impact").alias("impact"))
+    )

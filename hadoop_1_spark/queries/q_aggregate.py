@@ -183,6 +183,52 @@ def value_histogram_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP — a Catalyst-free extension the
+    reference cannot express in one job (SURVEY §2.5 'not present':
+    grouping sets/cube/rollup need one MR pass per level there; Spark
+    evaluates all levels in a single Expand + one shuffle)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT c_mktsegment, c_nationkey,
+  CAST(GROUPING(c_mktsegment, c_nationkey) AS INT) AS gid,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY CUBE(c_mktsegment, c_nationkey)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-subsets aggregation via CUBE (extension, same Expand-based
+    single-shuffle evaluation)."""
+    cust = _load(spark, sf_dir, "customer")
+    return cust.cube("c_mktsegment", "c_nationkey").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("total_bal"),
+    )
+
+
 @register("uniq_count_approx")  # rows-only: HLL sketch values are engine-specific
 def uniq_count_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB-scale variant of UniqValueCount: approx_count_distinct

@@ -169,3 +169,44 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at threshold 0.45 (decimal-exact
     sums -> deterministic doubles; see dedup.cosine_expr)."""
     return dedup.embedding_cosine_pairs(_load(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+def _embedding_lsh_oracle(bands: int = 4, bits: int = 4) -> str:
+    from hadoop_1_spark.operators import similarity
+    from hadoop_1_spark.queries.q_similarity import _bucket_sql
+
+    bucket_cols = ",\n       ".join(
+        f"{_bucket_sql('embedding', similarity.hyperplane_signs(bits, seed=100 + b))} AS b{b}"
+        for b in range(bands)
+    )
+    band_list = ", ".join(f"'{b}' || ':' || b{b}::VARCHAR" for b in range(bands))
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+       sqrt({dedup.sql_dot_chain("embedding", "embedding", 64)}) AS nrm,
+       {bucket_cols}
+  FROM embeddings
+),
+banded AS (SELECT vec_id, unnest([{band_list}]) AS bucket FROM e),
+cand AS (
+  SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+  FROM banded x JOIN banded y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+c AS (
+  SELECT d1, d2,
+         round(({dedup.sql_dot_chain("e1.embedding", "e2.embedding", 64)}) / (e1.nrm * e2.nrm), 9) AS cosine
+  FROM cand JOIN e e1 ON d1 = e1.vec_id JOIN e e2 ON d2 = e2.vec_id
+)
+SELECT d1, d2, cosine FROM c WHERE cosine >= 0.45
+"""
+
+
+@register("dedup_embedding_lsh", oracle=_embedding_lsh_oracle())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: banded hyperplane-LSH candidates
+    (4 bands x 4 bits, OR-of-ANDs) verified with the exact fixed-order
+    cosine at 0.45. The oracle replicates bucket assignment AND verify, so
+    the candidate set itself is checked."""
+    return dedup.embedding_lsh_pairs(
+        _load(spark, sf_dir, "embeddings"), threshold=0.45, bands=4, bits=4
+    )

@@ -211,3 +211,48 @@ def wordcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         partials=[("cnt", lambda c: F.count("*"), lambda c: F.sum(c))],
     )
     return out.select("token", F.col("cnt").cast("long").alias("cnt"))
+
+
+@register(
+    "vaidya_diagnosis",
+    oracle="""
+WITH counters AS (
+  SELECT user_id,
+         count(*) AS n,
+         count(*) FILTER (WHERE event_type = 'error') AS n_error,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+         max(value) AS max_value
+  FROM events GROUP BY user_id
+)
+SELECT user_id, 'HighErrorRatio' AS rule,
+       round(n_error * 1.0 / n, 6) AS impact
+FROM counters WHERE n_error * 1.0 / n > 0.25
+UNION ALL
+SELECT user_id, 'ValueSkew' AS rule,
+       round(least(1.0, max_value / (4.0 * (total_value / n))), 6) AS impact
+FROM counters WHERE max_value > 4.0 * (total_value / n)
+""",
+)
+def vaidya_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vaidya-style rule-based post-mortem (contrib/vaidya
+    PostExPerformanceDiagnoser.java:43): per 'job' (user_id) counters ->
+    declarative rules -> fired diagnoses with impact levels. Counters come
+    from one grouped pass; rule evaluation is a narrow explode."""
+    ev = _load(spark, sf_dir, "events")
+    counters = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        F.max("value").alias("max_value"),
+    )
+    err_ratio = F.col("n_error") * 1.0 / F.col("n")
+    avg_value = F.col("total_value") / F.col("n")
+    rules = [
+        pipelines.VaidyaRule("HighErrorRatio", err_ratio > 0.25, err_ratio),
+        pipelines.VaidyaRule(
+            "ValueSkew",
+            F.col("max_value") > 4.0 * avg_value,
+            F.least(F.lit(1.0), F.col("max_value") / (4.0 * avg_value)),
+        ),
+    ]
+    return pipelines.vaidya_diagnose(counters, rules, "user_id")

@@ -16,10 +16,22 @@ from tests.conftest import assert_query_matches_oracle
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_embedding_cosine",
+        "dedup_embedding_lsh",
     ],
 )
 def test_dedup_queries_match_oracle(spark, duck, name):
     assert_query_matches_oracle(spark, duck, name)
+
+
+def test_embedding_lsh_subset_of_brute_force(spark):
+    """LSH candidates verified at the same threshold are a subset of the
+    brute-force pairs (prefilter can only lose pairs, never invent them)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {
+        (r["d1"], r["d2"]) for r in dedup.embedding_cosine_pairs(emb, 0.45).collect()
+    }
+    lsh = {(r["d1"], r["d2"]) for r in dedup.embedding_lsh_pairs(emb, 0.45).collect()}
+    assert lsh <= brute
 
 
 def test_exact_dedup_groups(spark):
