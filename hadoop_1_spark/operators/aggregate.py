@@ -189,44 +189,57 @@ def aggregate_descriptors(
     aggregation id, value = the function's report string — the reference's
     reducer output (ValueAggregatorReducer.java:48)."""
     long_df = _long_form(df, descriptors)
+    funcs = {d.func for d in descriptors}
+    branches: list[DataFrame] = []
 
-    # ONE shuffle for all scalar functions (the reference's shape: one MR
-    # job evaluates every descriptor): group on (func, id) with conditional
-    # aggregates — each group carries a single func, so exactly one of the
-    # agg columns is non-null and the CASE below picks it.
+    # ONE shuffle for all plain scalar functions (the reference's shape: one
+    # MR job evaluates every descriptor): group on (func, id) with
+    # conditional aggregates — each group carries a single func, so exactly
+    # one of the agg columns is non-null and the CASE below picks it.
+    # UniqValueCount is evaluated in its OWN branch: mixing a distinct
+    # aggregate into this one would force Catalyst's Expand over the whole
+    # long form (rows x2) just to serve the one distinct column.
     def when_func(name: str, col: Column) -> Column:
         return F.when(F.col("func") == name, col)
 
-    num = F.col("value").cast("long")
-    dbl = F.col("value").cast("double")
-    scalar = (
-        long_df.filter(F.col("func") != VALUE_HISTOGRAM)
-        .groupBy("func", "id")
-        .agg(
-            F.sum(when_func(LONG_VALUE_SUM, num)).alias("lsum"),
-            F.sum(when_func(DOUBLE_VALUE_SUM, dbl)).alias("dsum"),
-            F.max(when_func(LONG_VALUE_MAX, num)).alias("lmax"),
-            F.min(when_func(LONG_VALUE_MIN, num)).alias("lmin"),
-            F.max(when_func(STRING_VALUE_MAX, F.col("value"))).alias("smax"),
-            F.min(when_func(STRING_VALUE_MIN, F.col("value"))).alias("smin"),
-            uniq_value_count(when_func(UNIQ_VALUE_COUNT, F.col("value")), uniq_cap).alias(
-                "ucnt"
-            ),
+    scalar_funcs = funcs - {VALUE_HISTOGRAM, UNIQ_VALUE_COUNT}
+    if scalar_funcs:
+        num = F.col("value").cast("long")
+        dbl = F.col("value").cast("double")
+        scalar = (
+            long_df.filter(F.col("func").isin(*scalar_funcs))
+            .groupBy("func", "id")
+            .agg(
+                F.sum(when_func(LONG_VALUE_SUM, num)).alias("lsum"),
+                F.sum(when_func(DOUBLE_VALUE_SUM, dbl)).alias("dsum"),
+                F.max(when_func(LONG_VALUE_MAX, num)).alias("lmax"),
+                F.min(when_func(LONG_VALUE_MIN, num)).alias("lmin"),
+                F.max(when_func(STRING_VALUE_MAX, F.col("value"))).alias("smax"),
+                F.min(when_func(STRING_VALUE_MIN, F.col("value"))).alias("smin"),
+            )
         )
-    )
-    picked = (
-        F.when(F.col("func") == LONG_VALUE_SUM, F.col("lsum").cast("string"))
-        .when(F.col("func") == DOUBLE_VALUE_SUM, F.col("dsum").cast("string"))
-        .when(F.col("func") == LONG_VALUE_MAX, F.col("lmax").cast("string"))
-        .when(F.col("func") == LONG_VALUE_MIN, F.col("lmin").cast("string"))
-        .when(F.col("func") == STRING_VALUE_MAX, F.col("smax"))
-        .when(F.col("func") == STRING_VALUE_MIN, F.col("smin"))
-        .when(F.col("func") == UNIQ_VALUE_COUNT, F.col("ucnt").cast("string"))
-    )
-    out = scalar.select("id", picked.alias("value"))
+        picked = (
+            F.when(F.col("func") == LONG_VALUE_SUM, F.col("lsum").cast("string"))
+            .when(F.col("func") == DOUBLE_VALUE_SUM, F.col("dsum").cast("string"))
+            .when(F.col("func") == LONG_VALUE_MAX, F.col("lmax").cast("string"))
+            .when(F.col("func") == LONG_VALUE_MIN, F.col("lmin").cast("string"))
+            .when(F.col("func") == STRING_VALUE_MAX, F.col("smax"))
+            .when(F.col("func") == STRING_VALUE_MIN, F.col("smin"))
+        )
+        branches.append(scalar.select("id", picked.alias("value")))
+    if UNIQ_VALUE_COUNT in funcs:
+        uniq = (
+            long_df.filter(F.col("func") == UNIQ_VALUE_COUNT)
+            .groupBy("id")
+            .agg(uniq_value_count(F.col("value"), uniq_cap).cast("string").alias("value"))
+        )
+        branches.append(uniq)
     # Plan-time pruning: only attach the histogram pipeline (two extra
     # aggregations) when a ValueHistogram descriptor is actually present.
-    if any(d.func == VALUE_HISTOGRAM for d in descriptors):
+    if VALUE_HISTOGRAM in funcs:
         hist = long_df.filter(F.col("func") == VALUE_HISTOGRAM)
-        out = out.unionAll(histogram_report_df(hist.select("id", "value")))
+        branches.append(histogram_report_df(hist.select("id", "value")))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
     return out.select(F.col("id").alias("key"), "value")

@@ -158,6 +158,26 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_state_conf() -> dict[str, str]:
+    """Session confs for RocksDB-backed streaming state — the scale path
+    when keyed state (dedup keys, session windows, per-user aggregates)
+    outgrows executor heap: state lives off-heap/on-disk per partition with
+    changelog checkpointing, instead of the default in-memory HDFS-backed
+    map. Apply before starting the query:
+        for k, v in rocksdb_state_conf().items(): spark.conf.set(k, v)
+    """
+    return {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        # bound memory: RocksDB write buffers + block cache per partition
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+    }
+
+
 def stream_dedup(events: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
     """Streaming exact dedup: watermarked dropDuplicatesWithinWatermark on
     the key. Unlike plain dropDuplicates (whose state is only evicted when
