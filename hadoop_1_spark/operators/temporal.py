@@ -1,0 +1,124 @@
+"""Temporal join operators: as-of join and range (interval) join.
+
+Neither exists in the reference (SURVEY §2.4 'not present: range/as-of/
+interval joins') nor as a single Spark DataFrame primitive — they are the
+canonical 'custom operator as a composition of existing ops' case
+(BASELINE.json north-star: training pipelines constantly align events to
+the most recent dimension snapshot, or bucket points into intervals).
+
+Both are built so the expensive part is ONE key shuffle — never a
+broadcast-nested-loop or an O(points x intervals) blowup:
+
+- asof_join: union both sides, ONE window over (key, ts) carrying the last
+  right-side row forward — the distributed merge-asof. Cost: one shuffle
+  on key + a linear in-partition scan. (A join-then-rank formulation
+  would materialize every (left, right-earlier) pair first — quadratic in
+  rows-per-key.)
+- range_join: bin both sides on a fixed width; an interval explodes to
+  the bins it covers, a point lands in exactly one bin, so the equi-join
+  on bin plus a residual predicate finds every containment exactly once
+  (no dedup pass). Bin width trades replication (wide intervals -> more
+  bins) against per-bin fan-in; at 100 TB pick ~ the median interval
+  width.
+
+Scale notes: the asof window partitions by join key — a pathologically hot
+key serializes within its partition (windows cannot be salted without
+breaking carry-forward); mitigate upstream by splitting the key's time
+range. The range join's shuffle carries (bin, row) pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    direction: str = "backward",
+    right_prefix: str = "asof_",
+) -> DataFrame:
+    """For every left row, attach the single right row with the largest
+    ``ts_col`` <= left's (direction='backward'; 'forward' = smallest >=).
+    Inclusive on equality, matching DuckDB's ``ASOF JOIN ... ON l.ts >=
+    r.ts``. Left rows with no match keep nulls (left-join semantics).
+
+    Right columns (except the key and ts) come back prefixed with
+    ``right_prefix``; right's ts becomes ``{prefix}{ts_col}``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    rcols = [c for c in right.columns if c not in (on, ts_col)]
+    payload = F.struct(
+        F.col(ts_col).alias(ts_col), *[F.col(c).alias(c) for c in rcols]
+    )
+    r = right.select(
+        F.col(on),
+        F.col(ts_col).alias("_t"),
+        F.lit(0).alias("_src"),
+        payload.alias("_p"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (on,)],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(ts_col).alias("_t"),
+        F.lit(1).alias("_src"),
+        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
+        *[F.col(c) for c in left.columns if c not in (on,)],
+    )
+    u = r.unionByName(l)
+    # Backward: scan time ascending, right rows (src=0) sort before left
+    # rows at equal ts so 'inclusive' sees them; carry the last right
+    # payload forward. Forward: the mirrored descending scan.
+    if direction == "backward":
+        order = [F.col("_t").asc(), F.col("_src").asc()]
+    else:
+        order = [F.col("_t").desc(), F.col("_src").asc()]
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("_p", ignorenulls=True).over(w)
+    out = (
+        u.withColumn("_match", carried)
+        .where(F.col("_src") == 1)
+        .select(
+            F.col(on),
+            *[F.col(c) for c in left.columns if c != on],
+            F.col("_match").getField(ts_col).alias(f"{right_prefix}{ts_col}"),
+            *[F.col("_match").getField(c).alias(f"{right_prefix}{c}") for c in rcols],
+        )
+    )
+    return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Inner join of points to the intervals containing them
+    (lo <= point < hi, half-open so adjacent intervals never double-match)
+    via fixed-width binning: an equi-join on bin + residual predicate,
+    instead of the BroadcastNestedLoopJoin Spark would otherwise plan for
+    a pure inequality join. Each containment is found exactly once (a
+    point has one bin; the covering interval spans it)."""
+    bin_of = lambda c: F.floor(c / F.lit(float(bin_width))).cast("long")  # noqa: E731
+    binned_iv = intervals.withColumn(
+        "_bin",
+        F.explode(F.sequence(bin_of(F.col(lo_col)), bin_of(F.col(hi_col)))),
+    )
+    binned_pt = points.withColumn("_bin", bin_of(F.col(point_col)))
+    return (
+        binned_pt.join(binned_iv, "_bin")
+        .where((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
+        .drop("_bin")
+    )

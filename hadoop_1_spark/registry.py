@@ -67,6 +67,7 @@ from hadoop_1_spark.queries import (  # noqa: E402,F401
     q_similarity,
     q_sort,
     q_streaming,
+    q_temporal,
     q_textops,
     q_transforms,
     q_udf,

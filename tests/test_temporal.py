@@ -1,0 +1,65 @@
+"""Temporal joins (operators/temporal.py): oracle compare + edge semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hadoop_1_spark.operators import temporal
+from tests.conftest import assert_query_matches_oracle
+
+
+@pytest.mark.parametrize("name", ["asof_signup_attribution", "range_band_join"])
+def test_temporal_queries_match_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name)
+
+
+def _asof(spark, left_rows, right_rows, direction="backward"):
+    left = spark.createDataFrame(left_rows, "k string, ts long, lid long")
+    right = spark.createDataFrame(right_rows, "k string, ts long, rid long")
+    return {
+        (r["k"], r["lid"]): (r["asof_ts"], r["asof_rid"])
+        for r in temporal.asof_join(left, right, on="k", ts_col="ts", direction=direction).collect()
+    }
+
+
+def test_asof_backward_picks_latest_prior_inclusive(spark):
+    got = _asof(
+        spark,
+        [("a", 100, 1), ("a", 50, 2), ("a", 10, 3)],
+        [("a", 50, 7), ("a", 20, 8), ("b", 1, 9)],
+    )
+    assert got[("a", 1)] == (50, 7)   # latest <= 100
+    assert got[("a", 2)] == (50, 7)   # equal ts matches (inclusive)
+    assert got[("a", 3)] == (None, None)  # nothing at or before 10
+
+
+def test_asof_forward_picks_earliest_following(spark):
+    got = _asof(
+        spark,
+        [("a", 100, 1), ("a", 10, 2)],
+        [("a", 50, 7), ("a", 200, 8)],
+        direction="forward",
+    )
+    assert got[("a", 1)] == (200, 8)  # earliest >= 100
+    assert got[("a", 2)] == (50, 7)
+
+
+def test_range_join_half_open_boundaries(spark):
+    pts = spark.createDataFrame([(1, 0.0), (2, 10.0), (3, 19.99), (4, 20.0), (5, -1.0)], "pid long, v double")
+    ivs = spark.createDataFrame([("lo", 0.0, 20.0), ("hi", 20.0, 40.0)], "name string, lo double, hi double")
+    got = {
+        (r["pid"], r["name"])
+        for r in temporal.range_join(pts, ivs, "v", "lo", "hi", bin_width=7.0).collect()
+    }
+    # lo inclusive, hi exclusive; -1 matches nothing
+    assert got == {(1, "lo"), (2, "lo"), (3, "lo"), (4, "hi")}
+
+
+def test_range_join_no_duplicate_matches(spark):
+    """An interval spanning many bins still matches each point once."""
+    pts = spark.createDataFrame([(i, float(i)) for i in range(50)], "pid long, v double")
+    ivs = spark.createDataFrame([("all", 0.0, 100.0)], "name string, lo double, hi double")
+    rows = temporal.range_join(pts, ivs, "v", "lo", "hi", bin_width=3.0).collect()
+    assert len(rows) == 50
