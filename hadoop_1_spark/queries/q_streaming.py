@@ -116,3 +116,25 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_unique"),
         F.count_distinct("event_id").cast("long").alias("n_keys"),
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+SELECT p.event_id AS l_id, p.user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS l_ts_us,
+       e.event_id AS r_id,
+       CAST(epoch_us(e.ts) AS BIGINT) AS r_ts_us
+FROM events p JOIN events e
+  ON p.event_type = 'purchase' AND e.event_type = 'error'
+ AND p.user_id = e.user_id
+ AND e.ts >= p.ts - INTERVAL 10 MINUTES AND e.ts <= p.ts
+""",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to same-user errors in
+    the preceding 10 minutes. Two watermarked streams; the closed range
+    condition bounds both sides' join state (append mode)."""
+    p = streaming.read_events_stream(spark, sf_dir).where("event_type = 'purchase'")
+    e = streaming.read_events_stream(spark, sf_dir).where("event_type = 'error'")
+    return streaming.run_to_table(streaming.interval_join(p, e), spark, "append")

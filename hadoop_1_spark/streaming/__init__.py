@@ -158,6 +158,43 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    gap: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: for every left event, the right events of
+    the same key whose event time falls in [left.ts - gap, left.ts].
+
+    Both sides carry watermarks and the join has a closed time-range
+    condition — exactly what Structured Streaming needs to BOUND the join
+    state: each side's buffered rows are dropped once the other side's
+    watermark passes their eviction time. Without the range condition the
+    state would grow forever (same failure mode ADVICE flagged for
+    unwatermarked dedup)."""
+    l = left.select(
+        F.col("event_id").alias("l_id"), F.col(key), F.col("ts").alias("l_ts")
+    ).withWatermark("l_ts", "30 minutes")
+    r = right.select(
+        F.col("event_id").alias("r_id"),
+        F.col(key).alias("_rkey"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", "30 minutes")
+    cond = (
+        (F.col(key) == F.col("_rkey"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {gap}"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    return l.join(r, cond, "inner").select(
+        "l_id",
+        key,
+        F.unix_micros("l_ts").alias("l_ts_us"),
+        "r_id",
+        F.unix_micros("r_ts").alias("r_ts_us"),
+    )
+
+
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
