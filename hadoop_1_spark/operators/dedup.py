@@ -60,6 +60,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def _pair_jaccard(sh: DataFrame, id_col: str) -> DataFrame:
     """Exact Jaccard for every doc pair sharing >=1 shingle: self-join on the
     shingle key, count intersections, divide by union of set sizes."""
+    from pyspark.storagelevel import StorageLevel
+
+    # Four references below (both self-join sides + two size probes):
+    # materialize the shingle relation once (see minhash_lsh_pairs).
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("d1"), "shingle")
     b = sh.select(F.col(id_col).alias("d2"), "shingle")

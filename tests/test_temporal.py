@@ -63,3 +63,22 @@ def test_range_join_no_duplicate_matches(spark):
     ivs = spark.createDataFrame([("all", 0.0, 100.0)], "name string, lo double, hi double")
     rows = temporal.range_join(pts, ivs, "v", "lo", "hi", bin_width=3.0).collect()
     assert len(rows) == 50
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of plan shuffles ONCE (the key exchange feeding the window) —
+    the property that makes it viable at 100 TB (a join-then-rank
+    formulation would add a per-pair join shuffle)."""
+    left = spark.createDataFrame([("a", 1, 1)], "k string, ts long, lid long")
+    right = spark.createDataFrame([("a", 1, 2)], "k string, ts long, rid long")
+    plan = (
+        temporal.asof_join(left, right, on="k", ts_col="ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # count distinct shuffle exchanges (reuse nodes excluded)
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, plan
