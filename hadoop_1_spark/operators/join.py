@@ -85,11 +85,46 @@ def _compile(node: JoinExpr) -> DataFrame:
     if len(set(cols)) != len(cols):
         raise ValueError(f"duplicate value columns across sources: {cols}")
     kids = [_compile(ch) for ch in node.children]
-    if node.kind == "inner":
-        return reduce(lambda a, b: a.join(b, on=KEY, how="inner"), kids)
-    if node.kind == "outer":
-        # USING-join full outer coalesces the key column automatically.
-        return reduce(lambda a, b: a.join(b, on=KEY, how="full_outer"), kids)
+    if node.kind in ("inner", "outer"):
+        # Single-shuffle n-way merge: tagged union -> one groupBy(key)
+        # gathering each source's rows as a list of structs -> explode the
+        # lists back out (cross-product within the key, exactly the
+        # TupleWritable iteration of InnerJoinRecordReader.java:41 /
+        # OuterJoinRecordReader.java:41). A chained full-outer compilation
+        # costs n-1 exchanges; this is ONE exchange regardless of n, and
+        # the map-side partial collect_list keeps the shuffle rows tagged
+        # (key, struct) — no wider than the inputs. Per-key state is the
+        # key's row lists, the same working set the reference's
+        # ResetableIterator holds; a pathological hot key is a skew problem
+        # for both engines alike.
+        parts = []
+        for i, kid in enumerate(kids):
+            vals = [c for c in kid.columns if c != KEY]
+            parts.append(
+                kid.select(F.col(KEY), F.struct(*vals).alias(f"_v{i}"))
+            )
+        unioned = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
+        # collect_list skips the NULL slots contributed by other sources'
+        # union rows, so _l{i} is exactly source i's rows for the key.
+        grouped = unioned.groupBy(KEY).agg(
+            *[F.collect_list(f"_v{i}").alias(f"_l{i}") for i in range(len(kids))]
+        )
+        out = grouped
+        for i in range(len(kids)):
+            if node.kind == "inner":
+                # explode of an empty list emits nothing -> keys missing
+                # from any source vanish: inner semantics with no filter.
+                out = out.withColumn(f"_e{i}", F.explode(f"_l{i}"))
+            else:
+                # explode_outer emits one NULL row for an empty list ->
+                # absent slots null-pad: the TupleWritable presence mask.
+                out = out.withColumn(f"_e{i}", F.explode_outer(f"_l{i}"))
+        sel = [F.col(KEY)]
+        for i, ch in enumerate(node.children):
+            sel.extend(F.col(f"_e{i}.{c}").alias(c) for c in ch.leaf_cols)
+        return out.select(*sel)
     if node.kind == "override":
         # Tagged union + keep only rows of the highest-priority source per
         # key. Exactly the winner's rows survive — no cross-product, unlike
