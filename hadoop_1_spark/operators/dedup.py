@@ -36,6 +36,30 @@ from hadoop_1_spark.operators.textops import shingle_hash
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = 15
 
+# Signature/fingerprint tables persisted by the operators below, so a
+# long-lived session (the driver runs every query through one) can release
+# them between queries instead of accumulating cached blocks until LRU
+# eviction competes with shuffle memory.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every signature table persisted by earlier dedup pipelines.
+
+    Query entry points call this FIRST: by the time the next query is being
+    built, the previous query's result has been collected, so its caches are
+    dead weight. Bounded invariant: at most one query's caches are live."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
 
 def normalize_text(text: Column) -> Column:
     """Normalization contract for exact dedup: lowercase, collapse
@@ -60,11 +84,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def _pair_jaccard(sh: DataFrame, id_col: str) -> DataFrame:
     """Exact Jaccard for every doc pair sharing >=1 shingle: self-join on the
     shingle key, count intersections, divide by union of set sizes."""
-    from pyspark.storagelevel import StorageLevel
-
     # Four references below (both self-join sides + two size probes):
     # materialize the shingle relation once (see minhash_lsh_pairs).
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _persist(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("d1"), "shingle")
     b = sh.select(F.col(id_col).alias("d2"), "shingle")
@@ -161,9 +183,7 @@ def minhash_lsh_pairs(
     # unpredictably) — persist it once, spill-safe. Size is per-doc
     # signatures + hash sets (a few % of corpus bytes), the standard
     # trade in web-scale minhash dedup.
-    from pyspark.storagelevel import StorageLevel
-
-    per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+    per_doc = _persist(per_doc)
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -219,9 +239,7 @@ def simhash_pairs(
     sh = textops.simhash64(toks, id_col=id_col)
     # Both sides of the band self-join read the fingerprint table; persist
     # so the 60-bit-plane aggregation runs once (tiny: one long per doc).
-    from pyspark.storagelevel import StorageLevel
-
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _persist(sh)
     band_exprs = [
         F.expr(
             f"shiftright(simhash, {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"
@@ -324,22 +342,33 @@ def embedding_lsh_pairs(
     (the only large shuffle carries (bucket, id)), never O(n²).
     """
     from hadoop_1_spark.operators import similarity
-    from pyspark.storagelevel import StorageLevel
 
-    base = emb.select(
+    # One fused fold computes all bands*bits hyperplane sums in a single
+    # vector traversal (was bands*bits separate folds); the bucket bits are
+    # derived in a second select so the fold evaluates once per row.
+    all_signs = [
+        row
+        for b in range(bands)
+        for row in similarity.hyperplane_signs(bits, seed=100 + b)
+    ]
+    pre = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.sqrt(dot_chain(F.col(vec_col), F.col(vec_col), dims)).alias("nrm"),
+        similarity.signed_sums_fused(F.col(vec_col), all_signs).alias("_sums"),
+    )
+    base = pre.select(
+        "id",
+        "v",
+        "nrm",
         *[
-            similarity.bucket_expr(
-                F.col(vec_col), similarity.hyperplane_signs(bits, seed=100 + b)
-            ).alias(f"b{b}")
+            similarity.bucket_from_sums(F.col("_sums"), b * bits, bits).alias(f"b{b}")
             for b in range(bands)
         ],
     )
     # base feeds both self-join sides and both verify probes: materialize
     # the hyperplane work once (same rationale as the minhash signature).
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base = _persist(base)
     banded = base.select(
         "id",
         F.explode(

@@ -65,10 +65,56 @@ def _signed_sum(vec: Column, signs: list[int]) -> Column:
 
 
 def bucket_expr(vec: Column, signs: list[list[int]]) -> Column:
-    """LSH bucket id: integer whose bit i is sign(h_i . v)."""
+    """LSH bucket id: integer whose bit i is sign(h_i . v).
+
+    One fold per hyperplane — fine for a single small bucket (e.g. the
+    broadcast query side). Multi-band call sites should use
+    ``signed_sums_fused`` + ``bucket_from_sums`` so the vector is
+    traversed once for ALL bands x bits hyperplanes."""
     acc = F.lit(0).cast("int")
     for i, row in enumerate(signs):
         acc = acc + F.when(_signed_sum(vec, row) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return acc
+
+
+def signed_sums_fused(vec: Column, signs_all: list[list[int]]) -> Column:
+    """ALL hyperplane dot products in ONE vector traversal.
+
+    Folds over the dimension index with an array<double> accumulator (one
+    slot per hyperplane); step d does acc[i] += v[d] * signs[i][d] via a
+    zip_with against the transposed sign matrix. Per-hyperplane addition
+    order is the same left-fold as ``_signed_sum`` (0.0 + v1*s1 + v2*s2 +
+    ...), so results stay bit-identical to the oracle's SQL chain — this is
+    purely an evaluation-count fix (bands x bits folds -> 1)."""
+    n = len(signs_all)
+    dims = len(signs_all[0])
+    sign_t = F.array(
+        *[
+            F.array(*[F.lit(float(signs_all[i][d])) for i in range(n)])
+            for d in range(dims)
+        ]
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(dims)),
+        F.array_repeat(F.lit(0.0), n),
+        lambda acc, d: F.zip_with(
+            acc,
+            F.element_at(sign_t, d),
+            lambda a, s: a + F.element_at(vec, d).cast("double") * s,
+        ),
+    )
+
+
+def bucket_from_sums(sums: Column, offset: int, bits: int) -> Column:
+    """Bucket id from a ``signed_sums_fused`` slice: bit i is
+    sign(sums[offset + i]). Keep this in a SEPARATE select from the fold —
+    CollapseProject won't inline a non-cheap expression referenced ``bits``
+    times, so the fold evaluates once."""
+    acc = F.lit(0).cast("int")
+    for i in range(bits):
+        acc = acc + F.when(
+            F.element_at(sums, offset + i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
     return acc
 
 
@@ -146,7 +192,12 @@ def lsh_ann_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
-        bucket_expr(F.col(vec_col), signs).alias("cb"),
+        signed_sums_fused(F.col(vec_col), signs).alias("_sums"),
+    ).select(
+        "neighbor_id",
+        "cv",
+        "cn",
+        bucket_from_sums(F.col("_sums"), 0, nbits).alias("cb"),
     )
     scored = q.join(c, (q["qb"] == c["cb"]) & (q["query_id"] != c["neighbor_id"])).select(
         "query_id",
