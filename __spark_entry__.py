@@ -25,13 +25,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["grep"](spark, SMOKE_SF_DIR)
 
 
-def _last_checked_round() -> dict[str, int]:
-    """Map query name -> latest round whose CORRECTNESS_r*.json contains it.
+def _correctness_history() -> tuple[dict[str, int], dict[str, bool]]:
+    """(query -> latest round containing it, query -> latest check failed).
 
     The driver verifies a bounded prefix of ``queries()`` per round, so we
     rotate: queries never checked (or checked longest ago) sort first,
     guaranteeing every registered query cycles through the verification
-    window across rounds.
+    window across rounds. A deliberately oracle-less query's rows-only
+    check (err == "no_oracle") does not count as a failure.
     """
     import glob
     import json
@@ -39,7 +40,8 @@ def _last_checked_round() -> dict[str, int]:
 
     base = os.path.dirname(os.path.abspath(__file__))
     last: dict[str, int] = {}
-    for path in glob.glob(os.path.join(base, "CORRECTNESS_r*.json")):
+    failed: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(base, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
@@ -49,24 +51,137 @@ def _last_checked_round() -> dict[str, int]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        if isinstance(rows, dict):
-            for name in rows:
-                last[name] = max(last.get(name, 0), rnd)
-    return last
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if rnd < last.get(name, 0):
+                continue
+            last[name] = rnd
+            bad = False
+            if isinstance(row, dict):
+                err = row.get("err")
+                bad = (
+                    row.get("rows_match") is False
+                    or row.get("hash_match") is False
+                    or row.get("schema_match") is False
+                    or (err is not None and err != "no_oracle")
+                )
+            failed[name] = bad
+    return last, failed
+
+
+def _module_files(modname: str) -> list[str]:
+    """Transitive repo-relative source files behind a query's module: the
+    module itself plus every ``hadoop_1_spark.*`` module its source (or
+    its imports' sources, recursively) mentions — textual scan, so imports
+    local to function bodies are included too."""
+    import re
+
+    base = os.path.dirname(os.path.abspath(__file__))
+
+    def to_path(name: str) -> str | None:
+        rel = name.replace(".", "/")
+        for cand in (rel + ".py", rel + "/__init__.py"):
+            if os.path.exists(os.path.join(base, cand)):
+                return cand
+        return None
+
+    seen: set[str] = set()
+    stack = [modname, "hadoop_1_spark.registry"]
+    files: set[str] = set()
+    while stack:
+        name = stack.pop()
+        if name in seen:
+            continue
+        seen.add(name)
+        path = to_path(name)
+        if path is None:
+            continue
+        files.add(path)
+        with open(os.path.join(base, path), encoding="utf-8") as fh:
+            src = fh.read()
+        stack.extend(re.findall(r"(?:from|import)\s+(hadoop_1_spark(?:\.\w+)*)", src))
+    return sorted(files)
+
+
+def query_digest(name: str, read=None) -> str:
+    """md5 over the source-file closure of a registered query's builder.
+    ``read(relpath) -> bytes`` defaults to the working tree (the record
+    script passes a ``git show HEAD:...`` reader to pin the verified
+    snapshot)."""
+    import hashlib
+    import inspect
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    if read is None:
+        def read(rel: str) -> bytes:
+            with open(os.path.join(base, rel), "rb") as fh:
+                return fh.read()
+
+    fn = inspect.unwrap(registry.QUERIES[name])
+    h = hashlib.md5()
+    for rel in _module_files(fn.__module__):
+        h.update(rel.encode())
+        h.update(read(rel))
+    return h.hexdigest()
+
+
+def _dirty_queries() -> set[str]:
+    """Queries whose source closure changed since last verified, per the
+    VERIFIED.json manifest (written by scripts/record_verified.py at round
+    start). Missing manifest -> nothing is dirty (pure LRU rotation)."""
+    import json
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(base, "VERIFIED.json"), encoding="utf-8") as fh:
+            manifest = json.load(fh)
+    except (OSError, ValueError):
+        return set()
+    dirty: set[str] = set()
+    for name in registry.QUERIES:
+        rec = manifest.get(name)
+        if rec is None:
+            # No pinned digest (verified before the manifest existed, or
+            # never): conservatively dirty — harmless for never-verified
+            # queries (they lead the LRU order anyway) and exactly right
+            # for verified-then-edited ones like r3's sim_* rework.
+            dirty.add(name)
+            continue
+        try:
+            if query_digest(name) != rec.get("digest"):
+                dirty.add(name)
+        except Exception:
+            dirty.add(name)
+    return dirty
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered least-recently-verified first (see ``_last_checked_round``);
-    ties break alphabetically for determinism.
+    Ordered so the driver's bounded verification window re-checks what
+    most needs it: (1) queries whose latest CORRECTNESS row failed,
+    (2) queries whose implementing source changed since last verified,
+    (3) least-recently-verified; ties break alphabetically.
     """
     qs = dict(registry.QUERIES)
     try:
-        last = _last_checked_round()
+        last, failed = _correctness_history()
+        dirty = _dirty_queries()
     except Exception:
         return qs
-    return {n: qs[n] for n in sorted(qs, key=lambda n: (last.get(n, 0), n))}
+    return {
+        n: qs[n]
+        for n in sorted(
+            qs,
+            key=lambda n: (
+                0 if failed.get(n) else 1,
+                0 if n in dirty else 1,
+                last.get(n, 0),
+                n,
+            ),
+        )
+    }
 
 
 def oracle_sql() -> dict[str, str]:

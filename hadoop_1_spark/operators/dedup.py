@@ -54,9 +54,10 @@ def _persist(df: DataFrame) -> DataFrame:
 def release_caches() -> None:
     """Unpersist every signature table persisted by earlier dedup pipelines.
 
-    Query entry points call this FIRST: by the time the next query is being
-    built, the previous query's result has been collected, so its caches are
-    dead weight. Bounded invariant: at most one query's caches are live."""
+    Called by ``registry.register``'s dispatch wrapper before EVERY query
+    build: by the time the next query is being built, the previous query's
+    result has been collected, so its caches are dead weight. Bounded
+    invariant: at most one query's caches are live across a session."""
     while _LIVE_CACHES:
         _LIVE_CACHES.pop().unpersist()
 
@@ -343,9 +344,10 @@ def embedding_lsh_pairs(
     """
     from hadoop_1_spark.operators import similarity
 
-    # One fused fold computes all bands*bits hyperplane sums in a single
-    # vector traversal (was bands*bits separate folds); the bucket bits are
-    # derived in a second select so the fold evaluates once per row.
+    # One Arrow pass computes norm + all bands*bits hyperplane sums
+    # (similarity.project_udf — bit-identical fast twin of the
+    # dot_chain/signed_sums_fused reference folds); the bucket bits are
+    # derived in a second select so the pass evaluates once per row.
     all_signs = [
         row
         for b in range(bands)
@@ -354,23 +356,40 @@ def embedding_lsh_pairs(
     pre = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        F.sqrt(dot_chain(F.col(vec_col), F.col(vec_col), dims)).alias("nrm"),
-        similarity.signed_sums_fused(F.col(vec_col), all_signs).alias("_sums"),
+        similarity.project_udf(all_signs)(F.col(vec_col)).alias("_p"),
     )
     base = pre.select(
         "id",
         "v",
-        "nrm",
+        F.col("_p.nrm").alias("nrm"),
         *[
-            similarity.bucket_from_sums(F.col("_sums"), b * bits, bits).alias(f"b{b}")
+            similarity.bucket_from_sums(F.col("_p.sums"), b * bits, bits).alias(f"b{b}")
             for b in range(bands)
         ],
     )
-    # base feeds both self-join sides and both verify probes: materialize
-    # the hyperplane work once (same rationale as the minhash signature).
-    base = _persist(base)
+    # The bucket self-join carries (v, nrm) alongside the id, and the exact
+    # cosine is verified INLINE on the join output, BEFORE deduplicating
+    # pairs that collide in several bands. At a low threshold the candidate
+    # set is a large fraction of all pairs (hyperplane bands can't separate
+    # cos 0.45 from 0.40 without killing recall), so a distinct-first shape
+    # shuffles ~all candidate pairs and then joins vectors back twice;
+    # verify-first re-scores multi-band collisions (~+30% vectorized dot
+    # work, nearly free) but the only post-join shuffle is the distinct
+    # over SURVIVORS (tiny). For high-threshold/many-band configs where
+    # collisions multiply, flip back to distinct-first.
+    #
+    # The explicit (bucket)-hash exchange below serves both scales: both
+    # self-join sides reference the SAME persisted bucket-partitioned
+    # relation, so the join is co-partitioned (zero further exchanges) and
+    # the verify inherits cluster-wide parallelism even when the corpus
+    # scan arrives as a single row-group (local small files). The shuffle
+    # carries (id, v, nrm) x bands — corpus x bands bytes, the standard
+    # LSH-join trade against re-joining vectors afterwards.
+    par = emb.sparkSession.sparkContext.defaultParallelism
     banded = base.select(
         "id",
+        "v",
+        "nrm",
         F.explode(
             F.array(
                 *[
@@ -379,27 +398,23 @@ def embedding_lsh_pairs(
                 ]
             )
         ).alias("bucket"),
-    )
-    cand = (
+    ).repartition(par, F.col("bucket"))
+    banded = _persist(banded)
+    return (
         banded.alias("x")
         .join(banded.alias("y"), "bucket")
         .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("d1"), F.col("y.id").alias("d2"))
-        .distinct()
-    )
-    v1 = base.select(F.col("id").alias("d1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"))
-    v2 = base.select(F.col("id").alias("d2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"))
-    return (
-        cand.join(v1, "d1")
-        .join(v2, "d2")
         .select(
-            "d1",
-            "d2",
+            F.col("x.id").alias("d1"),
+            F.col("y.id").alias("d2"),
             F.round(
-                dot_chain(F.col("v1"), F.col("v2"), dims) / (F.col("n1") * F.col("n2")), 9
+                similarity.DOT_FOLD(F.col("x.v"), F.col("y.v"))
+                / (F.col("x.nrm") * F.col("y.nrm")),
+                9,
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+        .distinct()
     )
 
 
@@ -415,15 +430,17 @@ def embedding_cosine_pairs(
     (similarity.lsh_ann_topk) feeding the same verify. Norms are computed
     once per VECTOR (not per pair) — 3x less arithmetic on the O(n^2)
     stage."""
+    from hadoop_1_spark.operators import similarity
+
     a = emb.select(
         F.col(id_col).alias("d1"),
         F.col(vec_col).alias("v1"),
-        F.sqrt(dot_chain(F.col(vec_col), F.col(vec_col), dims)).alias("n1"),
+        similarity.NORM(F.col(vec_col)).alias("n1"),
     )
     b = emb.select(
         F.col(id_col).alias("d2"),
         F.col(vec_col).alias("v2"),
-        F.sqrt(dot_chain(F.col(vec_col), F.col(vec_col), dims)).alias("n2"),
+        similarity.NORM(F.col(vec_col)).alias("n2"),
     )
     return (
         a.crossJoin(b)
@@ -432,7 +449,8 @@ def embedding_cosine_pairs(
             "d1",
             "d2",
             F.round(
-                dot_chain(F.col("v1"), F.col("v2"), dims) / (F.col("n1") * F.col("n2")), 9
+                similarity.DOT_FOLD(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")),
+                9,
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)

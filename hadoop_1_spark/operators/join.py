@@ -106,6 +106,13 @@ def _compile(node: JoinExpr) -> DataFrame:
         unioned = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
+        # NULL keys never merge (SQL equi-join semantics; the groupBy
+        # below would otherwise gather every NULL-keyed row from every
+        # source into ONE group and cross-product them): inner drops
+        # them, outer emits each as its own null-padded row (exactly a
+        # chained FULL OUTER ... USING's treatment of NULL keys).
+        null_keyed = unioned.where(F.col(KEY).isNull())
+        unioned = unioned.where(F.col(KEY).isNotNull())
         # collect_list skips the NULL slots contributed by other sources'
         # union rows, so _l{i} is exactly source i's rows for the key.
         grouped = unioned.groupBy(KEY).agg(
@@ -124,7 +131,16 @@ def _compile(node: JoinExpr) -> DataFrame:
         sel = [F.col(KEY)]
         for i, ch in enumerate(node.children):
             sel.extend(F.col(f"_e{i}.{c}").alias(c) for c in ch.leaf_cols)
-        return out.select(*sel)
+        out = out.select(*sel)
+        if node.kind == "outer":
+            # One null-padded output row per NULL-keyed input row: the
+            # union row already has exactly one non-null _v{i} struct, so
+            # projecting every source's fields null-pads the rest.
+            nsel = [F.col(KEY)]
+            for i, ch in enumerate(node.children):
+                nsel.extend(F.col(f"_v{i}.{c}").alias(c) for c in ch.leaf_cols)
+            out = out.unionByName(null_keyed.select(*nsel))
+        return out
     if node.kind == "override":
         # Tagged union + keep only rows of the highest-priority source per
         # key. Exactly the winner's rows survive — no cross-product, unlike
@@ -135,10 +151,14 @@ def _compile(node: JoinExpr) -> DataFrame:
         unioned = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), tagged
         )
+        # NULL keys never merge here either: the window gathers every
+        # NULL-keyed row into one partition, so the priority filter only
+        # applies to real keys; NULL-keyed rows pass through from every
+        # source (no override relationship without key equality).
         w = Window.partitionBy(KEY)
         return (
             unioned.withColumn("_max_src", F.max("_src").over(w))
-            .filter(F.col("_src") == F.col("_max_src"))
+            .filter(F.col(KEY).isNull() | (F.col("_src") == F.col("_max_src")))
             .select(KEY, *cols)
         )
     raise ValueError(f"unknown join expr kind {node.kind!r}")

@@ -56,6 +56,10 @@ def asof_join(
     payload = F.struct(
         F.col(ts_col).alias(ts_col), *[F.col(c).alias(c) for c in rcols]
     )
+    # A right row with NULL ts can match nothing (ts <= / >= NULL is never
+    # true), but under nulls-first ordering its payload would be carried
+    # forward into real matches — drop such rows up front.
+    right = right.where(F.col(ts_col).isNotNull())
     r = right.select(
         F.col(on),
         F.col(ts_col).alias("_t"),
@@ -73,11 +77,17 @@ def asof_join(
     u = r.unionByName(l)
     # Backward: scan time ascending, right rows (src=0) sort before left
     # rows at equal ts so 'inclusive' sees them; carry the last right
-    # payload forward. Forward: the mirrored descending scan.
+    # payload forward. Forward: the mirrored descending scan. Left rows
+    # with NULL ts sort FIRST either way (explicit nulls-first on the
+    # desc side) so they precede every right row and match nothing —
+    # ts >= NULL is never true, left-join null padding applies. The final
+    # payload order key makes ties at equal (ts) deterministic: among
+    # right rows sharing a timestamp, the greatest payload struct (field
+    # order: ts, then value columns) wins.
     if direction == "backward":
-        order = [F.col("_t").asc(), F.col("_src").asc()]
+        order = [F.col("_t").asc_nulls_first(), F.col("_src").asc(), F.col("_p").asc()]
     else:
-        order = [F.col("_t").desc(), F.col("_src").asc()]
+        order = [F.col("_t").desc_nulls_first(), F.col("_src").asc(), F.col("_p").asc()]
     w = (
         Window.partitionBy(on)
         .orderBy(*order)

@@ -21,6 +21,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,13 +37,28 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
     Queries without an oracle get the driver's weaker rows-only check
     (reserved for genuinely non-SQL-expressible ops).
+
+    Every registered entry point releases the previous query's persisted
+    signature tables (dedup.release_caches) before building: by the time
+    the next query is being built the previous result has been collected,
+    so its caches are dead weight. Bounded invariant for a long-lived
+    session running the whole catalog: at most one query's caches are
+    live at any time. (Unpersist is always safe — a caller that executes
+    an older DataFrame afterwards just recomputes.)
     """
 
     def wrap(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from hadoop_1_spark.operators import dedup
+
+            dedup.release_caches()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = dispatch
         if oracle is not None:
             ORACLE[name] = oracle
-        return fn
+        return dispatch
 
     return wrap
 

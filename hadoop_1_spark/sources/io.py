@@ -115,6 +115,49 @@ def read_jdbc(
     return reader.load()
 
 
+def construct_insert_query(table: str, field_names: list[str | None] | None) -> str:
+    """K8: DBOutputFormat.constructQuery parity (DBOutputFormat.java:135-168;
+    test shape src/test/.../lib/db/TestConstructQuery.java): ``INSERT INTO
+    <table> [(f1,f2,...)] VALUES (?,...);`` — the column list is omitted when
+    the first field name is null (the reference's positional mode)."""
+    if field_names is None:
+        raise ValueError("Field names may not be null")
+    q = f"INSERT INTO {table}"
+    if field_names and field_names[0] is not None:
+        q += " (" + ",".join(field_names) + ")"
+    return q + " VALUES (" + ",".join("?" for _ in field_names) + ");"
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 1000,
+    num_partitions: int | None = None,
+    **options: str,
+) -> None:
+    """K8: DBOutputFormat sink over ``df.write.jdbc``. The reference's
+    DBRecordWriter batches rows on the prepared INSERT built by
+    ``construct_insert_query`` and commits on close (DBOutputFormat.java:66-110);
+    Spark's JDBC sink executes the same positional INSERT per partition,
+    ``batchsize`` rows per round-trip. ``num_partitions`` caps concurrent
+    connections — at cluster scale an unthrottled 1000-task write would open
+    1000 sessions against one database."""
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def _sniff_magic_local(path: str) -> bytes:
     if os.path.isfile(path):
         with open(path, "rb") as fh:

@@ -1,0 +1,68 @@
+"""Record the verified-source manifest used by the dirty-aware rotation.
+
+Run at ROUND START, before touching code: for every query present in the
+latest CORRECTNESS_r{N}.json, pin {round: N, digest} where the digest is
+computed from ``git show HEAD:<file>`` — the committed snapshot the driver
+actually verified — so uncommitted work-in-progress never masquerades as
+verified. ``__spark_entry__.queries()`` then floats any query whose current
+working-tree digest drifts from its manifest digest to the front of the
+driver's bounded verification window.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+BASE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, BASE)
+
+import __spark_entry__ as entry  # noqa: E402
+
+
+def git_read(rel: str) -> bytes:
+    return subprocess.run(
+        ["git", "-C", BASE, "show", f"HEAD:{rel}"],
+        check=True,
+        capture_output=True,
+    ).stdout
+
+
+def main() -> None:
+    rounds = sorted(
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(BASE, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    )
+    if not rounds:
+        print("no CORRECTNESS files; nothing to record")
+        return
+    manifest_path = os.path.join(BASE, "VERIFIED.json")
+    try:
+        with open(manifest_path, encoding="utf-8") as fh:
+            manifest = json.load(fh)
+    except (OSError, ValueError):
+        manifest = {}
+    rnd, path = rounds[-1]
+    with open(path, encoding="utf-8") as fh:
+        rows = json.load(fh)
+    updated = 0
+    for name in rows:
+        if name not in entry.registry.QUERIES:
+            continue
+        if manifest.get(name, {}).get("round", -1) >= rnd:
+            continue
+        manifest[name] = {"round": rnd, "digest": entry.query_digest(name, read=git_read)}
+        updated += 1
+    with open(manifest_path, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"VERIFIED.json: round {rnd}, {updated} entries updated, {len(manifest)} total")
+
+
+if __name__ == "__main__":
+    main()

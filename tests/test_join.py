@@ -75,3 +75,32 @@ def test_broadcast_join_is_broadcast(spark):
     small = spark.range(5).select(F.col("id").alias("sk"), F.lit("dim").alias("name"))
     plan = J.broadcast_hash_join(big, small, F.col("fk") == F.col("sk"))._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_null_keys_never_merge(spark):
+    """SQL equi-join semantics for NULL keys: inner drops them, outer emits
+    each NULL-keyed row as its own null-padded row (no cross-product of the
+    NULL group), override passes them through from every source."""
+    a = spark.createDataFrame([(None, 1), (None, 2), ("k", 3)], "key string, av int")
+    b = spark.createDataFrame([(None, 10), ("k", 30)], "key string, bv int")
+    ea, eb = J.tbl(a, "key", "av"), J.tbl(b, "key", "bv")
+
+    inner_rows = J.inner(ea, eb).compile().collect()
+    assert [(r["key"], r["av"], r["bv"]) for r in inner_rows] == [("k", 3, 30)]
+
+    outer_rows = sorted(
+        ((r["key"], r["av"], r["bv"]) for r in J.outer(ea, eb).compile().collect()),
+        key=str,
+    )
+    assert outer_rows == sorted(
+        [("k", 3, 30), (None, 1, None), (None, 2, None), (None, None, 10)], key=str
+    )
+
+    override_rows = sorted(
+        ((r["key"], r["av"], r["bv"]) for r in J.override(ea, eb).compile().collect()),
+        key=str,
+    )
+    # 'k' overridden by b (rightmost); every NULL-keyed row survives as-is.
+    assert override_rows == sorted(
+        [("k", None, 30), (None, 1, None), (None, 2, None), (None, None, 10)], key=str
+    )

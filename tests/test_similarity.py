@@ -49,3 +49,43 @@ def test_lsh_recall_vs_brute_force(spark):
     # Driver embeddings are near-random (cosine max ~0.5), so 4-bit LSH
     # recall is modest; this is a sanity floor, not a quality target.
     assert hits >= 1
+
+
+def test_arrow_paths_bit_identical(spark):
+    """The Arrow fast twins (NORM / DOT_FOLD / project_udf) must be
+    BIT-identical to the expression-form reference folds (_norm /
+    dot_chain / signed_sums_fused): numpy applies += / * elementwise over
+    the batch dimension-by-dimension, so every output element sees the
+    exact left-fold IEEE-double operation order of the expression form."""
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.operators.dedup import dot_chain
+    from hadoop_1_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(200)
+    signs = similarity.hyperplane_signs(8)
+    pair = emb.alias("a").crossJoin(
+        emb.where("vec_id < 3").select(F.col("embedding").alias("e2")).alias("b")
+    )
+    rows = (
+        pair.select(
+            similarity._norm(F.col("embedding")).alias("n_expr"),
+            similarity.NORM(F.col("embedding")).alias("n_arrow"),
+            dot_chain(F.col("embedding"), F.col("e2"), similarity.DIMS).alias("d_expr"),
+            similarity.DOT_FOLD(F.col("embedding"), F.col("e2")).alias("d_arrow"),
+            similarity.signed_sums_fused(F.col("embedding"), signs).alias("s_expr"),
+            similarity.project_udf(signs)(F.col("embedding")).alias("p_arrow"),
+        )
+        .collect()
+    )
+    assert rows
+    import struct
+
+    def bits(x):
+        return struct.pack("<d", x)
+
+    for r in rows:
+        assert bits(r["n_expr"]) == bits(r["n_arrow"])
+        assert bits(r["n_expr"]) == bits(r["p_arrow"]["nrm"])
+        assert bits(r["d_expr"]) == bits(r["d_arrow"])
+        assert [bits(x) for x in r["s_expr"]] == [bits(x) for x in r["p_arrow"]["sums"]]

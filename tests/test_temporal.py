@@ -82,3 +82,31 @@ def test_asof_join_single_shuffle(spark):
     # count distinct shuffle exchanges (reuse nodes excluded)
     n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_exchanges == 1, plan
+
+
+def test_asof_null_ts_rows(spark):
+    """NULL-ts right rows match nothing (their payload must not be carried
+    forward); NULL-ts left rows get left-join null padding, both directions."""
+    for direction in ("backward", "forward"):
+        got = _asof(
+            spark,
+            [("a", 100, 1), ("a", None, 2)],
+            [("a", None, 7), ("a", 50, 8), ("a", 150, 9)],
+            direction=direction,
+        )
+        assert got[("a", 2)] == (None, None)
+        if direction == "backward":
+            assert got[("a", 1)] == (50, 8)
+        else:
+            assert got[("a", 1)] == (150, 9)
+
+
+def test_asof_equal_ts_tie_breaks_to_max_payload(spark):
+    """Among right rows sharing (key, ts), the greatest payload struct wins —
+    deterministic regardless of union/partition order."""
+    got = _asof(
+        spark,
+        [("a", 100, 1)],
+        [("a", 50, 7), ("a", 50, 11), ("a", 50, 9)],
+    )
+    assert got[("a", 1)] == (50, 11)
