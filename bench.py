@@ -66,10 +66,12 @@ def run_query(spark, name: str) -> float:
         fn(spark, WARMUP_SF_DIR).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
-    # best of 2: absorbs transient machine-load noise (standard bench
-    # practice; the reference's MRBench also reports across repeats)
+    # best of 3: absorbs transient machine-load noise (standard bench
+    # practice; the reference's MRBench also reports across repeats).
+    # Raised from 2 — round-3's cross-round swings showed best-of-2 is too
+    # noisy to steer optimization work.
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.monotonic()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         best = min(best, time.monotonic() - t0)

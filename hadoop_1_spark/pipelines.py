@@ -66,6 +66,47 @@ def inverted_index(
     )
 
 
+def apply_index_ops(
+    base: DataFrame,
+    ops: DataFrame,
+    id_col: str = "doc_id",
+    op_col: str = "op",
+    text_col: str = "text",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """D1: incremental index maintenance — the contrib/index DocumentAndOp
+    stream (DocumentAndOp.java:31-38: INSERT carries a new document, DELETE
+    a delete term, UPDATE both) applied to a base corpus.
+
+    Latest-wins per document: the base corpus enters as seq=-1 INSERTs, ops
+    carry their own sequence, one row_number window over (doc, seq desc)
+    keeps each document's newest state, DELETE rows then drop out. ONE
+    shuffle on doc_id; compose the result with ``inverted_index`` for the
+    updated shards (the reference's IndexUpdater rewrites the affected
+    Lucene shard the same way — delete term + re-add)."""
+    from pyspark.sql.window import Window
+
+    base_tagged = base.select(
+        F.col(id_col),
+        F.lit("INSERT").alias(op_col),
+        F.col(text_col),
+        F.lit(-1).cast("long").alias(seq_col),
+    )
+    ops_tagged = ops.select(
+        F.col(id_col),
+        F.col(op_col),
+        F.col(text_col),
+        F.col(seq_col).cast("long"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col(seq_col).desc())
+    return (
+        base_tagged.unionByName(ops_tagged)
+        .withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col(op_col) != "DELETE"))
+        .select(id_col, text_col)
+    )
+
+
 def logalyzer(
     logs: DataFrame,
     grep_pattern: str,

@@ -60,6 +60,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_load(spark, sf_dir, "documents"), k=3, threshold=0.8)
 
 
+# Skew-guarded twin: shingles in more than DF_CAP documents are dropped
+# BEFORE the self-join (dedup.ngram_jaccard_pairs df_cap — the web-dedup
+# stopword-run mitigation; a shingle in 1M docs emits 10^12 join rows).
+# Jaccard is then over the capped shingle sets in BOTH engines.
+DF_CAP = 20
+
+_SHINGLE_CTES_CAPPED = f"""
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh_all AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t WHERE len(toks) >= 3)
+),
+sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= {DF_CAP}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"WITH {_SHINGLE_CTES_CAPPED} SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.8",
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df_cap skew guard as a verified query: 3-gram Jaccard at 0.8
+    over shingle sets with document frequency capped at DF_CAP (the
+    left-anti hot-shingle drop in dedup.ngram_jaccard_pairs:127-129)."""
+    return dedup.ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), k=3, threshold=0.8, df_cap=DF_CAP
+    )
+
+
 def _minhash_oracle(num_hashes: int = 16, bands: int = 8) -> str:
     rows = num_hashes // bands
     # affine permutations over one md5-derived base hash (matches

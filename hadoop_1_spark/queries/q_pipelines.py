@@ -256,3 +256,57 @@ def vaidya_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return pipelines.vaidya_diagnose(counters, rules, "user_id")
+
+
+_EFF_TOKS = _TOKS  # same whitespace tokenizer, applied to the effective corpus
+
+
+@register(
+    "index_update",
+    oracle=f"""
+WITH eff AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 NOT IN (0, 1)
+  UNION ALL
+  SELECT doc_id, text || ' refreshed' FROM documents WHERE doc_id % 10 = 1
+  UNION ALL
+  SELECT doc_id + 1000000, 'new version of doc ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 10 = 2
+),
+tok AS (SELECT doc_id, unnest({_EFF_TOKS}) AS term FROM eff),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY term
+""",
+)
+def index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 incremental index maintenance (contrib/index DocumentAndOp.java:
+    31-38): apply a deterministic op stream — every 10th doc DELETEd, every
+    (10k+1)th UPDATEd with ' refreshed' appended, a new INSERT per (10k+2)th
+    doc — then rebuild the inverted index over the effective corpus.
+    Latest-wins window + the index build's two aggregations."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 10
+    dels = docs.where(m == 0).select(
+        "doc_id",
+        F.lit("DELETE").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(1).alias("seq"),
+    )
+    upds = docs.where(m == 1).select(
+        "doc_id",
+        F.lit("UPDATE").alias("op"),
+        F.concat(F.col("text"), F.lit(" refreshed")).alias("text"),
+        F.lit(1).alias("seq"),
+    )
+    ins = docs.where(m == 2).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("INSERT").alias("op"),
+        F.concat(F.lit("new version of doc "), F.col("doc_id").cast("string")).alias("text"),
+        F.lit(1).alias("seq"),
+    )
+    ops = dels.unionByName(upds).unionByName(ins)
+    eff = pipelines.apply_index_ops(docs, ops)
+    return pipelines.inverted_index(eff)

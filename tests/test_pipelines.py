@@ -71,3 +71,29 @@ def test_har_style_compaction(spark, tmp_path):
     n_big = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
     assert n_small == 50 and n_big == 2
     assert spark.read.parquet(dst).count() == 1000
+
+
+def test_apply_index_ops_latest_wins(spark):
+    """DocumentAndOp sequences: the highest-seq opdecides a doc's fate —
+    update-then-delete removes, delete-then-insert resurrects, untouched
+    docs pass through, new INSERTs appear."""
+    from hadoop_1_spark import pipelines
+
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "doc_id long, text string"
+    )
+    ops = spark.createDataFrame(
+        [
+            (1, "UPDATE", "one-v2", 1),
+            (1, "DELETE", None, 2),
+            (2, "DELETE", None, 1),
+            (2, "INSERT", "two-v2", 2),
+            (9, "INSERT", "nine", 1),
+        ],
+        "doc_id long, op string, text string, seq long",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in pipelines.apply_index_ops(base, ops).collect()
+    }
+    assert got == {2: "two-v2", 3: "three", 9: "nine"}
