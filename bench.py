@@ -48,7 +48,9 @@ BENCH_QUERIES = [
     "stream_tumbling_counts",  # Structured Streaming windowed agg
     "pipe_wordcount",      # external-process mapper (API-overhead shape)
     "gridmix_three_stage",     # gridmix job-1: staged keep-% pipeline
+    "gridmix_varkv_sort",      # gridmix job-2: variable-KV total-order sort
     "gridmix_reference_select",  # gridmix job-3: 0.2% select, 1 reducer
+    "gridmix_indirect_read",   # gridmix job-4: 10-iteration indirect read
     "corpus_clean",            # composed LLM-data pipeline (quality+lang+dedup)
     "wordcount_salted",        # skew-safe two-stage aggregation
 ]

@@ -117,31 +117,31 @@ def lang_id(
     the weight table, sum weight per (doc, lang), argmax with deterministic
     tie-break (higher score, then lang asc; docs with no hits → 'und').
 
-    Scale: the only shuffle is the groupBy on (doc_id, lang) — partial
-    aggregation collapses it map-side; profile join is broadcast."""
+    Scale: ONE pass over the corpus — explode_outer + a broadcast LEFT join
+    keep every doc represented (empty/unmatched docs carry a NULL-lang
+    group), so the 'und' rows fall out of the same aggregation instead of a
+    second full scan + join back to `df`. Two exchanges total: the
+    (doc, lang) groupBy and the per-doc argmax window; desc ordering puts
+    the NULL-lang group last, so it only wins when no language scored."""
     toks = df.select(
-        F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token")
+        F.col(id_col),
+        F.explode_outer(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
     )
     scored = (
-        toks.join(F.broadcast(lang_profile_df(spark)), "token")
+        toks.join(F.broadcast(lang_profile_df(spark)), "token", "left")
         .groupBy(id_col, "lang")
         # decimal-exact sum (engine-portable regardless of partial-agg order)
         .agg(F.sum(F.col("weight").cast("decimal(18,4)")).cast("double").alias("score"))
     )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("lang"))
-    best = (
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc_nulls_last("lang"))
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select(id_col, F.col("lang").alias("lang_pred"), "score")
-    )
-    return (
-        df.select(id_col)
-        .join(best, id_col, "left")
         .select(
-            id_col,
-            F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+            F.col(id_col),
+            F.coalesce("lang", F.lit("und")).alias("lang_pred"),
             F.coalesce("score", F.lit(0.0)).alias("score"),
         )
     )

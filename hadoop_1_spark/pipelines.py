@@ -237,3 +237,78 @@ def vaidya_diagnose(counters: DataFrame, rules: list[VaidyaRule], *id_cols: str)
         .where(F.col("r.fired"))
         .select(*id_cols, F.col("r.rule").alias("rule"), F.col("r.impact").alias("impact"))
     )
+
+
+def history_task_summary(attempts: DataFrame) -> DataFrame:
+    """D6: HistoryViewer.printTaskSummary (HistoryViewer.java:276-330) —
+    per (job, task type): attempt count, failed/killed counts, and the
+    type's timeline envelope (earliest start, latest finish). One hash
+    aggregation; at 100 TB of job history this is a scan-shaped rollup."""
+    return (
+        attempts.groupBy("job_id", "task_type")
+        .agg(
+            F.count("*").cast("long").alias("total"),
+            F.sum((F.col("status") == "FAILED").cast("long")).cast("long").alias("failed"),
+            F.sum((F.col("status") == "KILLED").cast("long")).cast("long").alias("killed"),
+            F.min("start_ms").cast("long").alias("started"),
+            F.max("finish_ms").cast("long").alias("finished"),
+        )
+    )
+
+
+def history_job_analysis(attempts: DataFrame, worst_k: int = 10) -> DataFrame:
+    """D6: HistoryViewer.printJobAnalysis/printAnalysis
+    (HistoryViewer.java:440-560): over each task's first SUCCESS attempt,
+    per (job, type) — average duration (Java long division), best task
+    time, and the worst-``worst_k`` list "task:ms" sorted slowest-first
+    (ties by task_id asc). MAP duration = finish-start; REDUCE rows also
+    report the shuffle (shuffle_finished-start) and reduce
+    (finish-shuffle_finished) phase averages.
+
+    Two exchanges: the first-success row_number window on task_id and the
+    (job, type) aggregation; the worst-k list is a bounded sort_array slice
+    (same working set as the reference's in-memory Arrays.sort)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("job_id", "task_id").orderBy("attempt_id")
+    first_ok = (
+        attempts.where(F.col("status") == "SUCCESS")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    dur = F.col("finish_ms") - F.col("start_ms")
+    shuffle_ms = F.col("shuffle_finish_ms") - F.col("start_ms")
+    reduce_ms = F.col("finish_ms") - F.col("shuffle_finish_ms")
+    per_task = first_ok.select(
+        "job_id",
+        "task_type",
+        "task_id",
+        dur.alias("dur"),
+        F.when(F.col("task_type") == "REDUCE", shuffle_ms).alias("shf"),
+        F.when(F.col("task_type") == "REDUCE", reduce_ms).alias("red"),
+    )
+    worst = F.slice(
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("dur")).alias("nd"), F.col("task_id").alias("t")))
+        ),
+        1,
+        worst_k,
+    )
+    return (
+        per_task.groupBy("job_id", "task_type")
+        .agg(
+            F.count("*").cast("long").alias("n_success"),
+            # Java: avg += dur; avg /= n  (integer division)
+            F.floor(F.sum("dur") / F.count("*")).cast("long").alias("avg_ms"),
+            F.min("dur").cast("long").alias("best_ms"),
+            F.floor(F.sum("shf") / F.count("shf")).cast("long").alias("avg_shuffle_ms"),
+            F.floor(F.sum("red") / F.count("red")).cast("long").alias("avg_reduce_ms"),
+            F.array_join(
+                F.transform(
+                    worst,
+                    lambda s: F.concat_ws(":", s["t"].cast("string"), (-s["nd"]).cast("string")),
+                ),
+                ",",
+            ).alias("worst_tasks"),
+        )
+    )

@@ -100,3 +100,85 @@ def gridmix_reference_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "gridmix_varkv_sort",
+    oracle="""
+WITH kv AS (
+  SELECT array_to_string((list_filter(string_split_regex(trim(text), '\\s+'),
+                                      x -> x <> ''))[1:5], ' ') AS k,
+         doc_id, text
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS records,
+       min(k) AS min_key,
+       max(k) AS max_key,
+       CAST(sum(('0x' || substr(md5(k || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+            AS BIGINT) AS checksum,
+       TRUE AS is_sorted
+FROM kv
+""",
+)
+def gridmix_varkv_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gridmix job-2 shape (gridmix/README:39-44): large sort of VARIABLE
+    key/value records — (5-word key, full-document value) from documents,
+    total-order sorted on the key, then validated with the SortValidator
+    invariants (count, min/max, order-insensitive checksum, global
+    sortedness). Same sampled-range-partition sort as terasort, but over
+    skewed variable-length records instead of fixed 100-byte rows."""
+    from hadoop_1_spark.operators import sort
+    from hadoop_1_spark.operators.textops import ws_tokens
+
+    docs = _load(spark, sf_dir, "documents")
+    kv = docs.select(
+        F.array_join(F.slice(ws_tokens(F.col("text")), 1, 5), " ").alias("k"),
+        "doc_id",
+        "text",
+    )
+    chk = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("k"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    sorted_df = sort.total_order_sort(kv.withColumn("chk", chk), "k", "doc_id")
+    return sort.sort_validate(sorted_df, F.col("k"), checksum=F.col("chk")).select(
+        "records", "min_key", "max_key", "checksum", "is_sorted"
+    )
+
+
+@register(
+    "gridmix_indirect_read",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY user_id
+""",
+)
+def gridmix_indirect_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gridmix job-4 shape (gridmix/README:54-64): iterated indirect read —
+    iteration i processes a fresh 10% slice of the input PLUS the whole of
+    iteration i-1's output, re-aggregating each time (10 chained
+    shuffle stages, the reference's 10-iteration indirect-input loop).
+    The reference materializes each iteration as files and feeds them back
+    'sans locality metadata'; the Spark-first equivalent keeps the loop as
+    lineage so AQE plans each reduce on the actual intermediate sizes.
+    Final state = per-user event counts over all 10 slices (the oracle's
+    closed form)."""
+    ev = _load(spark, sf_dir, "events")
+    state = None
+    for i in range(10):
+        slice_i = (
+            ev.where(md5_mod(F.col("event_id"), 10) == i)
+            .groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        if state is None:
+            state = slice_i
+        else:
+            state = (
+                state.unionByName(slice_i)
+                .groupBy("user_id")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+    return state

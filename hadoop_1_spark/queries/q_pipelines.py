@@ -310,3 +310,106 @@ def index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops = dels.unionByName(upds).unionByName(ins)
     eff = pipelines.apply_index_ops(docs, ops)
     return pipelines.inverted_index(eff)
+
+
+# --- D6: HistoryViewer task-timeline analytics --------------------------
+# Deterministic synthetic attempt log derived from events (the same
+# synthesize-from-driver-tables pattern as distcp/distch): job = user
+# bucket, task type/status from stable hashes, timeline from ts/value.
+
+_ATT_SQL = """
+att AS (
+  SELECT (user_id % 4) AS job_id,
+         event_id AS task_id,
+         0 AS attempt_id,
+         CASE WHEN event_id % 10 <= 5 THEN 'MAP'
+              WHEN event_id % 10 <= 8 THEN 'REDUCE'
+              ELSE 'SETUP' END AS task_type,
+         CASE (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 20)
+              WHEN 0 THEN 'FAILED' WHEN 1 THEN 'KILLED'
+              ELSE 'SUCCESS' END AS status,
+         epoch_ms(ts) AS start_ms,
+         epoch_ms(ts) + 1000 + CAST(floor(value * 100) AS BIGINT) AS finish_ms,
+         epoch_ms(ts) + CAST(floor((1000 + floor(value * 100)) * 3 / 10) AS BIGINT)
+           AS shuffle_finish_ms
+  FROM events
+)
+"""
+
+
+def _attempt_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_1_spark.operators.sampling import md5_mod
+
+    ev = _load(spark, sf_dir, "events")
+    start_ms = F.floor(F.col("ts").cast("decimal(38,0)") / 1000000).cast("long")
+    dur = (F.lit(1000) + F.floor(F.col("value") * 100)).cast("long")
+    m10 = F.col("event_id") % 10
+    return ev.select(
+        F.pmod(F.col("user_id"), F.lit(4)).cast("long").alias("job_id"),
+        F.col("event_id").alias("task_id"),
+        F.lit(0).alias("attempt_id"),
+        F.when(m10 <= 5, "MAP").when(m10 <= 8, "REDUCE").otherwise("SETUP").alias("task_type"),
+        F.when(md5_mod(F.col("event_id"), 20) == 0, "FAILED")
+        .when(md5_mod(F.col("event_id"), 20) == 1, "KILLED")
+        .otherwise("SUCCESS")
+        .alias("status"),
+        start_ms.alias("start_ms"),
+        (start_ms + dur).alias("finish_ms"),
+        (start_ms + F.floor(dur * 3 / 10).cast("long")).alias("shuffle_finish_ms"),
+    )
+
+
+@register(
+    "history_task_summary",
+    oracle=f"""
+WITH {_ATT_SQL}
+SELECT job_id, task_type,
+       CAST(count(*) AS BIGINT) AS total,
+       CAST(sum(CASE WHEN status = 'FAILED' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+       CAST(sum(CASE WHEN status = 'KILLED' THEN 1 ELSE 0 END) AS BIGINT) AS killed,
+       min(start_ms) AS started,
+       max(finish_ms) AS finished
+FROM att GROUP BY 1, 2
+""",
+)
+def history_task_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: HistoryViewer.printTaskSummary (HistoryViewer.java:276-330) over
+    the synthetic attempt log: per (job, type) attempt/failed/killed counts
+    + timeline envelope."""
+    return pipelines.history_task_summary(_attempt_log(spark, sf_dir))
+
+
+@register(
+    "history_job_analysis",
+    oracle=f"""
+WITH {_ATT_SQL},
+ok AS (
+  SELECT *, finish_ms - start_ms AS dur,
+         CASE WHEN task_type = 'REDUCE' THEN shuffle_finish_ms - start_ms END AS shf,
+         CASE WHEN task_type = 'REDUCE' THEN finish_ms - shuffle_finish_ms END AS red,
+         row_number() OVER (PARTITION BY job_id, task_id ORDER BY attempt_id) AS rn
+  FROM att WHERE status = 'SUCCESS'
+),
+t AS (SELECT * FROM ok WHERE rn = 1),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY job_id, task_type
+                               ORDER BY dur DESC, task_id ASC) AS wr
+  FROM t
+)
+SELECT job_id, task_type,
+       CAST(count(*) AS BIGINT) AS n_success,
+       CAST(floor(sum(dur) / count(*)) AS BIGINT) AS avg_ms,
+       CAST(min(dur) AS BIGINT) AS best_ms,
+       CAST(floor(sum(shf) / count(shf)) AS BIGINT) AS avg_shuffle_ms,
+       CAST(floor(sum(red) / count(red)) AS BIGINT) AS avg_reduce_ms,
+       string_agg(CASE WHEN wr <= 10 THEN CAST(task_id AS VARCHAR) || ':' || CAST(dur AS VARCHAR) END,
+                  ',' ORDER BY dur DESC, task_id ASC) AS worst_tasks
+FROM ranked GROUP BY 1, 2
+""",
+)
+def history_job_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: HistoryViewer.printJobAnalysis/printAnalysis
+    (HistoryViewer.java:440-560): per (job, type) over first-SUCCESS
+    attempts — avg (Java long division) / best durations, REDUCE
+    shuffle/reduce phase averages, and the worst-10 "task:ms" list."""
+    return pipelines.history_job_analysis(_attempt_log(spark, sf_dir))

@@ -89,3 +89,39 @@ def test_arrow_paths_bit_identical(spark):
         assert bits(r["n_expr"]) == bits(r["p_arrow"]["nrm"])
         assert bits(r["d_expr"]) == bits(r["d_arrow"])
         assert [bits(x) for x in r["s_expr"]] == [bits(x) for x in r["p_arrow"]["sums"]]
+
+
+def test_fused_fold_single_evaluation_plan_shape(spark):
+    """bucket_from_sums's single-evaluation guarantee rests on
+    CollapseProject's non-cheap-expression heuristic (Spark >= 3.3): the
+    bands*bits fold must appear ONCE in the optimized plan even though the
+    second select references the sums array `bits` times. Same assertion
+    for the Arrow twin: one ArrowEvalPython stage per projection pass."""
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    signs = similarity.hyperplane_signs(8)
+
+    # Expression (reference) form: fold in select 1, bits derived in select 2.
+    pre = emb.select(
+        "vec_id", similarity.signed_sums_fused(F.col("embedding"), signs).alias("_sums")
+    )
+    out = pre.select(
+        "vec_id", similarity.bucket_from_sums(F.col("_sums"), 0, 8).alias("b")
+    )
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("aggregate(") == 1, optimized
+
+    # Arrow form: one python-UDF eval stage, referenced fields notwithstanding.
+    pre_a = emb.select(
+        "vec_id", similarity.project_udf(signs)(F.col("embedding")).alias("_p")
+    )
+    out_a = pre_a.select(
+        "vec_id",
+        F.col("_p.nrm").alias("nrm"),
+        similarity.bucket_from_sums(F.col("_p.sums"), 0, 8).alias("b"),
+    )
+    physical = out_a._jdf.queryExecution().executedPlan().toString()
+    assert physical.count("ArrowEvalPython") == 1, physical
