@@ -36,7 +36,8 @@ SELECT p.event_id, p.user_id,
        CAST(epoch_us(s.ts) AS BIGINT) AS signup_ts_us,
        CAST(epoch_us(p.ts) - epoch_us(s.ts) AS BIGINT) AS gap_us
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+ASOF JOIN (SELECT user_id, ts, max(event_id) AS event_id
+           FROM events WHERE event_type = 'signup' GROUP BY 1, 2) s
   ON p.user_id = s.user_id AND p.ts >= s.ts
 """,
 )
@@ -48,8 +49,14 @@ def asof_signup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    signups = ev.where(F.col("event_type") == "signup").select(
-        "user_id", "ts", "event_id"
+    # Dedup signups per (user_id, ts): native ASOF picks an ARBITRARY row
+    # among equal timestamps, so both engines agree on max(event_id) up
+    # front (and the operator's own equal-ts tie-break — greatest payload —
+    # matches it by construction).
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
     )
     joined = temporal.asof_join(purchases, signups, on="user_id", ts_col="ts")
     return (

@@ -2,10 +2,12 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from hadoop_1_spark.operators import dedup
-from tests.conftest import assert_query_matches_oracle
+from tests.conftest import SF_DIR, assert_query_matches_oracle
 
 
 @pytest.mark.parametrize(
@@ -26,7 +28,7 @@ def test_dedup_queries_match_oracle(spark, duck, name):
 def test_embedding_lsh_subset_of_brute_force(spark):
     """LSH candidates verified at the same threshold are a subset of the
     brute-force pairs (prefilter can only lose pairs, never invent them)."""
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     brute = {
         (r["d1"], r["d2"]) for r in dedup.embedding_cosine_pairs(emb, 0.45).collect()
     }
@@ -59,7 +61,7 @@ def test_minhash_lsh_recall_matches_exact(spark, duck):
     on the driver corpus (planted dups are ~0.9+ Jaccard)."""
     from hadoop_1_spark import registry
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_DIR
     exact = {
         (r["d1"], r["d2"])
         for r in registry.QUERIES["dedup_ngram_jaccard"](spark, sf).collect()

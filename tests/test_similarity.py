@@ -5,7 +5,7 @@ from __future__ import annotations
 import pytest
 
 from hadoop_1_spark.operators import similarity
-from tests.conftest import assert_query_matches_oracle
+from tests.conftest import SF_DIR, assert_query_matches_oracle
 
 
 @pytest.mark.parametrize("name", ["sim_cosine_topk", "sim_lsh_topk", "sim_ivf_topk"])
@@ -41,7 +41,7 @@ def test_lsh_recall_vs_brute_force(spark):
     and rank-1 recall on the driver corpus should be substantial."""
     from hadoop_1_spark.session import load_table
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load_table(spark, SF_DIR, "embeddings")
     q = emb.where("vec_id < 10")
     bf = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in similarity.cosine_topk(emb, q, k=1).collect()}
     lsh = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in similarity.lsh_ann_topk(emb, q, k=1, nbits=4).collect()}
@@ -62,7 +62,7 @@ def test_arrow_paths_bit_identical(spark):
     from hadoop_1_spark.operators.dedup import dot_chain
     from hadoop_1_spark.session import load_table
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(200)
+    emb = load_table(spark, SF_DIR, "embeddings").limit(200)
     signs = similarity.hyperplane_signs(8)
     pair = emb.alias("a").crossJoin(
         emb.where("vec_id < 3").select(F.col("embedding").alias("e2")).alias("b")
@@ -101,7 +101,7 @@ def test_fused_fold_single_evaluation_plan_shape(spark):
 
     from hadoop_1_spark.session import load_table
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    emb = load_table(spark, SF_DIR, "embeddings").limit(50)
     signs = similarity.hyperplane_signs(8)
 
     # Expression (reference) form: fold in select 1, bits derived in select 2.
@@ -125,3 +125,33 @@ def test_fused_fold_single_evaluation_plan_shape(spark):
     )
     physical = out_a._jdf.queryExecution().executedPlan().toString()
     assert physical.count("ArrowEvalPython") == 1, physical
+
+
+def test_lsh_bucket_partitioned_corpus_prunes_probes(spark, tmp_path):
+    """The 100 TB ANN path: corpus written partitionBy(bucket) — a probe
+    for one bucket must hit only that partition (partition pruning in the
+    scan, not a full-corpus filter)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    signs = similarity.hyperplane_signs(4)
+    out = str(tmp_path / "ann_corpus")
+    emb.select(
+        "vec_id",
+        "embedding",
+        similarity.bucket_expr(F.col("embedding"), signs).alias("bucket"),
+    ).write.partitionBy("bucket").mode("overwrite").parquet(out)
+
+    corpus = spark.read.parquet(out)
+    probe = corpus.where(F.col("bucket") == 3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert m and "bucket" in m.group(1), plan
+    # pruned scan reads strictly fewer partitions than exist
+    n_parts = len([p for p in (tmp_path / "ann_corpus").iterdir() if p.name.startswith("bucket=")])
+    assert n_parts > 1
+    assert probe.count() == corpus.where(F.col("bucket") == 3).count()
