@@ -341,7 +341,7 @@ def _attempt_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_1_spark.operators.sampling import md5_mod
 
     ev = _load(spark, sf_dir, "events")
-    start_ms = F.floor(F.col("ts").cast("decimal(38,0)") / 1000000).cast("long")
+    start_ms = F.floor(F.unix_micros(F.col("ts")) / 1000).cast("long")
     dur = (F.lit(1000) + F.floor(F.col("value") * 100)).cast("long")
     m10 = F.col("event_id") % 10
     return ev.select(

@@ -169,7 +169,7 @@ def secondary_sort_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_1_spark.session import load_table
 
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts div 1000").alias("t")
+        "user_id", F.unix_micros(F.col("ts")).alias("t")
     )
 
     def max_gap(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -3,10 +3,9 @@
 The as-of oracle uses DuckDB's NATIVE ``ASOF JOIN`` — an independent
 implementation of the semantics, not a replica of our plan — so the
 union+window formulation is checked against a second engine's notion of
-as-of, row for row. Timestamps follow the repo convention: Spark reads
-the driver's TIMESTAMP(NANOS) parquet as epoch-nanos longs and outputs
-unix-micros via exact decimal division; DuckDB reads the same column at
-micro precision and outputs epoch_us.
+as-of, row for row. Timestamps follow the repo convention: load_table
+normalizes `ts` to UTC TIMESTAMP at micro precision (whatever the parquet
+vintage), so unix_micros here equals DuckDB's tz-free epoch_us.
 """
 
 from __future__ import annotations
@@ -22,9 +21,8 @@ BANDS = [(f"b{i}", 20.0 * i, 20.0 * (i + 1)) for i in range(10)]
 
 
 def _us(col: str) -> F.Column:
-    """Epoch-nanos long -> unix micros, exact (decimal division; double
-    division loses micros at 1e18 magnitudes)."""
-    return F.floor(F.col(col).cast("decimal(38,0)") / F.lit(1000)).cast("long")
+    """UTC TIMESTAMP (session.normalize_timestamps) -> tz-free unix micros."""
+    return F.unix_micros(F.col(col))
 
 
 @register(

@@ -82,13 +82,42 @@ def ts_nanos(col):
     return F.timestamp_micros(micros)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one star-schema parquet table (TESTDATA.md contract).
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Canonicalize temporal columns across driver-testdata vintages.
 
-    Sets nanosAsLong on the live session too — the driver harness calls our
-    queries with its own SparkSession, which won't have the builder config."""
+    The driver has shipped the events/orders/lineitem temporal columns as
+    TIMESTAMP(NANOS) parquet (read here as epoch-nanos longs under
+    nanosAsLong) in earlier rounds and as TIMESTAMP_MICROS(isAdjustedToUTC
+    =false) (read as TIMESTAMP_NTZ) currently. Downstream operators assume
+    ONE type, so every vintage is folded to session-tz TIMESTAMP at micro
+    precision; the session timezone is pinned to UTC (get_spark/load_table)
+    so the NTZ->TZ cast is the identity on the underlying micros and
+    unix_micros() agrees bit-for-bit with DuckDB's tz-free epoch_us()."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    out = df
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            out = out.withColumn(field.name, F.col(field.name).cast("timestamp"))
+        elif field.name == "ts" and isinstance(field.dataType, LongType):
+            # events.ts from the nanos vintage arrives as epoch-nanos long
+            out = out.withColumn(field.name, ts_nanos(field.name))
+    return out
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema parquet table (TESTDATA.md contract), temporal
+    columns normalized to UTC TIMESTAMP (see normalize_timestamps).
+
+    Sets nanosAsLong + UTC session timezone on the live session too — the
+    driver harness calls our queries with its own SparkSession, which won't
+    have the builder config."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return normalize_timestamps(
+        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

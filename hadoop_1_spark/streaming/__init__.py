@@ -33,27 +33,31 @@ from pyspark.sql import functions as F
 
 _sink_ids = itertools.count()
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet. ts arrives as
-    epoch-nanos long (nanosAsLong, see session.py) and is converted to a
-    proper timestamp for event-time semantics."""
+    """File-source stream over the events parquet, `ts` normalized to a
+    session-tz TIMESTAMP for event-time semantics.
+
+    File streams need an explicit schema; it is probed from the parquet
+    footer (driver-side metadata read, no scan) so the stream matches
+    whichever temporal vintage the driver generated — TIMESTAMP(NANOS)
+    read as epoch-nanos long under nanosAsLong, or TIMESTAMP_MICROS NTZ
+    (see session.normalize_timestamps)."""
+    import os
+
+    from hadoop_1_spark.session import normalize_timestamps
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # file-source streams take a directory; pathGlobFilter narrows to the
     # events table (a production drop-dir would match the same way)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # integer div, NOT '/': double division loses microseconds at 1e18-ns
-    # epoch magnitudes (53-bit mantissa)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_timestamps(raw)
 
 
 def run_to_table(stream: DataFrame, spark: SparkSession, mode: str) -> DataFrame:

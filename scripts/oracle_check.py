@@ -42,8 +42,13 @@ def struct_pack(v: float) -> bytes:
 
 
 def check(name: str, spark, con) -> bool:
-    sdf = registry.QUERIES[name](spark, SF_DIR)
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    try:
+        sdf = registry.QUERIES[name](spark, SF_DIR)
+        spark_rows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:  # keep sweeping; an exception is a hard FAIL
+        first = str(e).splitlines()[0] if str(e) else type(e).__name__
+        print(f"{name}: FAIL (exception: {first[:200]})")
+        return False
     spark_cols = list(sdf.columns)
     odf = con.sql(registry.ORACLE[name])
     oracle_cols = list(odf.columns)
