@@ -1,0 +1,122 @@
+"""Training-corpus preparation operators (north-star extensions beyond the
+reference surface, alongside dedup/similarity/textops): deterministic
+train/valid/test splitting, fixed-budget sequence packing, and benchmark
+decontamination — the operations a large-scale pretraining-data pipeline
+runs after cleaning and before tokenizer/training shards are written.
+
+There is no reference analog (Hadoop 1 ships no corpus tooling); the
+nearest primitives are the deterministic sampling filters
+(mapred/SequenceFileInputFilter.java MD5Filter — the md5-bucket idiom
+reused here) and TotalOrderPartitioner-style range sharding.
+
+Scale notes (100 TB design intent):
+- hash_split is a pure narrow projection — no shuffle, no RNG state; the
+  split of any document is reproducible from its id alone, so reruns,
+  backfills, and multi-site pipelines agree without coordination.
+- pack_bins shuffles once on the shard key; the per-shard window sort is
+  the same per-reducer sorted iteration every MapReduce reduce performs.
+  Shard count scales with data volume (thousands at 100 TB), bounding
+  each window's partition to a reducer-sized slice.
+- decontaminate broadcasts the benchmark shingle set (benchmarks are
+  tiny relative to the corpus — MBs against TBs), so the corpus side
+  stays a narrow scan + broadcast-hash semi-join: no corpus shuffle at
+  all until the per-doc count aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_1_spark.operators.sampling import md5_mod
+from hadoop_1_spark.operators import textops
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[tuple[str, int], ...] = (("train", 80), ("valid", 10), ("test", 10)),
+) -> DataFrame:
+    """Deterministic stratified split: md5-bucket the id into 100 cells and
+    carve them by cumulative weight (e.g. 80/10/10). Adds a ``split``
+    column; engine-portable (md5 hex arithmetic, see sampling.md5_mod)."""
+    total = sum(w for _, w in weights)
+    if total != 100:
+        raise ValueError(f"split weights must sum to 100, got {total}")
+    bucket = md5_mod(F.col(id_col), 100)
+    expr: Column | None = None
+    acc = 0
+    cases = []
+    for name, w in weights:
+        acc += w
+        cases.append((acc, name))
+    expr = F.when(bucket < cases[0][0], cases[0][1])
+    for hi, name in cases[1:-1]:
+        expr = expr.when(bucket < hi, name)
+    expr = expr.otherwise(cases[-1][1])
+    return df.withColumn("split", expr)
+
+
+def pack_bins(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-budget sequence packing: assign documents to training bins of
+    ~``budget`` tokens. Documents are sharded by md5(id) % shards; within a
+    shard (ordered by id) a document's bin is floor(exclusive-prefix-sum /
+    budget) — the streaming one-pass packing rule, so a bin's token total
+    exceeds the budget by at most its last document's length (real
+    pipelines truncate/pad that tail at tokenization time).
+
+    Output: one row per (shard, bin) with n_docs and bin_tokens."""
+    shard = md5_mod(F.col(id_col), shards)
+    w = Window.partitionBy("shard").orderBy(id_col)
+    prefix = F.sum(token_col).over(w) - F.col(token_col)
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("bin", F.floor(prefix / F.lit(budget)))
+        .groupBy("shard", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(token_col).cast("long").alias("bin_tokens"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least one
+    k-token shingle with any benchmark document (the n-gram-overlap test
+    used to scrub eval sets out of pretraining corpora; k is large enough
+    that incidental phrase collisions are rare).
+
+    Returns (id, n_shared) for contaminated docs — n_shared counts the
+    distinct shingles of the doc that also occur in the benchmark. Callers
+    drop them with a left-anti join on the id.
+
+    The corpus side stays shuffle-free until after the broadcast join:
+    shingles are NOT pre-deduped (distinct=False skips a corpus-wide
+    shuffle); count_distinct over the joined rows — only the matched,
+    contaminated sliver of the corpus — dedups instead."""
+    corpus_sh = textops.shingles(
+        corpus, k=k, text_col=text_col, id_col=id_col, distinct=False
+    )
+    bench_sh = (
+        textops.shingles(benchmark, k=k, text_col=text_col, id_col=id_col)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("shingle")).cast("long").alias("n_shared"))
+    )

@@ -61,3 +61,109 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dups.select(F.col("d2").alias("doc_id")), "doc_id", "left_anti")
         .select("doc_id", "quality", "lang_pred")
     )
+
+
+# --- Corpus preparation (operators/corpusprep.py) -----------------------
+# Deterministic split / packing / decontamination over documents; the md5
+# bucket arithmetic is the engine-portable idiom shared with sampling.
+
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+_B100 = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+PACK_BUDGET = 512
+PACK_SHARDS = 8
+BENCH_MOD = 7
+DECON_K = 5
+
+
+@register(
+    "corpus_split",
+    oracle=f"""
+SELECT CASE WHEN {_B100} < 80 THEN 'train'
+            WHEN {_B100} < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+FROM documents GROUP BY 1
+""",
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split (md5-bucket of doc_id;
+    no RNG, no shuffle — any engine reproduces the same assignment), folded
+    to per-split doc/token totals."""
+    from hadoop_1_spark.operators import corpusprep, textops
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.size(textops.ws_tokens(F.col("text")))
+    return (
+        corpusprep.hash_split(docs)
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(toks).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "corpus_pack_bins",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {PACK_SHARDS} AS shard,
+         len({_TOKS}) AS toks
+  FROM documents
+),
+w AS (
+  SELECT shard, toks,
+         sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - toks AS prefix
+  FROM d
+)
+SELECT shard, CAST(floor(prefix / {PACK_BUDGET}) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS bin_tokens
+FROM w GROUP BY 1, 2
+""",
+)
+def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into ~512-token training bins across 8 md5 shards
+    (one shuffle on the shard key; per-shard window = reducer-sorted
+    iteration). Output is the per-bin occupancy table."""
+    from hadoop_1_spark.operators import corpusprep, textops
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(textops.ws_tokens(F.col("text"))).alias("toks")
+    )
+    return corpusprep.pack_bins(
+        docs, "toks", budget=PACK_BUDGET, shards=PACK_SHARDS
+    )
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{DECON_K - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {DECON_K - 2})) AS i
+        FROM t WHERE len(toks) >= {DECON_K})
+),
+bs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh JOIN bs USING (shingle)
+WHERE doc_id % {BENCH_MOD} <> 0
+GROUP BY 1
+""",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (synthetic benchmark = every
+    7th doc) sharing >= 1 five-token shingle with the benchmark, with the
+    count of shared shingles. The benchmark shingle set is broadcast — the
+    corpus side is scan + broadcast semi-join, no corpus-wide shuffle."""
+    from hadoop_1_spark.operators import corpusprep
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) == 0)
+    train = docs.where(F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) != 0)
+    return corpusprep.decontaminate(train, bench, k=DECON_K)

@@ -20,3 +20,80 @@ def test_corpus_clean_drops_dup_and_offlang(spark):
     assert 0 < len(rows) < docs
     assert {r["lang_pred"] for r in rows} <= {"en", "es"}
     assert all(r["quality"] >= 0.5 for r in rows)
+
+
+def test_corpus_prep_queries_match_oracle(spark, duck):
+    for name in ("corpus_split", "corpus_pack_bins", "corpus_decontaminate"):
+        assert_query_matches_oracle(spark, duck, name)
+
+
+def test_hash_split_partitions_every_doc(spark):
+    """Split is total, deterministic, and roughly 80/10/10."""
+    from hadoop_1_spark.operators import corpusprep
+    from hadoop_1_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    split = corpusprep.hash_split(docs)
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert sum(counts.values()) == n
+    assert set(counts) == {"train", "valid", "test"}
+    assert counts["train"] > counts["valid"]
+    assert counts["train"] > counts["test"]
+    # re-running yields the identical assignment (no RNG anywhere)
+    again = {r["split"]: r["n"] for r in corpusprep.hash_split(docs).groupBy(
+        "split").count().withColumnRenamed("count", "n").collect()}
+    assert again == counts
+
+
+def test_pack_bins_accounting(spark):
+    """Packing conserves docs/tokens; bins are contiguous from 0 per shard
+    and only a bin's LAST doc may carry it past the budget (exclusive-
+    prefix rule)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.operators import corpusprep, textops
+    from hadoop_1_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", F.size(textops.ws_tokens(F.col("text"))).alias("toks")
+    )
+    budget = 256
+    bins = corpusprep.pack_bins(docs, "toks", budget=budget, shards=4).collect()
+    totals = docs.agg(F.count("*"), F.sum("toks")).first()
+    assert sum(r["n_docs"] for r in bins) == totals[0]
+    assert sum(r["bin_tokens"] for r in bins) == totals[1]
+    by_shard: dict[int, list] = {}
+    for r in bins:
+        by_shard.setdefault(r["shard"], []).append(r)
+    max_tok = docs.agg(F.max("toks")).first()[0]
+    for shard, rows in by_shard.items():
+        seq = sorted(r["bin"] for r in rows)
+        assert seq == list(range(len(seq))), f"shard {shard} bins not contiguous"
+        for r in rows:
+            assert r["bin_tokens"] < budget + max_tok
+
+
+def test_decontaminate_flags_planted_near_dups(spark):
+    """A doc made of a benchmark doc's text plus noise shares shingles and
+    is flagged; an unrelated doc is not."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hadoop_1_spark.operators import corpusprep
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "prefix words alpha beta gamma delta epsilon more tail"),
+            (11, "completely different tokens with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_shared"] for r in corpusprep.decontaminate(corpus, bench, k=5).collect()}
+    assert 10 in out and out[10] >= 1
+    assert 11 not in out
