@@ -44,6 +44,36 @@ def top_k(df: DataFrame, k: int, *cols: Column | str) -> DataFrame:
     return df.orderBy(*cols).limit(k)
 
 
+def global_rank(df: DataFrame, *cols: Column | str, rank_col: str = "rank") -> DataFrame:
+    """Distributed global row_number over a total order — never a
+    single-partition window. Range-shuffle on the sort key (the
+    TotalOrderPartitioner design: partition boundaries respect the order),
+    row_number within each partition, plus broadcast cumulative partition
+    offsets; the only unpartitioned window runs over the O(partitions)
+    per-partition counts, not data rows.
+
+    ``cols`` must define a TOTAL order (include a unique tie-break):
+    equal rows could straddle a range boundary and rank arbitrarily."""
+    part = (
+        df.repartitionByRange(*cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = part.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        part.join(F.broadcast(offsets), "_pid")
+        .select(
+            (F.row_number().over(w) + F.col("_off")).cast("bigint").alias(rank_col),
+            *df.columns,
+        )
+    )
+
+
 def secondary_sort_partitions(
     df: DataFrame, partition_key: str, *sort_cols: Column | str, num_partitions: int | None = None
 ) -> DataFrame:

@@ -4,14 +4,15 @@ TeraValidate pipeline.
 
 Ordering queries are verified through explicit ``row_number`` ranks: the
 driver's value-hash is order-insensitive, so the *rank column itself* carries
-the order assertion. The rank window is a correctness harness for sf0.01;
-the production output of a total-order sort is the range-partitioned sorted
-write (``df.orderBy(...).write``), which needs no global window.
+the order assertion. Ranks are computed distributed (sort.global_rank:
+range shuffle + per-partition row_number + broadcast offsets — no global
+single-partition window); the production output of a total-order sort is the
+range-partitioned sorted write (``df.orderBy(...).write``).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_1_spark.operators import keyfield, sort
@@ -53,11 +54,13 @@ def keyfield_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unix-sort key-field spec "-k5,5nr -k1,1n" compiled to sort expressions
     (mapred/lib/KeyFieldBasedComparator.java:46, KeyFieldHelper spec grammar).
     Rank column asserts the global order; whole-line tiebreak for determinism
-    (sort(1) last-resort compare)."""
+    (sort(1) last-resort compare; line is unique, so the order is total).
+    Rank is computed distributed (sort.global_rank: range shuffle +
+    per-partition row_number + broadcast offsets), never via a global
+    single-partition window."""
     lines = _lines(spark, sf_dir)
     exprs = keyfield.compile_sort_exprs(F.col("line"), KEYFIELD_SPEC, separator="-")
-    w = Window.orderBy(*exprs, F.col("line").asc())
-    return lines.select(F.row_number().over(w).cast("bigint").alias("rank"), "line")
+    return sort.global_rank(lines, *exprs, F.col("line").asc())
 
 
 @register(

@@ -76,3 +76,29 @@ def test_secondary_sort_partitions_contract(spark):
     total_keys = sum(r["keys"] for r in per_part)
     distinct_keys = orders.select("o_custkey").distinct().count()
     assert total_keys == distinct_keys  # groups not split across partitions
+
+
+def test_global_rank_matches_single_window(spark):
+    """Distributed rank (range shuffle + offsets) == the single-window
+    row_number ranking, on a total order with ties broken."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.operators.sort import global_rank
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(13)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["rank"]
+        for r in global_rank(df, *order).collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r["id"]: r["rank"]
+        for r in df.select(F.row_number().over(w).alias("rank"), "id").collect()
+    }
+    assert got == want
