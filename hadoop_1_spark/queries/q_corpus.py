@@ -167,3 +167,59 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) == 0)
     train = docs.where(F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) != 0)
     return corpusprep.decontaminate(train, bench, k=DECON_K)
+
+
+@register(
+    "corpus_shards",
+    oracle=f"""
+WITH kept AS (SELECT doc_id FROM ({{clean}})),
+d AS (
+  SELECT k.doc_id,
+         CASE WHEN {_B100} < 80 THEN 'train'
+              WHEN {_B100} < 90 THEN 'valid'
+              ELSE 'test' END AS split,
+         ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT % {{shards}} AS shard,
+         len({_TOKS}) AS toks
+  FROM kept k JOIN documents USING (doc_id)
+),
+w AS (
+  SELECT split, shard, toks,
+         sum(toks) OVER (PARTITION BY split, shard ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - toks AS prefix
+  FROM d
+)
+SELECT split, shard, CAST(floor(prefix / {{budget}}) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS bin_tokens
+FROM w GROUP BY 1, 2, 3
+""".format(clean=ORACLE["corpus_clean"], shards=4, budget=PACK_BUDGET),
+)
+def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pipeline to training shards: corpus_clean (quality + lang +
+    LSH dedup) -> deterministic split -> per-(split, shard) sequence
+    packing. Output is the shard/bin occupancy table a shard writer would
+    partitionBy((split, shard)) on. The oracle composes the already-
+    verified corpus_clean SQL with the split/pack CTEs end-to-end."""
+    from pyspark.sql.window import Window
+
+    from hadoop_1_spark.operators import corpusprep, textops
+    from hadoop_1_spark.operators.sampling import md5_mod
+
+    kept = corpus_clean(spark, sf_dir).select("doc_id")
+    docs = _load(spark, sf_dir, "documents").join(kept, "doc_id")
+    d = corpusprep.hash_split(docs).select(
+        "doc_id",
+        "split",
+        md5_mod(F.col("doc_id"), 4).alias("shard"),
+        F.size(textops.ws_tokens(F.col("text"))).alias("toks"),
+    )
+    w = Window.partitionBy("split", "shard").orderBy("doc_id")
+    prefix = F.sum("toks").over(w) - F.col("toks")
+    return (
+        d.withColumn("bin", F.floor(prefix / F.lit(PACK_BUDGET)))
+        .groupBy("split", "shard", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("bin_tokens"),
+        )
+    )

@@ -270,3 +270,86 @@ def read_sequence_file(spark, path: str):
     return spark.createDataFrame(
         spark.sparkContext.sequenceFile(path), "key string, value string"
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_glob: str,
+    dst: str,
+    target_file_bytes: int = 128 << 20,
+) -> DataFrame:
+    """HAR-style small-file compaction (HadoopArchives.java:77,454; §1.3 —
+    many small files -> one indexed archive). Reads every text file the
+    glob matches, rewrites them as a few large parquet parts carrying
+    (src_path, line), and writes a ``_manifest`` table (the HAR index
+    analog: src_path -> line count) under the destination.
+
+    Part count = ceil(total input bytes / target_file_bytes), sized from
+    FileSystem metadata (a driver-side listing, O(files) like the
+    reference's archive planner — no data pass). Returns the manifest.
+
+    Reading back one archived file is a pushed-down filter on src_path
+    (the manifest tells which part holds it, but parquet row-group
+    pruning on the sorted src_path column already skips the rest)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_glob)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(hpath) or []
+    total = sum(st.getLen() for st in statuses if st.isFile())
+    parts = max(1, -(-total // target_file_bytes))
+    lines = (
+        spark.read.text(src_glob)
+        .select(
+            F.input_file_name().alias("src_path"),
+            F.col("value").alias("line"),
+        )
+    )
+    (
+        lines.repartition(parts, "src_path")
+        .sortWithinPartitions("src_path")
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst, "data"))
+    )
+    manifest = (
+        spark.read.parquet(os.path.join(dst, "data"))
+        .groupBy("src_path")
+        .agg(F.count("*").cast("long").alias("n_lines"))
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(dst, "_manifest")
+    )
+    return spark.read.parquet(os.path.join(dst, "_manifest"))
+
+
+def read_archived_file(spark: SparkSession, dst: str, src_path: str) -> DataFrame:
+    """Point lookup into a compacted archive: filter on the sorted
+    src_path column — pushed to the scan, row groups pruned by min/max."""
+    return (
+        spark.read.parquet(os.path.join(dst, "data"))
+        .where(F.col("src_path") == src_path)
+        .select("line")
+    )
+
+
+def write_bloom_map(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    expected_ndv: int | None = None,
+) -> None:
+    """K3+/BloomMapFile parity (io/BloomMapFile.java:45,73): sorted-by-key
+    parts (MapFile index -> parquet min/max row-group pruning) PLUS a
+    parquet bloom filter on the key column — the dynamic-bloom membership
+    pre-test that lets point lookups skip row groups whose min/max range
+    covers the key but which cannot contain it."""
+    writer = (
+        df.repartition(key_col)
+        .sortWithinPartitions(key_col)
+        .write.mode("overwrite")
+        .option(f"parquet.bloom.filter.enabled#{key_col}", "true")
+    )
+    if expected_ndv is not None:
+        writer = writer.option(
+            f"parquet.bloom.filter.expected.ndv#{key_col}", str(expected_ndv)
+        )
+    writer.parquet(path)

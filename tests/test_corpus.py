@@ -23,7 +23,7 @@ def test_corpus_clean_drops_dup_and_offlang(spark):
 
 
 def test_corpus_prep_queries_match_oracle(spark, duck):
-    for name in ("corpus_split", "corpus_pack_bins", "corpus_decontaminate"):
+    for name in ("corpus_split", "corpus_pack_bins", "corpus_decontaminate", "corpus_shards"):
         assert_query_matches_oracle(spark, duck, name)
 
 

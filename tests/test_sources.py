@@ -204,3 +204,64 @@ def test_write_jdbc_plumbing_reaches_driver_lookup(spark):
         io.write_jdbc(df, "jdbc:nosuchdb://x/y", "t", num_partitions=1)
     msg = str(ei.value)
     assert "driver" in msg.lower() or "jdbc" in msg.lower()
+
+
+def test_compact_small_files_har_parity(spark, tmp_path):
+    """HAR compaction: 20 tiny files -> 1 part + manifest; per-file
+    content round-trips through the pushed-down point lookup."""
+    import os
+
+    from hadoop_1_spark.sources import io as hio
+
+    src = tmp_path / "logs"
+    os.makedirs(src)
+    for i in range(20):
+        (src / f"log{i:02d}.txt").write_text(f"alpha {i}\nbeta {i}\n")
+    dst = str(tmp_path / "archive")
+    manifest = hio.compact_small_files(spark, f"{src}/*.txt", dst)
+    rows = {r["src_path"].rsplit("/", 1)[-1]: r["n_lines"] for r in manifest.collect()}
+    assert len(rows) == 20 and all(n == 2 for n in rows.values())
+    # few large parts instead of 20 small files
+    parts = [f for f in os.listdir(os.path.join(dst, "data")) if f.endswith(".parquet")]
+    assert len(parts) == 1
+    # point lookup returns exactly the one file's lines, filter pushed down
+    target = next(
+        r["src_path"] for r in manifest.collect() if r["src_path"].endswith("log07.txt")
+    )
+    got = hio.read_archived_file(spark, dst, target)
+    assert sorted(r["line"] for r in got.collect()) == ["alpha 7", "beta 7"]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(src_path), EqualTo(src_path" in plan
+
+
+def test_write_bloom_map_lookup_and_bytes(spark, tmp_path):
+    """BloomMapFile parity: bloom-filtered sorted write serves exact point
+    lookups; the bloom filter physically lands in the file (same data
+    without the option is smaller)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.sources import io as hio
+
+    df = spark.range(50000).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key"),
+        (F.col("id") * 3).alias("value"),
+    )
+    with_bloom = str(tmp_path / "bloom")
+    without = str(tmp_path / "plain")
+    hio.write_bloom_map(df, with_bloom, "key", expected_ndv=50000)
+    df.repartition("key").sortWithinPartitions("key").write.mode("overwrite").parquet(without)
+
+    def psize(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    assert psize(with_bloom) > psize(without)  # bloom bytes are in the file
+    got = (
+        spark.read.parquet(with_bloom).where(F.col("key") == "k31415").collect()
+    )
+    assert [(r["key"], r["value"]) for r in got] == [("k31415", 94245)]
