@@ -455,3 +455,55 @@ def embedding_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame, left: str = "d1", right: str = "d2", max_iter: int = 25
+) -> DataFrame:
+    """Connected components of a near-dup pair graph: (id, cluster) where
+    cluster is the minimum doc id reachable through pair edges. Real
+    dedup keeps ONE representative per cluster — per-pair dropping
+    over/under-deletes on chains (a-b, b-c).
+
+    Iterative min-label propagation (the GraphX/connected-components
+    shape): each round, every vertex takes the min of its own label and
+    its neighbors' labels. Rounds = O(graph diameter) — near-dup clusters
+    are shallow (pairs share an origin doc), so a handful. The driver
+    loop reads ONE scalar per round (the changed-count that also
+    materializes the round); per-round work is a single shuffle join on
+    vertex id. Labels persist each round to cut lineage; at 100 TB swap
+    persist for checkpoint() against a checkpoint dir.
+
+    The fixpoint (min reachable id) is unique, so the result is
+    deterministic under any partitioning — which is what lets a recursive
+    SQL oracle replay it."""
+    fwd = pairs.select(F.col(left).alias("v"), F.col(right).alias("w"))
+    rev = pairs.select(F.col(right).alias("v"), F.col(left).alias("w"))
+    # edges + final labels go through _persist so release_caches() (run by
+    # the registry dispatch before the NEXT query) frees them; the
+    # per-round label tables are unpersisted inside the loop.
+    edges = _persist(fwd.union(rev).distinct())
+    labels = edges.select("v").distinct().withColumn("l", F.col("v")).persist()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("v").alias("w"), F.col("l").alias("wl")),
+                "w",
+            )
+            .groupBy("v")
+            .agg(F.min("wl").alias("nl"))
+        )
+        new = (
+            labels.join(nbr, "v", "left")
+            .select("v", F.least("l", F.coalesce("nl", "l")).alias("l"))
+            .persist()
+        )
+        changed = new.join(labels.withColumnRenamed("l", "old"), "v").where(
+            F.col("l") < F.col("old")
+        ).count()
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    _LIVE_CACHES.append(labels)
+    return labels.select(F.col("v"), F.col("l").alias("cluster"))

@@ -10,6 +10,7 @@ and cosine >= 0.45 selects the top ~14 embedding pairs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hadoop_1_spark.operators import dedup
 from hadoop_1_spark.registry import _load, register
@@ -251,4 +252,35 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate set itself is checked."""
     return dedup.embedding_lsh_pairs(
         _load(spark, sf_dir, "embeddings"), threshold=0.45, bands=4, bits=4
+    )
+
+
+def _clusters_oracle() -> str:
+    """Recursive min-label closure over the (already-verified) minhash
+    pair list: cluster = min doc id reachable through pair edges."""
+    return f"""
+WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ({_minhash_oracle()})),
+e AS (SELECT d1 AS v, d2 AS w FROM pairs UNION SELECT d2, d1 FROM pairs),
+walk(v, l) AS (
+  SELECT v, v FROM (SELECT DISTINCT v FROM e) t
+  UNION
+  SELECT e.v, w.l FROM e JOIN walk w ON e.w = w.v
+)
+SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS cluster FROM walk GROUP BY v
+"""
+
+
+@register("dedup_clusters", oracle=_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved to connected components: every doc that
+    appears in a verified MinHash-LSH pair, labeled with its cluster
+    representative (min reachable doc id). Keeping rows where
+    doc_id == cluster dedups per CLUSTER — correct on chains (a-b, b-c),
+    where per-pair dropping is not. Oracle = recursive min-label closure
+    over the same pair list."""
+    pairs = dedup.minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"), k=3, num_hashes=16, bands=8, threshold=0.8
+    )
+    return dedup.connected_components(pairs).select(
+        F.col("v").alias("doc_id"), "cluster"
     )

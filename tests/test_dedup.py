@@ -80,3 +80,22 @@ def test_df_cap_drops_hot_shingles(spark):
     )
     # every shingle appears in all 5 docs; df_cap=3 drops them all -> no pairs
     assert dedup.ngram_jaccard_pairs(df, k=3, threshold=0.1, df_cap=3).count() == 0
+
+
+def test_connected_components_chains(spark):
+    """Chains collapse to one cluster (min id); disjoint pairs stay apart;
+    per-pair dropping would mishandle the a-b, b-c chain."""
+    from hadoop_1_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "d1 long, d2 long",
+    )
+    got = {r["v"]: r["cluster"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_matches_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "dedup_clusters")
