@@ -120,3 +120,66 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct(F.col("shingle")).cast("long").alias("n_shared"))
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank rows inside each
+    stratum by (md5(id), id) — a fixed random-looking order any engine
+    reproduces — and keep the first k. The deterministic twin of per-key
+    reservoir sampling (InputSampler.RandomSampler intent, made
+    replayable). One shuffle on the stratum key; per-stratum top-k is
+    WindowGroupLimit-pruned (rank <= k pushes into the sort)."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def rebalance_by_language(
+    labeled: DataFrame,
+    targets: dict[str, int],
+    id_col: str = "doc_id",
+    lang_col: str = "lang_pred",
+    mod: int = 1_000_000,
+) -> DataFrame:
+    """Downsample a language-labeled corpus toward a target language mix —
+    the multilingual-rebalancing step of a pretraining pipeline. ``targets``
+    maps language -> integer percent (must sum to <= 100). Languages
+    outside ``targets`` are dropped; language L keeps
+    min(1, pct_L/100 * N / n_L) of its docs (N = total in-scope docs), so
+    over-represented languages shrink toward the mix and under-represented
+    ones pass through whole.
+
+    The keep rule is EXACT integer arithmetic — doc kept iff
+        md5_bucket(id, mod) * n_L * 100 < pct_L * N * mod
+    — no floating-point fraction, so any engine replays the same sample
+    (products stay < 2^63 for corpora up to ~9e6 docs per partition of
+    the inequality; at larger N drop mod to 10^4).
+
+    Scale shape: one aggregation for per-language counts (a handful of
+    rows), broadcast back; the corpus side is scan -> broadcast join ->
+    filter, no corpus-wide shuffle."""
+    in_scope = labeled.where(F.col(lang_col).isin(*targets))
+    counts = in_scope.groupBy(lang_col).agg(F.count("*").alias("_n"))
+    # total over <= len(targets) rows — the unpartitioned window is fine
+    counts = counts.withColumn(
+        "_total", F.sum("_n").over(Window.partitionBy())
+    )
+    pct = F.create_map(
+        *[x for lang, p in targets.items() for x in (F.lit(lang), F.lit(p))]
+    )[F.col(lang_col)]
+    bucket = md5_mod(F.col(id_col), mod)
+    return (
+        in_scope.join(F.broadcast(counts), lang_col)
+        .where(bucket * F.col("_n") * F.lit(100) < pct * F.col("_total") * F.lit(mod))
+        .drop("_n", "_total")
+    )

@@ -223,3 +223,73 @@ def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("toks").cast("long").alias("bin_tokens"),
         )
     )
+
+
+SAMPLE_K = 5
+LANG_TARGETS = {"en": 50, "es": 30, "de": 20}
+
+
+@register(
+    "corpus_sample_stratified",
+    oracle=f"""
+SELECT source, doc_id FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+) <= {SAMPLE_K}
+""",
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-{K}-per-source deterministic sample (md5-ranked within each
+    stratum) — replayable per-key reservoir sampling for corpus balancing
+    and eval-set carving."""
+    from hadoop_1_spark.operators import corpusprep
+
+    docs = _load(spark, sf_dir, "documents").select("source", "doc_id")
+    return corpusprep.stratified_sample(docs, "source", SAMPLE_K)
+
+
+def _rebalance_oracle() -> str:
+    langs = ", ".join(f"'{l}'" for l in LANG_TARGETS)
+    tvals = ", ".join(f"('{l}', {p})" for l, p in LANG_TARGETS.items())
+    return f"""
+WITH s AS (SELECT doc_id, lang FROM documents WHERE lang IN ({langs})),
+c AS (SELECT lang, count(*) AS n, sum(count(*)) OVER () AS tot
+      FROM s GROUP BY 1),
+t(lang, pct) AS (VALUES {tvals}),
+k AS (
+  SELECT s.doc_id, s.lang
+  FROM s JOIN c USING (lang) JOIN t USING (lang)
+  WHERE ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+        * n * 100 < pct * tot * 1000000
+)
+SELECT k.lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(any_value(c.n) AS BIGINT) AS n_total
+FROM k JOIN c USING (lang)
+GROUP BY 1
+"""
+
+
+@register("corpus_rebalance_langs", oracle=_rebalance_oracle())
+def corpus_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing toward a 50/30/20 en/es/de mix: over-represented
+    languages are deterministically downsampled (exact integer keep rule,
+    engine-replayable), under-represented ones pass through whole. Runs on
+    the corpus's lang labels (the operator is label-agnostic — swap in
+    lang_id predictions upstream when no labels exist). Output:
+    per-language kept/total counts."""
+    from hadoop_1_spark.operators import corpusprep
+
+    labeled = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = corpusprep.rebalance_by_language(labeled, LANG_TARGETS, lang_col="lang")
+    totals = (
+        labeled.where(F.col("lang").isin(*LANG_TARGETS))
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_total"))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+        .join(totals, "lang")
+    )

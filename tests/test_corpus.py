@@ -97,3 +97,52 @@ def test_decontaminate_flags_planted_near_dups(spark):
     out = {r["doc_id"]: r["n_shared"] for r in corpusprep.decontaminate(corpus, bench, k=5).collect()}
     assert 10 in out and out[10] >= 1
     assert 11 not in out
+
+
+def test_stratified_and_rebalance_match_oracle(spark, duck):
+    for name in ("corpus_sample_stratified", "corpus_rebalance_langs"):
+        assert_query_matches_oracle(spark, duck, name)
+
+
+def test_stratified_sample_exact_k(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.operators import corpusprep
+    from hadoop_1_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "source", "doc_id"
+    )
+    per = (
+        corpusprep.stratified_sample(docs, "source", 3)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    avail = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    assert per
+    for r in per:
+        assert r["count"] == min(3, avail[r["source"]])
+    # deterministic: second run samples the identical ids
+    a = sorted(r["doc_id"] for r in corpusprep.stratified_sample(docs, "source", 3).collect())
+    b = sorted(r["doc_id"] for r in corpusprep.stratified_sample(docs, "source", 3).collect())
+    assert a == b
+
+
+def test_rebalance_shrinks_overrepresented_only(spark):
+    from hadoop_1_spark import registry
+
+    rows = {
+        r["lang"]: (r["n_kept"], r["n_total"])
+        for r in registry.QUERIES["corpus_rebalance_langs"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {"en", "es", "de"}
+    total = sum(t for _, t in rows.values())
+    for lang, (kept, tot) in rows.items():
+        frac_target = {"en": 0.5, "es": 0.3, "de": 0.2}[lang]
+        if tot <= frac_target * total:  # under-represented: passes whole
+            assert kept == tot, lang
+        else:  # over-represented: strictly downsampled
+            assert kept < tot, lang
