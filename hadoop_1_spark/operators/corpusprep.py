@@ -70,7 +70,10 @@ def pack_bins(
     shard (ordered by id) a document's bin is floor(exclusive-prefix-sum /
     budget) — the streaming one-pass packing rule, so a bin's token total
     exceeds the budget by at most its last document's length (real
-    pipelines truncate/pad that tail at tokenization time).
+    pipelines truncate/pad that tail at tokenization time). A document
+    longer than the budget consumes several budgets' worth of prefix, so
+    bin indices may SKIP after it (the skipped indices are its overflow);
+    within a shard, bins start at 0 and max(bin) <= shard tokens // budget.
 
     Output: one row per (shard, bin) with n_docs and bin_tokens."""
     shard = md5_mod(F.col(id_col), shards)

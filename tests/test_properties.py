@@ -181,3 +181,53 @@ def test_keyfield_sort_matches_python_reference(spark, rows, spec):
     specs = keyfield.parse_sort_spec(spec)
     expected = sorted(lines, key=lambda ln: _py_sortkey(ln, specs, sep))
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Corpus-prep invariants (python-side reference replay of the md5 rules)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=12, deadline=None)
+def test_pack_bins_conservation_property(spark, token_sizes, budget, shards):
+    """Packing conserves docs + tokens and bins are contiguous from 0 in
+    every shard, for arbitrary document sizes/budgets/shard counts."""
+    from hadoop_1_spark.operators import corpusprep
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(token_sizes)], "doc_id long, toks long"
+    )
+    rows = corpusprep.pack_bins(df, "toks", budget=budget, shards=shards).collect()
+    assert sum(r["n_docs"] for r in rows) == len(token_sizes)
+    assert sum(r["bin_tokens"] for r in rows) == sum(token_sizes)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows_s in by_shard.values():
+        bins = sorted(r["bin"] for r in rows_s)
+        toks_s = sum(r["bin_tokens"] for r in rows_s)
+        # first bin is 0; an over-budget doc may SKIP indices (it consumes
+        # several budgets' worth), but never past the token total
+        assert bins[0] == 0
+        assert len(set(bins)) == len(bins)
+        assert bins[-1] <= toks_s // budget
+
+
+def test_hash_split_weight_variants(spark):
+    """2-way and degenerate 100/0 splits behave; bad weights raise."""
+    import pytest
+
+    from hadoop_1_spark.operators import corpusprep
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    two = corpusprep.hash_split(df, weights=(("a", 50), ("b", 50)))
+    counts = {r["split"]: r["count"] for r in two.groupBy("split").count().collect()}
+    assert set(counts) == {"a", "b"} and sum(counts.values()) == 500
+    all_in = corpusprep.hash_split(df, weights=(("x", 100),))
+    assert all_in.where("split <> 'x'").count() == 0
+    with pytest.raises(ValueError):
+        corpusprep.hash_split(df, weights=(("a", 60), ("b", 60)))
