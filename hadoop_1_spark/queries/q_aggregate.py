@@ -57,7 +57,7 @@ def agg_framework(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS VARCHAR) AS sum_disc_price,
   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
   CAST(max(l_quantity) AS DOUBLE) AS max_qty,
   CAST(min(l_quantity) AS DOUBLE) AS min_qty,
@@ -78,7 +78,11 @@ def agg_sums_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(dq).cast("double").alias("sum_qty"),
         F.sum(dp).cast("double").alias("sum_base_price"),
-        F.sum(dp * (F.lit(1) - dd)).cast("double").alias("sum_disc_price"),
+        # scale-8 decimal stays a STRING: DuckDB's decimal->double cast
+        # double-rounds (int128->double, then /10^8) and drifts 1 ulp from
+        # Spark's correctly-rounded cast once the scaled int passes 2^53
+        # (surfaced by the sf0.1 oracle sweep; scale-4 sums stay exact)
+        F.sum(dp * (F.lit(1) - dd)).cast("decimal(38,8)").cast("string").alias("sum_disc_price"),
         (F.sum(dq).cast("double") / F.count("*")).alias("avg_qty"),
         F.max("l_quantity").cast("double").alias("max_qty"),
         F.min("l_quantity").cast("double").alias("min_qty"),

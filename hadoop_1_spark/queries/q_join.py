@@ -115,8 +115,8 @@ def datamerge_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_mktsegment, o_orderpriority,
        CAST(count(*) AS BIGINT) AS line_count,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS VARCHAR) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -139,7 +139,8 @@ def join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(
             F.count("*").cast("bigint").alias("line_count"),
-            F.sum(dp * (F.lit(1) - dd)).cast("double").alias("revenue"),
+            # string-typed exact decimal: see agg_sums_by_flag sum_disc_price
+            F.sum(dp * (F.lit(1) - dd)).cast("decimal(38,8)").cast("string").alias("revenue"),
         )
     )
 

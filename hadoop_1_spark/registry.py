@@ -13,7 +13,12 @@ column is explicitly aliased and cast on BOTH sides.
 Cross-engine determinism rules used throughout:
 - double aggregation: cast inputs to DECIMAL(18,4), aggregate exactly, cast
   the result back to DOUBLE — identical bits in Spark and DuckDB regardless
-  of partial-aggregation order.
+  of partial-aggregation order... UNTIL the scaled integer exceeds 2^53:
+  DuckDB's decimal->double cast double-rounds (int128 -> double, then
+  / 10^scale) while Spark's is correctly rounded, so they can differ by
+  1 ulp (seen at sf0.1 on a scale-8 product sum). Sums whose scaled
+  magnitude can pass 2^53 stay DECIMAL and are output as STRINGS (both
+  engines print decimal(38,8) identically).
 - cross-engine hashing: md5 hex strings (identical in both engines); never
   Spark's murmur3 ``hash``/``xxhash64`` in oracle-checked queries.
 - timestamps are never output raw; cast/format to string or date parts.
