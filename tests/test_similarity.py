@@ -42,12 +42,13 @@ def test_lsh_recall_vs_brute_force(spark):
     from hadoop_1_spark.session import load_table
 
     emb = load_table(spark, SF_DIR, "embeddings")
-    q = emb.where("vec_id < 10")
+    q = emb.where("vec_id < 40")
     bf = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in similarity.cosine_topk(emb, q, k=1).collect()}
     lsh = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in similarity.lsh_ann_topk(emb, q, k=1, nbits=4).collect()}
     hits = sum(1 for k in bf if lsh.get(k) == bf[k])
     # Driver embeddings are near-random (cosine max ~0.5), so 4-bit LSH
-    # recall is modest; this is a sanity floor, not a quality target.
+    # per-query recall is ~0.2; 40 queries make P(0 hits) < 1e-3 at any
+    # SF (10 queries flaked at sf0.01). Sanity floor, not a quality target.
     assert hits >= 1
 
 
