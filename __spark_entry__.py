@@ -87,7 +87,7 @@ def _module_files(modname: str) -> list[str]:
         return None
 
     seen: set[str] = set()
-    stack = [modname, "hadoop_1_spark.registry"]
+    stack = [modname]
     files: set[str] = set()
     while stack:
         name = stack.pop()
@@ -104,13 +104,18 @@ def _module_files(modname: str) -> list[str]:
     return sorted(files)
 
 
-def query_digest(name: str, read=None) -> str:
-    """md5 over the source-file closure of a registered query's builder.
-    ``read(relpath) -> bytes`` defaults to the working tree (the record
-    script passes a ``git show HEAD:...`` reader to pin the verified
-    snapshot)."""
+def _core_files() -> list[str]:
+    """The engine-core closure shared by EVERY query: registry.py (the
+    dispatch every entry point goes through) plus whatever it reaches
+    (session.py load seam, package __init__s). Hashed SEPARATELY from the
+    per-query closures so an edit here marks queries "core-dirty" — their
+    own drain rank in the rotation — instead of erasing all verification
+    state at once (round-4 verdict #1)."""
+    return _module_files("hadoop_1_spark.registry")
+
+
+def _digest_files(files, read=None) -> str:
     import hashlib
-    import inspect
 
     base = os.path.dirname(os.path.abspath(__file__))
     if read is None:
@@ -118,18 +123,42 @@ def query_digest(name: str, read=None) -> str:
             with open(os.path.join(base, rel), "rb") as fh:
                 return fh.read()
 
-    fn = inspect.unwrap(registry.QUERIES[name])
     h = hashlib.md5()
-    for rel in _module_files(fn.__module__):
+    for rel in files:
         h.update(rel.encode())
         h.update(read(rel))
     return h.hexdigest()
 
 
-def _dirty_queries() -> set[str]:
-    """Queries whose source closure changed since last verified, per the
-    VERIFIED.json manifest (written by scripts/record_verified.py at round
-    start). Missing manifest -> nothing is dirty (pure LRU rotation)."""
+def core_digest(read=None) -> str:
+    """md5 over the engine-core files (see _core_files)."""
+    return _digest_files(_core_files(), read)
+
+
+def query_digest(name: str, read=None) -> str:
+    """md5 over the source-file closure of a registered query's builder,
+    EXCLUDING the engine-core files (those are tracked by core_digest so a
+    core edit can't dirty queries wholesale). ``read(relpath) -> bytes``
+    defaults to the working tree (the record script passes a ``git show
+    HEAD:...`` reader to pin the verified snapshot)."""
+    import inspect
+
+    core = set(_core_files())
+    fn = inspect.unwrap(registry.QUERIES[name])
+    files = [f for f in _module_files(fn.__module__) if f not in core]
+    return _digest_files(files, read)
+
+
+def _dirty_queries() -> tuple[set[str], set[str]]:
+    """(dirty, core_dirty) since last verified, per the VERIFIED.json
+    manifest (written by scripts/record_verified.py at round start).
+
+    dirty: the query's OWN source closure changed (or it has no pinned
+    digest) — highest re-verification urgency. core_dirty: only the shared
+    engine core (registry/session/package inits) changed since this query
+    was verified — re-check soon, ordered by LRU, draining across at most
+    ceil(N/window) rounds without displacing own-closure-dirty queries.
+    Missing manifest -> nothing is dirty (pure LRU rotation)."""
     import json
 
     base = os.path.dirname(os.path.abspath(__file__))
@@ -137,8 +166,13 @@ def _dirty_queries() -> set[str]:
         with open(os.path.join(base, "VERIFIED.json"), encoding="utf-8") as fh:
             manifest = json.load(fh)
     except (OSError, ValueError):
-        return set()
+        return set(), set()
     dirty: set[str] = set()
+    core_dirty: set[str] = set()
+    try:
+        core_now = core_digest()
+    except Exception:
+        core_now = None
     for name in registry.QUERIES:
         rec = manifest.get(name)
         if rec is None:
@@ -151,9 +185,11 @@ def _dirty_queries() -> set[str]:
         try:
             if query_digest(name) != rec.get("digest"):
                 dirty.add(name)
+            elif core_now is None or rec.get("core") != core_now:
+                core_dirty.add(name)
         except Exception:
             dirty.add(name)
-    return dirty
+    return dirty, core_dirty
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -161,13 +197,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Ordered so the driver's bounded verification window re-checks what
     most needs it: (1) queries whose latest CORRECTNESS row failed,
-    (2) queries whose implementing source changed since last verified,
-    (3) least-recently-verified; ties break alphabetically.
+    (2) queries whose OWN implementing source changed since last verified,
+    (3) queries verified before the last engine-core edit (core-dirty),
+    (4) least-recently-verified; LRU round then name breaks ties within
+    each rank, so a core edit drains deterministically across consecutive
+    bounded windows.
     """
     qs = dict(registry.QUERIES)
     try:
         last, failed = _correctness_history()
-        dirty = _dirty_queries()
+        dirty, core_dirty = _dirty_queries()
     except Exception:
         return qs
     return {
@@ -176,7 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             qs,
             key=lambda n: (
                 0 if failed.get(n) else 1,
-                0 if n in dirty else 1,
+                0 if n in dirty else (1 if n in core_dirty else 2),
                 last.get(n, 0),
                 n,
             ),

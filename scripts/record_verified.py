@@ -50,13 +50,24 @@ def main() -> None:
     rnd, path = rounds[-1]
     with open(path, encoding="utf-8") as fh:
         rows = json.load(fh)
+    core = entry.core_digest(read=git_read)
     updated = 0
     for name in rows:
         if name not in entry.registry.QUERIES:
             continue
-        if manifest.get(name, {}).get("round", -1) >= rnd:
+        rec = manifest.get(name, {})
+        # Re-pin the latest round's entries even if already recorded: the
+        # digest *scheme* may have changed (e.g. r5's core/query split) and
+        # HEAD is the snapshot the driver verified.
+        if rec.get("round", -1) > rnd or (
+            rec.get("round") == rnd and "core" in rec
+        ):
             continue
-        manifest[name] = {"round": rnd, "digest": entry.query_digest(name, read=git_read)}
+        manifest[name] = {
+            "round": rnd,
+            "digest": entry.query_digest(name, read=git_read),
+            "core": core,
+        }
         updated += 1
     with open(manifest_path, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
