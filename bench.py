@@ -41,7 +41,9 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",   # signature → band join → verify
     "dedup_simhash",       # 60-bit simhash band join
     "dedup_embedding_lsh", # hyperplane-banded embedding near-dup (scale path)
+    "dedup_clusters",      # near-dup pairs → connected-components resolution
     "sim_lsh_topk",        # hyperplane-bucketed ANN
+    "sim_ivf_topk",        # IVF cell-pruned ANN
     "index_build",         # inverted index (explode + 2-level agg)
     "mm_features",         # Arrow mapInPandas over binary blobs
     "rumen_cdf",           # JSON parse + percentile CDFs

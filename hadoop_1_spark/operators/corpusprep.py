@@ -164,9 +164,10 @@ def rebalance_by_language(
 
     The keep rule is EXACT integer arithmetic — doc kept iff
         md5_bucket(id, mod) * n_L * 100 < pct_L * N * mod
-    — no floating-point fraction, so any engine replays the same sample
-    (products stay < 2^63 for corpora up to ~9e6 docs per partition of
-    the inequality; at larger N drop mod to 10^4).
+    — no floating-point fraction, so any engine replays the same sample.
+    Overflow bound: both sides are bounded by 100 * mod * N, so with
+    mod = 10^6 the products stay < 2^63 (~9.2e18) for corpora up to
+    N ~ 9.2e10 docs; at larger N drop mod to 10^4 (bound ~9.2e12).
 
     Scale shape: one aggregation for per-language counts (a handful of
     rows), broadcast back; the corpus side is scan -> broadcast join ->

@@ -36,30 +36,15 @@ from hadoop_1_spark.operators.textops import shingle_hash
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = 15
 
-# Signature/fingerprint tables persisted by the operators below, so a
-# long-lived session (the driver runs every query through one) can release
-# them between queries instead of accumulating cached blocks until LRU
-# eviction competes with shuffle memory.
-_LIVE_CACHES: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
-
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _LIVE_CACHES.append(df)
-    return df
-
-
-def release_caches() -> None:
-    """Unpersist every signature table persisted by earlier dedup pipelines.
-
-    Called by ``registry.register``'s dispatch wrapper before EVERY query
-    build: by the time the next query is being built, the previous query's
-    result has been collected, so its caches are dead weight. Bounded
-    invariant: at most one query's caches are live across a session."""
-    while _LIVE_CACHES:
-        _LIVE_CACHES.pop().unpersist()
+# Signature/fingerprint tables persist through the engine-wide tracked
+# cache (operators/caching.py) so the registry dispatch can release them
+# between queries. release_caches is re-exported here because
+# registry.register's dispatch calls dedup.release_caches().
+from hadoop_1_spark.operators.caching import (  # noqa: F401
+    persist_tracked as _persist,
+    release_caches,
+    track as _track,
+)
 
 
 def normalize_text(text: Column) -> Column:
@@ -488,6 +473,7 @@ def connected_components(
     edges = _persist(fwd.union(rev).distinct())
     labels = edges.select("v").distinct().withColumn("l", F.col("v")).persist()
     prev_sum: object = None
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -500,7 +486,10 @@ def connected_components(
         new = (
             labels.join(nbr, "v", "left")
             .select("v", F.least("l", F.coalesce("nl", "l")).alias("l"))
-            .persist()
+            # localCheckpoint (not persist) per round: truncates lineage so
+            # round N's plan doesn't replay rounds 1..N-1, and materializes
+            # in the same job the fixpoint aggregate runs (eager=False).
+            .localCheckpoint(eager=False)
         )
         # label sum is strictly monotone decreasing until convergence —
         # one aggregate materializes the round AND detects the fixpoint
@@ -508,7 +497,20 @@ def connected_components(
         labels.unpersist()
         labels = new
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
-    _LIVE_CACHES.append(labels)
+    if not converged:
+        # An adversarially deep chain (diameter > max_iter) would exit with
+        # unmerged labels; surface it instead of returning silently.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint after max_iter={max_iter} "
+            "rounds; labels may be unconverged (raise max_iter or enable "
+            "pointer jumping for deep chains)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    _track(labels)
     return labels.select(F.col("v"), F.col("l").alias("cluster"))

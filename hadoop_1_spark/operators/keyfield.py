@@ -83,16 +83,31 @@ def key_expr(fields: Column, ks: KeySpec, separator: str) -> Column:
     return sub
 
 
-def compile_sort_exprs(line: Column, spec: str, separator: str = "\t") -> list[Column]:
-    """Compile a full sort spec into ordered Column expressions."""
+def compile_sort_keys(
+    line: Column, spec: str, separator: str = "\t"
+) -> list[tuple[Column, bool]]:
+    """Compile a full sort spec into (key expression, reverse?) pairs.
+
+    Callers that sort large data should MATERIALIZE each key as a column
+    first and order by the plain columns: a computed key passed directly to
+    a range sort is re-evaluated by the range sampler, the partitioner, and
+    the sort itself (3x the split/cast work per row)."""
     fields = F.split(line, re.escape(separator))
-    out: list[Column] = []
+    out: list[tuple[Column, bool]] = []
     for ks in parse_sort_spec(spec):
         e = key_expr(fields, ks, separator)
         if ks.numeric:
             e = e.cast("double")
-        out.append(e.desc() if ks.reverse else e.asc())
+        out.append((e, ks.reverse))
     return out
+
+
+def compile_sort_exprs(line: Column, spec: str, separator: str = "\t") -> list[Column]:
+    """Compile a full sort spec into ordered Column expressions."""
+    return [
+        e.desc() if rev else e.asc()
+        for e, rev in compile_sort_keys(line, spec, separator)
+    ]
 
 
 def key_field_sort(

@@ -54,21 +54,41 @@ def global_rank(df: DataFrame, *cols: Column | str, rank_col: str = "rank") -> D
 
     ``cols`` must define a TOTAL order (include a unique tie-break):
     equal rows could straddle a range boundary and rank arbitrarily."""
-    part = (
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    # persist_tracked pins ONE materialization of the range shuffle: the
+    # counts branch and the output branch both read the cached relation, so
+    # correctness does not depend on Spark's ReuseExchange rule re-running
+    # the (nondeterministically sampled) range partitioner identically
+    # (spark.sql.exchange.reuse=false / AQE divergence would otherwise let
+    # the branches disagree on boundaries and positions).
+    #
+    # monotonically_increasing_id on the sorted, cached relation encodes
+    # (partition index << 33) | position-within-partition — pid and
+    # in-partition rank in one narrow projection, with NO data-side window
+    # (the old Window.partitionBy(_pid) forced a full re-shuffle of the
+    # data on _pid). Bound: 2^33 rows (~8.6e9) per range partition, far
+    # beyond a sane partition size at any scale.
+    part = persist_tracked(
         df.repartitionByRange(*cols)
         .sortWithinPartitions(*cols)
-        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
     )
-    counts = part.groupBy("_pid").agg(F.count("*").alias("_n"))
+    pid = F.shiftright("_mid", 33).alias("_pid")
+    pos = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = part.select(pid).groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # coalesce(1) (not an exchange) satisfies the empty-partitionBy window's
+    # single-partition requirement: the cumulative-offset window over the
+    # O(#partitions) count rows plans with no extra shuffle.
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
+    offsets = counts.coalesce(1).select(
         "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
     )
-    w = Window.partitionBy("_pid").orderBy(*cols)
     return (
-        part.join(F.broadcast(offsets), "_pid")
+        part.withColumn("_pid", pid)
+        .join(F.broadcast(offsets), "_pid")
         .select(
-            (F.row_number().over(w) + F.col("_off")).cast("bigint").alias(rank_col),
+            (pos + F.col("_off") + 1).cast("bigint").alias(rank_col),
             *df.columns,
         )
     )

@@ -56,11 +56,20 @@ def keyfield_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rank column asserts the global order; whole-line tiebreak for determinism
     (sort(1) last-resort compare; line is unique, so the order is total).
     Rank is computed distributed (sort.global_rank: range shuffle +
-    per-partition row_number + broadcast offsets), never via a global
-    single-partition window."""
+    per-partition positions + broadcast offsets), never via a global
+    single-partition window. Sort keys are materialized as columns before
+    the range sort so the split+cast runs once per row, not once each for
+    the range sampler, the partitioner, and the sort."""
     lines = _lines(spark, sf_dir)
-    exprs = keyfield.compile_sort_exprs(F.col("line"), KEYFIELD_SPEC, separator="-")
-    return sort.global_rank(lines, *exprs, F.col("line").asc())
+    keys = keyfield.compile_sort_keys(F.col("line"), KEYFIELD_SPEC, separator="-")
+    aug = lines.select(
+        "line", *[e.alias(f"_k{i}") for i, (e, _) in enumerate(keys)]
+    )
+    order = [
+        F.col(f"_k{i}").desc() if rev else F.col(f"_k{i}").asc()
+        for i, (_, rev) in enumerate(keys)
+    ]
+    return sort.global_rank(aug, *order, F.col("line").asc()).select("rank", "line")
 
 
 @register(

@@ -34,6 +34,11 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Temporal columns in the TESTDATA.md star schema (the complete list —
+# normalize_timestamps folds exactly these when a nanos-vintage read
+# surfaces them as epoch-nanos longs).
+TEMPORAL_COLUMNS = frozenset({"ts", "o_orderdate", "l_shipdate"})
+
 
 def get_spark(app_name: str = "hadoop_1_spark", cpus: int | None = None) -> SparkSession:
     """Create (or reuse) the engine's SparkSession.
@@ -100,8 +105,10 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     for field in df.schema.fields:
         if isinstance(field.dataType, TimestampNTZType):
             out = out.withColumn(field.name, F.col(field.name).cast("timestamp"))
-        elif field.name == "ts" and isinstance(field.dataType, LongType):
-            # events.ts from the nanos vintage arrives as epoch-nanos long
+        elif field.name in TEMPORAL_COLUMNS and isinstance(field.dataType, LongType):
+            # a known temporal column (TESTDATA.md contract; TEMPORAL_COLUMNS
+            # is the complete list) read from the nanos vintage arrives as an
+            # epoch-nanos long under nanosAsLong
             out = out.withColumn(field.name, ts_nanos(field.name))
     return out
 

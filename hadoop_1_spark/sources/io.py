@@ -290,12 +290,33 @@ def compact_small_files(
 
     Reading back one archived file is a pushed-down filter on src_path
     (the manifest tells which part holds it, but parquet row-group
-    pruning on the sorted src_path column already skips the rest)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(src_glob)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    statuses = fs.globStatus(hpath) or []
-    total = sum(st.getLen() for st in statuses if st.isFile())
+    pruning on the sorted src_path column already skips the rest).
+
+    Skew bound: rows are bucketed by hash(src_path), and one source file
+    never splits across parts — a single file larger than
+    target_file_bytes (or many files hashing to one bucket) yields an
+    oversized part. Fine for the many-SMALL-files problem this solves;
+    don't point it at files that are already large."""
+    from pyspark.sql.utils import AnalysisException
+
+    # Distributed metadata listing via the binaryFile source (path/length
+    # only — content is never read when the column isn't selected). Avoids
+    # private _jvm/_jsc handles and scales past driver-side listings.
+    try:
+        total = (
+            spark.read.format("binaryFile")
+            .load(src_glob)
+            .agg(F.sum("length"))
+            .first()[0]
+        )
+    except AnalysisException as ex:
+        raise FileNotFoundError(
+            f"compact_small_files: no files match {src_glob!r}"
+        ) from ex
+    if not total:
+        raise FileNotFoundError(
+            f"compact_small_files: no non-empty files match {src_glob!r}"
+        )
     parts = max(1, -(-total // target_file_bytes))
     lines = (
         spark.read.text(src_glob)
