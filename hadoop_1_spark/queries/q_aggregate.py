@@ -158,12 +158,41 @@ FROM events GROUP BY event_type
 """,
 )
 def dbcount_pageview(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DBCountPageView (examples/DBCountPageView.java:72): JDBC-in group-count
-    by url, JDBC-out. The JDBC endpoints map to spark.read/write.jdbc (S10/
-    K8); the computation is this group-count."""
+    """DBCountPageView (examples/DBCountPageView.java:72), LIVE end-to-end
+    against embedded Derby (the JDBC engine Spark ships, standing in for
+    the reference's embedded HSQLDB, DBCountPageView.java:124):
+
+    initialize() -> JDBC-write the access log into an Access table (K8);
+    the job     -> JDBC-read it back through DataDrivenDBInputFormat-style
+                   min/max range splits (S11), group-count by url;
+    verify()    -> JDBC-write the Pageview table and read it back — what's
+                   returned has round-tripped the database twice.
+
+    The Derby database is in-memory and keyed by a fresh uuid per call, so
+    repeated runs never collide; at cluster scale the same code points at
+    a real database URL and ``num_partitions`` caps connections."""
+    import uuid
+
+    from hadoop_1_spark.sources import io
+
+    url = f"jdbc:derby:memory:dbcount_{uuid.uuid4().hex};create=true"
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     events = _load(spark, sf_dir, "events")
-    return events.groupBy(F.col("event_type").alias("url")).agg(
-        F.count("*").cast("bigint").alias("pageview")
+    access = events.select(
+        F.col("event_type").alias("url"), F.col("user_id").alias("ip")
+    )
+    io.write_jdbc(access, url, "access", mode="overwrite", **drv)
+    access_db = io.read_jdbc(
+        spark, url, "access",
+        partition_column="ip", lower=0, upper=100_000, num_partitions=4,
+        **drv,
+    )
+    counts = access_db.groupBy("url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pageview")
+    )
+    io.write_jdbc(counts, url, "pageview", mode="overwrite", **drv)
+    return io.read_jdbc(spark, url, "pageview", **drv).select(
+        "url", F.col("pageview").cast("bigint").alias("pageview")
     )
 
 
