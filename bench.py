@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "gridmix_varkv_sort",      # gridmix job-2: variable-KV total-order sort
     "gridmix_reference_select",  # gridmix job-3: 0.2% select, 1 reducer
     "gridmix_indirect_read",   # gridmix job-4: 10-iteration indirect read
+    "gridmix_api_sort_builtin",    # gridmix job-5: same sort, built-in exprs
+    "gridmix_api_sort_streaming",  # gridmix job-5: same sort, rdd.pipe framing
+    "gridmix_api_sort_pipes",      # gridmix job-5: same sort, Arrow subprocess
     "corpus_clean",            # composed LLM-data pipeline (quality+lang+dedup)
     "wordcount_salted",        # skew-safe two-stage aggregation
 ]

@@ -9,8 +9,10 @@ oracle-checked queries at driver scale.
   aggregated into a single sorted reducer
   (src/benchmarks/gridmix/README:46-52).
 
-The large-sort shape (job 2) is covered by terasort_validate; the API
-comparison (job 5, java vs streaming) by wordcount vs pipe_wordcount.
+The large-sort shape (job 2) is covered by terasort_validate; job 5 (the
+API text sort: java vs pipes vs streaming, README:66-72) is the
+``gridmix_api_sort_*`` trio below — the SAME variable-KV sort through the
+three mapper APIs, one bench row each, one shared oracle.
 """
 
 from __future__ import annotations
@@ -145,6 +147,110 @@ def gridmix_varkv_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sort.sort_validate(sorted_df, F.col("k"), checksum=F.col("chk")).select(
         "records", "min_key", "max_key", "checksum", "is_sorted"
     )
+
+
+# Gridmix job-5 (README:66-72): the same text sort exercised through each
+# map/reduce API. All three variants extract a 1-10-word key (first 5
+# whitespace tokens) per document, total-order sort (k, doc_id), and emit
+# the SortValidator invariants; they share this oracle, so the driver
+# hash-checks that the external-process paths are bit-identical to the
+# built-in one.
+_JOB5_ORACLE = """
+WITH kv AS (
+  SELECT array_to_string((list_filter(string_split_regex(trim(text), '\\s+'),
+                                      x -> x <> ''))[1:5], ' ') AS k,
+         doc_id
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS records,
+       min(k) AS min_key,
+       max(k) AS max_key,
+       CAST(sum(('0x' || substr(md5(k || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+            AS BIGINT) AS checksum,
+       TRUE AS is_sorted
+FROM kv
+"""
+
+
+def _job5_validate(kv: DataFrame) -> DataFrame:
+    """Sort (k, doc_id) globally and reduce to the SortValidator row."""
+    from hadoop_1_spark.operators import sort
+
+    chk = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("k"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    sorted_df = sort.total_order_sort(kv.withColumn("chk", chk), "k", "doc_id")
+    return sort.sort_validate(sorted_df, F.col("k"), checksum=F.col("chk")).select(
+        "records", "min_key", "max_key", "checksum", "is_sorted"
+    )
+
+
+def _job5_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) with in-band tabs/newlines flattened to spaces so the
+    line framing of the external-process APIs is unambiguous. \\s+ token
+    splitting is insensitive to the flattening, so all variants (and the
+    oracle, which reads the raw text) see identical token lists."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.regexp_replace("text", r"[\t\n\r]", " ").alias("text"),
+    )
+
+
+def _job5_parse(lines: DataFrame) -> DataFrame:
+    """stdout lines ``key<TAB>doc_id`` -> (k, doc_id)."""
+    return lines.select(
+        F.substring_index("line", "\t", 1).alias("k"),
+        F.substring_index("line", "\t", -1).cast("long").alias("doc_id"),
+    )
+
+
+@register("gridmix_api_sort_builtin", oracle=_JOB5_ORACLE)
+def gridmix_api_sort_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job-5 variant 1 ('java'): key extraction as built-in expressions —
+    whole-stage-codegen'd, the native API of this engine."""
+    from hadoop_1_spark.operators.textops import ws_tokens
+
+    docs = _load(spark, sf_dir, "documents")
+    kv = docs.select(
+        F.array_join(F.slice(ws_tokens(F.col("text")), 1, 5), " ").alias("k"),
+        "doc_id",
+    )
+    return _job5_validate(kv)
+
+
+@register("gridmix_api_sort_streaming", oracle=_JOB5_ORACLE)
+def gridmix_api_sort_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job-5 variant 2 ('streaming'): the key mapper is an external script
+    on Hadoop-Streaming line framing via rdd.pipe — one process per
+    partition, a record per line round-trip."""
+    import sys
+
+    from hadoop_1_spark.ext import asset_path
+    from hadoop_1_spark.operators import pipes
+
+    cmd = f"{sys.executable} {asset_path('keymap_5words.py')}"
+    out = pipes.pipe_lines(_job5_lines(spark, sf_dir), cmd)
+    return _job5_validate(_job5_parse(out))
+
+
+@register("gridmix_api_sort_pipes", oracle=_JOB5_ORACLE)
+def gridmix_api_sort_pipes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job-5 variant 3 ('pipes' analog): the same external mapper fed
+    Arrow batches via subprocess_map_batches — fork-per-batch instead of
+    the framework-native API, the efficient external-process path."""
+    import sys
+
+    from hadoop_1_spark.ext import asset_path
+    from hadoop_1_spark.operators import pipes
+
+    out = pipes.subprocess_map_batches(
+        _job5_lines(spark, sf_dir),
+        [sys.executable, asset_path("keymap_5words.py")],
+    )
+    return _job5_validate(_job5_parse(out))
 
 
 @register(
