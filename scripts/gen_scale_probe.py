@@ -1,0 +1,84 @@
+"""Generate an sf1-scale probe dataset (~10x sf0.1) for the scaling-curve
+measurement in BENCH_NOTES — NOT driver testdata (never written under
+/root/testdata; defaults to /tmp/sf1).
+
+Statistically mimics the sf0.1 tables the probe queries touch:
+- documents: 50,000 docs, 10-100 whitespace tokens drawn from the same
+  31-word vocabulary (xxhash64-seeded, fully deterministic), lang mix
+  ~(en 41%, zh/es/fr/de ~15%), 20 sources, and ~1/600 docs an exact
+  duplicate of its predecessor (sf0.1 has 8 dup groups / 5000 docs).
+- lineitem: the sf0.1 table unioned 10x with disjoint l_orderkey ranges.
+
+Generation is all JVM-side expressions (sequence + transform + xxhash64)
+— no driver loop, no Python in the row path, so the generator itself
+scales like the engine does.
+
+Usage: python scripts/gen_scale_probe.py [out_dir] [n_docs]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hadoop_1_spark.session import get_spark  # noqa: E402
+
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "en", "en", "zh", "es", "fr", "de"]  # ~41% en, rest even
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    spark = get_spark("gen_scale_probe")
+
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    langs = F.array(*[F.lit(lang) for lang in LANGS])
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    # every 600th doc re-generates from its predecessor's id -> exact dup
+    src_id = F.when(
+        (F.col("doc_id") % 600 == 0) & (F.col("doc_id") > 0),
+        F.col("doc_id") - 1,
+    ).otherwise(F.col("doc_id"))
+    n_tok = (F.pmod(F.xxhash64(src_id, F.lit("len")), F.lit(91)) + 10).cast("int")
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_tok),
+            lambda i: F.element_at(
+                vocab, (F.pmod(F.xxhash64(src_id, i), F.lit(len(VOCAB))) + 1).cast("int")
+            ),
+        ),
+        " ",
+    )
+    docs = base.select(
+        "doc_id",
+        text.alias("text"),
+        F.element_at(
+            langs, (F.pmod(F.xxhash64(F.col("doc_id"), F.lit("lang")), F.lit(len(LANGS))) + 1).cast("int")
+        ).alias("lang"),
+        F.concat(
+            F.lit("src"), F.pmod(F.xxhash64(F.col("doc_id"), F.lit("src")), F.lit(20))
+        ).alias("source"),
+    ).withColumn("n_chars", F.length("text"))
+    docs.repartition(32).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    out_li = None
+    for i in range(10):
+        c = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000))
+        out_li = c if out_li is None else out_li.unionByName(c)
+    out_li.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+    print(f"wrote {out}: documents={n_docs}, lineitem=10x sf0.1")
+
+
+if __name__ == "__main__":
+    main()

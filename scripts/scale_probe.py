@@ -1,0 +1,57 @@
+"""Scaling-curve probe (round-4 verdict #7): run the real-work-bound
+headline queries at sf0.1 and at the generated sf1 (scripts/
+gen_scale_probe.py), best-of-3 each, and print the ratio table for
+BENCH_NOTES. A ratio well under 10x on 10x data is the evidence that the
+DuckDB gap at sf0.1 is fixed-overhead, not throughput.
+
+Usage: python scripts/scale_probe.py [sf1_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hadoop_1_spark import registry  # noqa: E402
+from hadoop_1_spark.session import get_spark  # noqa: E402
+
+QUERIES = [
+    "fieldsel",
+    "dedup_simhash",
+    "text_fingerprint",
+    "dedup_minhash_lsh",
+    "corpus_clean",
+]
+
+
+def best_of(spark, name: str, sf_dir: str, n: int = 3) -> float:
+    fn = registry.QUERIES[name]
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
+def main() -> None:
+    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    spark = get_spark("scale_probe")
+    spark.range(1000).agg({"id": "sum"}).collect()
+    print(f"| query | sf0.1 (s) | sf1 (s) | ratio (10x data) |")
+    print(f"| --- | --- | --- | --- |")
+    for name in QUERIES:
+        # warm codegen on the tiny sf first
+        registry.QUERIES[name](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t01 = best_of(spark, name, "/root/testdata/sf0.1")
+        t1 = best_of(spark, name, sf1)
+        print(f"| {name} | {t01:.2f} | {t1:.2f} | {t1 / t01:.2f}x |")
+
+
+if __name__ == "__main__":
+    main()
