@@ -467,11 +467,22 @@ def connected_components(
     SQL oracle replay it."""
     fwd = pairs.select(F.col(left).alias("v"), F.col(right).alias("w"))
     rev = pairs.select(F.col(right).alias("v"), F.col(left).alias("w"))
-    # edges + final labels go through _persist so release_caches() (run by
-    # the registry dispatch before the NEXT query) frees them; the
-    # per-round label tables are unpersisted inside the loop.
-    edges = _persist(fwd.union(rev).distinct())
-    labels = edges.select("v").distinct().withColumn("l", F.col("v")).persist()
+    # No distinct() needed: pairs are unique under (d1 < d2), so fwd and
+    # rev are each duplicate-free and disjoint — and min-label propagation
+    # is idempotent to duplicate edges anyway (groupBy-min absorbs them).
+    # edges + final labels go through the tracked cache so release_caches()
+    # (run by the registry dispatch before the NEXT query) frees them; the
+    # per-round label tables are checkpoint-materialized inside the loop.
+    edges = _persist(fwd.union(rev))
+    # Seed labels with round 1 for free: min(v, min neighbor) from the same
+    # single aggregation that would otherwise just enumerate vertices —
+    # shallow near-dup clusters (diameter <= 3) then converge in 1-2 loop
+    # rounds instead of 2-3.
+    labels = (
+        edges.groupBy("v")
+        .agg(F.least(F.col("v"), F.min("w")).alias("l"))
+        .persist()
+    )
     prev_sum: object = None
     converged = False
     for _ in range(max_iter):
