@@ -286,3 +286,85 @@ def fingerprint(df: DataFrame, k: int = 3, s: int = 4, text_col: str = "text", i
         F.col(id_col),
         F.md5(F.concat_ws(",", F.col("bottom"))).alias("fingerprint"),
     )
+
+
+# PII patterns, written to the common RE2/Java regex subset so the SAME
+# strings run in Spark and the DuckDB oracle. Public-web-corpus scrubbing
+# rules (the C4/RefinedWeb-style cleanup stage): emails, NANP-style phone
+# numbers, dotted-quad IPs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII detection + redaction: per document, count email / phone / IP
+    matches and emit the redacted text ([EMAIL] / [PHONE] / [IP]).
+
+    One narrow projection — regexp_extract_all + regexp_replace are
+    whole-stage-codegen'd, no shuffle, no Python; exactly the shape that
+    sweeps a 100 TB corpus at scan speed. Redaction order matters: emails
+    first (an email's host part can otherwise be eaten by the IP rule),
+    then phones, then IPs — the oracle applies the same order."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
+    clean = F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]")
+    n_phones = F.size(F.regexp_extract_all(clean, F.lit(PII_PHONE_RE), F.lit(0)))
+    clean = F.regexp_replace(clean, PII_PHONE_RE, "[PHONE]")
+    n_ips = F.size(F.regexp_extract_all(clean, F.lit(PII_IP_RE), F.lit(0)))
+    clean = F.regexp_replace(clean, PII_IP_RE, "[IP]")
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        n_ips.cast("int").alias("n_ips"),
+        clean.alias("clean_text"),
+    )
+
+
+def repetition_stats(df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition metrics (the Gopher-style quality
+    filters: duplicate n-gram fraction, top n-gram fraction). Documents
+    with fewer than ``n`` tokens are dropped (no n-grams to measure).
+
+    Shape: explode n-grams -> one (id, gram) partial-aggregated count
+    shuffle (wordcount-shaped, map-side combined) -> per-doc reduce.
+    The gram key is the n-token substring itself; at 100 TB swap the
+    string key for shingle_hash to shrink shuffle bytes."""
+    toks = ws_tokens(F.col(text_col))
+    # Guard BEFORE sequence(): Spark's sequence(1, 0) infers step -1 and
+    # yields [1, 0], whose element_at(toks, 0) then errors — short docs
+    # must produce an empty gram list, not a descending index range.
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = (
+        df.select(F.col(id_col), grams.alias("grams"))
+        .where(F.size(F.col("grams")) >= 1)
+        .select(F.col(id_col), F.explode("grams").alias("gram"))
+    )
+    counts = exploded.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.max("c").alias("_top"),
+            F.count(F.lit(1)).alias("_distinct"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.round(
+                F.lit(1.0) - F.col("_distinct") / F.col("n_grams").cast("double"), 9
+            ).alias("dup_gram_frac"),
+            F.round(F.col("_top") / F.col("n_grams").cast("double"), 9).alias(
+                "top_gram_frac"
+            ),
+        )
+    )

@@ -167,3 +167,105 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bg.groupBy("bigram").agg(F.count("*").cast("long").alias("cnt"))
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)
+),
+c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+s AS (
+  SELECT doc_id, sum(c) AS total, max(c) AS top, count(*) AS n_distinct
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(total AS BIGINT) AS n_grams,
+       round(1 - n_distinct / CAST(total AS DOUBLE), 9) AS dup_gram_frac,
+       round(top / CAST(total AS DOUBLE), 9) AS top_gram_frac
+FROM s
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (duplicate-bigram fraction and
+    top-bigram fraction — the Gopher-style repetition quality filters,
+    public pretraining-pipeline practice). Wordcount-shaped: one
+    map-side-combined (doc, gram) count shuffle, then a per-doc reduce."""
+    return textops.repetition_stats(_load(spark, sf_dir, "documents"), n=2)
+
+
+# Deterministic PII-bearing lines synthesized from events (the real corpus
+# is a clean synthetic vocabulary, so positives are constructed in-query;
+# the construction is mirrored in the oracle and varies per row: ~2/3 have
+# an email, 1/2 a phone, 1/5 an IP).
+_PII_TEXT_SQL = """concat_ws(' ', 'entry',
+  CASE WHEN event_id % 3 <> 0
+       THEN 'mail u' || CAST(user_id AS VARCHAR) || '@' || event_type || '.net' END,
+  CASE WHEN event_id % 2 = 0
+       THEN 'call 555-' || lpad(CAST(user_id % 1000 AS VARCHAR), 3, '0')
+            || '-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') END,
+  CASE WHEN event_id % 5 = 0
+       THEN 'from 10.' || CAST(user_id % 256 AS VARCHAR)
+            || '.0.' || CAST(event_id % 256 AS VARCHAR) END)"""
+
+
+@register(
+    "corpus_pii_scrub",
+    oracle=f"""
+WITH d AS (SELECT event_id, {_PII_TEXT_SQL} AS text FROM events),
+e AS (
+  SELECT event_id,
+         CAST(len(regexp_extract_all(text, '{textops.PII_EMAIL_RE}')) AS INT) AS n_emails,
+         regexp_replace(text, '{textops.PII_EMAIL_RE}', '[EMAIL]', 'g') AS t1
+  FROM d
+),
+p AS (
+  SELECT event_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '{textops.PII_PHONE_RE}')) AS INT) AS n_phones,
+         regexp_replace(t1, '{textops.PII_PHONE_RE}', '[PHONE]', 'g') AS t2
+  FROM e
+)
+SELECT event_id, n_emails, n_phones,
+       CAST(len(regexp_extract_all(t2, '{textops.PII_IP_RE}')) AS INT) AS n_ips,
+       regexp_replace(t2, '{textops.PII_IP_RE}', '[IP]', 'g') AS clean_text
+FROM p
+""",
+)
+def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails -> phones -> IPs, counted and redacted) over
+    deterministic contact-bearing lines built from events. The operator is
+    a single codegen'd projection — the corpus-cleanup stage that sweeps
+    the full corpus at scan speed with no shuffle."""
+    ev = _load(spark, sf_dir, "events")
+    text = F.concat_ws(
+        " ",
+        F.lit("entry"),
+        F.when(
+            F.col("event_id") % 3 != 0,
+            F.concat(
+                F.lit("mail u"), F.col("user_id").cast("string"),
+                F.lit("@"), F.col("event_type"), F.lit(".net"),
+            ),
+        ),
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.concat(
+                F.lit("call 555-"),
+                F.lpad((F.col("user_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("event_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ),
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(
+                F.lit("from 10."), (F.col("user_id") % 256).cast("string"),
+                F.lit(".0."), (F.col("event_id") % 256).cast("string"),
+            ),
+        ),
+    )
+    d = ev.select("event_id", text.alias("text"))
+    return textops.pii_scrub(d, id_col="event_id")

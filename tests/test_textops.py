@@ -55,3 +55,47 @@ def test_simhash_close_docs_close_hamming(spark):
         return bin((a ^ b) & (2**60 - 1)).count("1")
 
     assert ham(sh[1], sh[2]) < ham(sh[1], sh[3])
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from hadoop_1_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to bob@example.com or ann.lee@sub.domain.org today"),
+            (2, "call 555-867-5309 from 192.168.1.10 please"),
+            (3, "no pii here at all"),
+            (4, "x@y.io 111-222-3333 10.0.0.1"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textops.pii_scrub(df).collect()}
+    assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ips) == (2, 0, 0)
+    assert "[EMAIL]" in rows[1].clean_text and "@" not in rows[1].clean_text
+    assert (rows[2].n_emails, rows[2].n_phones, rows[2].n_ips) == (0, 1, 1)
+    assert rows[2].clean_text == "call [PHONE] from [IP] please"
+    assert (rows[3].n_emails, rows[3].n_phones, rows[3].n_ips) == (0, 0, 0)
+    assert rows[3].clean_text == "no pii here at all"
+    assert (rows[4].n_emails, rows[4].n_phones, rows[4].n_ips) == (1, 1, 1)
+    assert rows[4].clean_text == "[EMAIL] [PHONE] [IP]"
+
+
+def test_repetition_stats(spark):
+    from hadoop_1_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # bigrams: ab,ba,ab,ba,ab -> 5 total, 2 distinct
+            (2, "w x y z"),          # 3 distinct bigrams, no repeats
+            (3, "solo"),             # < 2 tokens: dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textops.repetition_stats(df, n=2).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_grams == 5
+    assert rows[1].dup_gram_frac == round(1 - 2 / 5, 9)
+    assert rows[1].top_gram_frac == round(3 / 5, 9)
+    assert rows[2].n_grams == 3
+    assert rows[2].dup_gram_frac == 0.0
+    assert rows[2].top_gram_frac == round(1 / 3, 9)
