@@ -331,3 +331,106 @@ def ivf_topk(
         _cosine(q["qv"], c["cv"], q["qn"], c["cn"]).alias("cosine"),
     )
     return _topk(scored, k)
+
+
+def l2_chain(a: Column, b: Column) -> Column:
+    """Engine-portable squared-L2 distance: left-fold double chain
+    0.0 + (a1-b1)^2 + (a2-b2)^2 + ... (same determinism contract as
+    dedup.dot_chain — the oracle emits the identical chain, IEEE doubles
+    don't reassociate, so the bits match)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sql_l2_chain(a: str, b: str, dims: int) -> str:
+    """DuckDB twin of l2_chain (same fold order, same 0.0 seed)."""
+    return "0.0 + " + " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, dims + 1)
+    )
+
+
+def kmeans_train_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = DIMS,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding column -> (id,
+    cluster). Trains the coarse quantizer the IVF probe assumes exists
+    ("offline centroids") and the clustering stage of SemDeDup-style
+    semantic dedup — cluster first, dedup within clusters.
+
+    Fully deterministic and engine-replayable (the oracle re-runs the
+    same algorithm in SQL):
+    - seeds: the k vectors with smallest (md5(id), id) — data-derived,
+      no RNG state;
+    - assignment: argmin of the fixed-order l2_chain distance, ties by
+      centroid id (row_number over (dist, cid));
+    - update: per-component mean as CAST(decimal(18,6)-exact sum AS
+      DOUBLE) / CAST(count AS DOUBLE) — order-independent sums, one
+      well-defined rounding, one IEEE division.
+
+    Scale shape: each round is corpus x broadcast(k centroids) -> one
+    shuffle on id for the argmin window -> a k-row wide aggregation
+    (map-side partial). iters and k are constants; nothing driver-side
+    except the loop structure (no collect)."""
+    seed_pool = emb.select(
+        F.md5(F.col(id_col).cast("string")).alias("_m"),
+        F.col(id_col).alias("_sid"),
+        F.col(vec_col).alias("cvec"),
+    ).orderBy("_m", "_sid").limit(k)
+    # row_number here runs over k rows post-limit, not the corpus
+    w_seed = Window.orderBy("_m", "_sid")
+    cents = seed_pool.select(
+        (F.row_number().over(w_seed) - 1).alias("cid"), "cvec"
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        scored = emb.select(
+            F.col(id_col), F.col(vec_col)
+        ).crossJoin(F.broadcast(centroids)).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cid"),
+            l2_chain(F.col(vec_col), F.col("cvec")).alias("_d"),
+        )
+        w = Window.partitionBy(id_col).orderBy("_d", "cid")
+        return scored.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") == 1
+        )
+
+    for _ in range(iters):
+        a = assign(cents)
+        sums = a.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(
+                    F.element_at(F.col(vec_col), d).cast("double").cast("decimal(18,6)")
+                ).alias(f"_s{d}")
+                for d in range(1, dims + 1)
+            ],
+        )
+        cents = sums.select(
+            "cid",
+            F.array(
+                *[
+                    F.col(f"_s{d}").cast("double") / F.col("_n").cast("double")
+                    for d in range(1, dims + 1)
+                ]
+            ).alias("cvec"),
+        )
+    return assign(cents).select(
+        F.col(id_col), F.col("cid").cast("int").alias("cluster")
+    )

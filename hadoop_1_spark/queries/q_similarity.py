@@ -105,3 +105,59 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style cell-probed top-5 (label = coarse cell) for vec_id < 10."""
     emb = _load(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, emb.where("vec_id < 10"), k=K)
+
+
+KM_K = 8
+KM_ITERS = 2
+
+
+def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS, dims: int = 64) -> str:
+    """Replays kmeans_train_assign exactly: same seeds, same fixed-order
+    distance chain, same decimal-exact centroid means."""
+    dist = similarity.sql_l2_chain("e.embedding", "s.cvec", dims)
+    mean_list = ", ".join(
+        f"CAST(sum(CAST(CAST(embedding[{d}] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / CAST(count(*) AS DOUBLE)"
+        for d in range(1, dims + 1)
+    )
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, s.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, s.cid) AS rn
+    FROM e CROSS JOIN {cents} s) WHERE rn = 1
+)"""
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        f"""seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+         embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM e
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
+)""",
+    ]
+    cents = "seeds"
+    for i in range(iters):
+        ctes.append(assign_cte(f"a{i}", cents))
+        ctes.append(
+            f"c{i} AS (SELECT cid, [{mean_list}] AS cvec FROM a{i} GROUP BY cid)"
+        )
+        cents = f"c{i}"
+    ctes.append(assign_cte("afinal", cents))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT vec_id, CAST(cid AS INT) AS cluster FROM afinal"
+    )
+
+
+@register("cluster_kmeans", oracle=_kmeans_oracle())
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over embeddings (k=8, 2 update rounds)
+    — trains the coarse quantizer sim_ivf_topk assumes ("offline
+    centroids") and the clustering stage of SemDeDup-style semantic
+    dedup. The oracle replays the identical algorithm in SQL: md5-seeded
+    init, fixed-order distance folds, decimal-exact centroid means."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.kmeans_train_assign(emb, k=KM_K, iters=KM_ITERS)

@@ -156,3 +156,21 @@ def test_lsh_bucket_partitioned_corpus_prunes_probes(spark, tmp_path):
     n_parts = len([p for p in (tmp_path / "ann_corpus").iterdir() if p.name.startswith("bucket=")])
     assert n_parts > 1
     assert probe.count() == corpus.where(F.col("bucket") == 3).count()
+
+
+def test_kmeans_deterministic_and_sane(spark):
+    import os
+
+    from hadoop_1_spark.operators import similarity
+    from hadoop_1_spark.session import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = similarity.kmeans_train_assign(emb, k=8, iters=2)
+    rows = {r.vec_id: r.cluster for r in a.collect()}
+    assert len(rows) == emb.count()  # every vector assigned exactly once
+    assert set(rows.values()) <= set(range(8))
+    assert len(set(rows.values())) > 1  # not everything in one cluster
+    # deterministic: an independent second run assigns identically
+    b = {r.vec_id: r.cluster for r in similarity.kmeans_train_assign(emb, k=8, iters=2).collect()}
+    assert rows == b
