@@ -442,6 +442,50 @@ def embedding_cosine_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    clusters: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: score cosine ONLY within a
+    cluster (``clusters``: (id, cluster), e.g. similarity.
+    kmeans_train_assign). The public SemDeDup recipe — k-means the
+    embedding space, then pairwise-compare inside each cell — turns the
+    O(n^2) all-pairs baseline into O(sum of cluster^2): an equi-join on
+    the cluster id, shuffled once on that key, with AQE skew-split
+    covering any oversized cell. Same cosine contract as
+    embedding_cosine_pairs (fold + round 9)."""
+    from hadoop_1_spark.operators import similarity
+
+    e = emb.join(clusters, id_col)
+    a = e.select(
+        F.col(id_col).alias("d1"),
+        F.col("cluster").alias("c1"),
+        F.col(vec_col).alias("v1"),
+        similarity.NORM(F.col(vec_col)).alias("n1"),
+    )
+    b = e.select(
+        F.col(id_col).alias("d2"),
+        F.col("cluster").alias("c2"),
+        F.col(vec_col).alias("v2"),
+        similarity.NORM(F.col(vec_col)).alias("n2"),
+    )
+    return (
+        a.join(b, (F.col("c1") == F.col("c2")) & (F.col("d1") < F.col("d2")))
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                similarity.DOT_FOLD(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")),
+                9,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def connected_components(
     pairs: DataFrame, left: str = "d1", right: str = "d2", max_iter: int = 25
 ) -> DataFrame:

@@ -111,9 +111,11 @@ KM_K = 8
 KM_ITERS = 2
 
 
-def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS, dims: int = 64) -> str:
-    """Replays kmeans_train_assign exactly: same seeds, same fixed-order
-    distance chain, same decimal-exact centroid means."""
+def _kmeans_ctes(k: int = KM_K, iters: int = KM_ITERS, dims: int = 64) -> list[str]:
+    """CTE chain replaying kmeans_train_assign exactly (same seeds, same
+    fixed-order distance chain, same decimal-exact centroid means); the
+    final assignment lives in CTE ``afinal(vec_id, embedding, cid)``.
+    Shared by the cluster_kmeans oracle and the SemDeDup oracle."""
     dist = similarity.sql_l2_chain("e.embedding", "s.cvec", dims)
     mean_list = ", ".join(
         f"CAST(sum(CAST(CAST(embedding[{d}] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)"
@@ -146,8 +148,12 @@ def _kmeans_oracle(k: int = KM_K, iters: int = KM_ITERS, dims: int = 64) -> str:
         )
         cents = f"c{i}"
     ctes.append(assign_cte("afinal", cents))
+    return ctes
+
+
+def _kmeans_oracle() -> str:
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join(_kmeans_ctes())
         + "\nSELECT vec_id, CAST(cid AS INT) AS cluster FROM afinal"
     )
 
@@ -161,3 +167,36 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     init, fixed-order distance folds, decimal-exact centroid means."""
     emb = _load(spark, sf_dir, "embeddings")
     return similarity.kmeans_train_assign(emb, k=KM_K, iters=KM_ITERS)
+
+
+def _semantic_dedup_oracle(threshold: float = 0.45, dims: int = 64) -> str:
+    nrm = f"sqrt({sql_dot_chain('embedding', 'embedding', dims)})"
+    return (
+        "WITH " + ",\n".join(_kmeans_ctes())
+        + f""",
+e2 AS (SELECT vec_id, cid, embedding, {nrm} AS nrm FROM afinal),
+p AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2, a.embedding AS v1, b.embedding AS v2,
+         a.nrm AS n1, b.nrm AS n2
+  FROM e2 a JOIN e2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+c AS (
+  SELECT d1, d2, round(({sql_dot_chain("v1", "v2", dims)}) / (n1 * n2), 9) AS cosine
+  FROM p
+)
+SELECT d1, d2, cosine FROM c WHERE cosine >= {threshold}"""
+    )
+
+
+@register("dedup_semantic", oracle=_semantic_dedup_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means the embedding space
+    (cluster_kmeans), then cosine-compare ONLY within each cluster —
+    the scale path that replaces the all-pairs dedup_embedding_cosine
+    baseline with an equi-join on the trained cell id. Oracle replays
+    k-means + in-cell cosine with the same fold chains."""
+    from hadoop_1_spark.operators import dedup
+
+    emb = _load(spark, sf_dir, "embeddings")
+    clusters = similarity.kmeans_train_assign(emb, k=KM_K, iters=KM_ITERS)
+    return dedup.semantic_dedup_pairs(emb, clusters, threshold=0.45)

@@ -174,3 +174,24 @@ def test_kmeans_deterministic_and_sane(spark):
     # deterministic: an independent second run assigns identically
     b = {r.vec_id: r.cluster for r in similarity.kmeans_train_assign(emb, k=8, iters=2).collect()}
     assert rows == b
+
+
+def test_semantic_dedup_subset_of_all_pairs(spark):
+    """In-cluster pairs must be a subset of the all-pairs baseline at the
+    same threshold — SemDeDup trades recall across cells for O(cell^2)."""
+    import os
+
+    from hadoop_1_spark.operators import dedup, similarity
+    from hadoop_1_spark.session import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = load_table(spark, sf_dir, "embeddings")
+    clusters = similarity.kmeans_train_assign(emb, k=8, iters=2)
+    sem = {(r.d1, r.d2) for r in dedup.semantic_dedup_pairs(emb, clusters, 0.45).collect()}
+    allp = {(r.d1, r.d2) for r in dedup.embedding_cosine_pairs(emb, 0.45).collect()}
+    assert sem <= allp
+    # Recall vs the all-pairs baseline is the SemDeDup trade and depends on
+    # embedding geometry and k (at this tiny sf, k=8 over ~50 vectors
+    # splits hard); the contract here is subset + non-degenerate retention.
+    if allp:
+        assert sem, (len(sem), len(allp))
