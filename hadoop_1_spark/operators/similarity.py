@@ -398,6 +398,13 @@ def kmeans_train_assign(
     )
 
     def assign(centroids: DataFrame) -> DataFrame:
+        # argmin as min(struct(dist, cid)) rather than a window: the k
+        # scored rows per vector sit in ONE input partition (crossJoin of
+        # a broadcast side preserves locality), so map-side partial
+        # aggregation collapses them to a single row BEFORE the shuffle —
+        # n rows without embeddings-in-sort-buffers, vs n*k through a
+        # window sort. Lexicographic struct min == order by (dist, cid)
+        # limit 1, which is exactly what the oracle's row_number replays.
         scored = emb.select(
             F.col(id_col), F.col(vec_col)
         ).crossJoin(F.broadcast(centroids)).select(
@@ -406,9 +413,15 @@ def kmeans_train_assign(
             F.col("cid"),
             l2_chain(F.col(vec_col), F.col("cvec")).alias("_d"),
         )
-        w = Window.partitionBy(id_col).orderBy("_d", "cid")
-        return scored.withColumn("_rn", F.row_number().over(w)).where(
-            F.col("_rn") == 1
+        return (
+            scored.groupBy(id_col)
+            .agg(
+                F.min(F.struct("_d", "cid")).alias("_m"),
+                # constant within the group (every row carries the same
+                # vector), so first() is deterministic in value
+                F.first(vec_col).alias(vec_col),
+            )
+            .select(F.col(id_col), F.col(vec_col), F.col("_m.cid").alias("cid"))
         )
 
     for _ in range(iters):
