@@ -459,18 +459,29 @@ def semantic_dedup_pairs(
     embedding_cosine_pairs (fold + round 9)."""
     from hadoop_1_spark.operators import similarity
 
-    e = emb.join(clusters, id_col)
+    # Pin ONE materialization of (id, cluster, vec, norm): both self-join
+    # sides read it, so the k-means subplan (3 assign rounds) and the norm
+    # pass run once, not once per side — same discipline as the embedding
+    # LSH's persisted bucket relation.
+    e = _persist(
+        emb.join(clusters, id_col).select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.col(vec_col),
+            similarity.NORM(F.col(vec_col)).alias("_n"),
+        )
+    )
     a = e.select(
         F.col(id_col).alias("d1"),
         F.col("cluster").alias("c1"),
         F.col(vec_col).alias("v1"),
-        similarity.NORM(F.col(vec_col)).alias("n1"),
+        F.col("_n").alias("n1"),
     )
     b = e.select(
         F.col(id_col).alias("d2"),
         F.col("cluster").alias("c2"),
         F.col(vec_col).alias("v2"),
-        similarity.NORM(F.col(vec_col)).alias("n2"),
+        F.col("_n").alias("n2"),
     )
     return (
         a.join(b, (F.col("c1") == F.col("c2")) & (F.col("d1") < F.col("d2")))
