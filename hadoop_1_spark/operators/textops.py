@@ -327,10 +327,14 @@ def repetition_stats(df: DataFrame, n: int = 2, text_col: str = "text", id_col: 
     filters: duplicate n-gram fraction, top n-gram fraction). Documents
     with fewer than ``n`` tokens are dropped (no n-grams to measure).
 
-    Shape: explode n-grams -> one (id, gram) partial-aggregated count
-    shuffle (wordcount-shaped, map-side combined) -> per-doc reduce.
-    The gram key is the n-token substring itself; at 100 TB swap the
-    string key for shingle_hash to shrink shuffle bytes."""
+    Shape: ONE exchange — docs pre-partitioned by id (whole documents,
+    fewer bytes than gram rows), then both aggregations run shuffle-free:
+    HashPartitioning(id) satisfies the (id, gram) clustering requirement,
+    and the per-doc reduce reuses the same partitioning (the fingerprint
+    pattern). The gram key is the n-token substring itself; at 100 TB
+    swap the string key for shingle_hash to shrink in-memory agg keys."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(par, F.col(id_col))
     toks = ws_tokens(F.col(text_col))
     # Guard BEFORE sequence(): Spark's sequence(1, 0) infers step -1 and
     # yields [1, 0], whose element_at(toks, 0) then errors — short docs
