@@ -372,3 +372,37 @@ def repetition_stats(df: DataFrame, n: int = 2, text_col: str = "text", id_col: 
             ),
         )
     )
+
+
+def vocab_top(
+    df: DataFrame, k: int = 20, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary builder: top-k tokens by frequency with
+    cumulative corpus coverage — the token-budget planning step of a
+    pretraining pipeline (what fraction of the corpus does a k-entry
+    vocab cover?).
+
+    Shape: one map-side-combined token count shuffle (wordcount), a
+    1-row total broadcast, and a k-row ranking window — the windows and
+    the limit touch k rows, never the corpus."""
+    tok = df.select(F.explode(ws_tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.withColumn("rank", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("rank").cast("int").alias("rank"),
+            F.round(
+                F.sum("cnt").over(w_cum).cast("double") / F.col("_total").cast("double"),
+                9,
+            ).alias("cum_coverage"),
+        )
+    )

@@ -138,3 +138,27 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = streaming.read_events_stream(spark, sf_dir).where("event_type = 'purchase'")
     e = streaming.read_events_stream(spark, sf_dir).where("event_type = 'error'")
     return streaming.run_to_table(streaming.interval_join(p, e), spark, "append")
+
+
+@register(
+    "stream_enrich_join",
+    oracle="""
+SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, e.ts)) AS window_start_us,
+       c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join (broadcast customer dim, stateless in
+    Structured Streaming) feeding tumbling per-segment counts — enrich
+    then aggregate, the streaming twin of the DistributedCache hash
+    join."""
+    from hadoop_1_spark.session import load_table
+
+    ev = streaming.read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return streaming.run_to_table(
+        streaming.enriched_segment_counts(ev, dim), spark, "complete"
+    )

@@ -269,3 +269,25 @@ def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = ev.select("event_id", text.alias("text"))
     return textops.pii_scrub(d, id_col="event_id")
+
+
+@register(
+    "text_vocab_top",
+    oracle=f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM c),
+top AS (
+  SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+  FROM c ORDER BY cnt DESC, token LIMIT 20
+)
+SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank,
+       round(CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / (SELECT total FROM tot), 9) AS cum_coverage
+FROM top
+""",
+)
+def text_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus vocabulary with cumulative coverage fractions — the
+    vocab/token-budget planning step of a pretraining pipeline."""
+    return textops.vocab_top(_load(spark, sf_dir, "documents"), k=20)

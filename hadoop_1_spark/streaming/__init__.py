@@ -229,3 +229,35 @@ def stream_dedup(events: DataFrame, key_cols: list[str] | None = None) -> DataFr
         events.withWatermark("ts", "30 minutes")
         .dropDuplicatesWithinWatermark(key_cols or ["event_id"])
     )
+
+
+def static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static dimension join: enrich a stream with a broadcast
+    batch table — the streaming twin of the DistributedCache hash join
+    (join.broadcast_hash_join). The static side is planned per
+    micro-batch with no state store (stream-static joins are stateless
+    in Structured Streaming); broadcast keeps it off the shuffle."""
+    return stream.join(F.broadcast(dim), stream[on_left] == dim[on_right])
+
+
+def enriched_segment_counts(
+    stream: DataFrame, dim: DataFrame, window: str = "1 hour"
+) -> DataFrame:
+    """Windowed counts per customer market segment over the enriched
+    stream — the canonical 'enrich then aggregate' streaming pipeline."""
+    joined = static_enrich(stream, dim)
+    return (
+        joined.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", window), "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            F.col("c_mktsegment"),
+            "cnt",
+        )
+    )

@@ -99,3 +99,18 @@ def test_repetition_stats(spark):
     assert rows[2].n_grams == 3
     assert rows[2].dup_gram_frac == 0.0
     assert rows[2].top_gram_frac == round(1 / 3, 9)
+
+
+def test_vocab_top_coverage_monotone(spark):
+    from hadoop_1_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")],
+        "doc_id long, text string",
+    )
+    rows = sorted(textops.vocab_top(df, k=3).collect(), key=lambda r: r.rank)
+    assert [r.token for r in rows] == ["a", "b", "c"]  # c ties d, token asc
+    assert [r.cnt for r in rows] == [4, 3, 1]
+    cums = [r.cum_coverage for r in rows]
+    assert cums == sorted(cums) and cums[-1] <= 1.0
+    assert cums[0] == round(4 / 9, 9)
