@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "dedup_clusters",      # near-dup pairs → connected-components resolution
     "sim_lsh_topk",        # hyperplane-bucketed ANN
     "sim_ivf_topk",        # IVF cell-pruned ANN
+    "cluster_kmeans",      # deterministic Lloyd k-means (Arrow assign path)
+    "dedup_semantic",      # SemDeDup: in-cell cosine via trained clusters
+    "text_repetition",     # dup/top bigram fractions (1-exchange zip-grams)
+    "corpus_pii_scrub",    # codegen'd PII count+redact projection
     "index_build",         # inverted index (explode + 2-level agg)
     "mm_features",         # Arrow mapInPandas over binary blobs
     "rumen_cdf",           # JSON parse + percentile CDFs

@@ -359,6 +359,32 @@ def sql_l2_chain(a: str, b: str, dims: int) -> str:
     )
 
 
+def kmeans_assign_udf(cvals: list[list[float]], cids: list[int] | None = None):
+    """Pandas UDF: nearest-centroid id for each vector — the fast twin of
+    the crossJoin + l2_chain + min(struct) assignment. Distances
+    accumulate dimension-by-dimension ((x_d - c_d)^2 left fold, same IEEE
+    order as l2_chain); np.argmin returns the FIRST minimum, which with
+    centroids ordered by cid ascending is exactly the (dist, cid)
+    tie-break. ``cids`` maps argmin positions back to cluster ids when
+    some clusters are empty (positions != ids)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    C = np.array(cvals, dtype=np.float64)  # (k, dims), cid-ascending
+    ids = np.array(cids if cids is not None else range(len(cvals)), dtype=np.int32)
+
+    @pandas_udf(IntegerType())
+    def _assign(v: pd.Series) -> pd.Series:
+        m = np.vstack(v.to_numpy()).astype(np.float64)  # (rows, dims)
+        acc = np.zeros((m.shape[0], C.shape[0]))
+        for d in range(m.shape[1]):
+            diff = m[:, d : d + 1] - C[:, d]
+            acc += diff * diff
+        return pd.Series(ids[np.argmin(acc, axis=1)])
+
+    return _assign
+
+
 def kmeans_train_assign(
     emb: DataFrame,
     k: int = 8,
@@ -366,6 +392,7 @@ def kmeans_train_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = DIMS,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Deterministic Lloyd k-means over the embedding column -> (id,
     cluster). Trains the coarse quantizer the IVF probe assumes exists
@@ -424,8 +451,7 @@ def kmeans_train_assign(
             .select(F.col(id_col), F.col(vec_col), F.col("_m.cid").alias("cid"))
         )
 
-    for _ in range(iters):
-        a = assign(cents)
+    def update(a: DataFrame) -> DataFrame:
         sums = a.groupBy("cid").agg(
             F.count(F.lit(1)).alias("_n"),
             *[
@@ -435,7 +461,7 @@ def kmeans_train_assign(
                 for d in range(1, dims + 1)
             ],
         )
-        cents = sums.select(
+        return sums.select(
             "cid",
             F.array(
                 *[
@@ -444,6 +470,38 @@ def kmeans_train_assign(
                 ]
             ).alias("cvec"),
         )
-    return assign(cents).select(
+
+    if not use_arrow:
+        for _ in range(iters):
+            cents = update(assign(cents))
+        return assign(cents).select(
+            F.col(id_col), F.col("cid").cast("int").alias("cluster")
+        )
+
+    # Arrow fast path (default): the l2 folds above are interpreted by
+    # Catalyst; kmeans_assign_udf does the same math dimension-by-dimension
+    # in numpy — bit-identical (see the Arrow fast path note above;
+    # asserted by test_kmeans_arrow_bit_identical). Centroids become plan
+    # constants, so each round collects the k centroid rows — k x dims
+    # doubles, a bounded driver action of the connected_components-scalar
+    # kind, NOT a data collect; every centroid value is still computed by
+    # the JVM (decimal sums + one cast + one division), so the constants
+    # match the expression path exactly.
+    def cent_values(cdf: DataFrame) -> tuple[list[list[float]], list[int]]:
+        rows = {r["cid"]: list(r["cvec"]) for r in cdf.collect()}
+        cids = sorted(rows)
+        return [rows[c] for c in cids], cids
+
+    def assign_arrow(cvals: list[list[float]], cids: list[int]) -> DataFrame:
+        return emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            kmeans_assign_udf(cvals, cids)(F.col(vec_col)).alias("cid"),
+        )
+
+    cvals, cids = cent_values(cents)
+    for _ in range(iters):
+        cvals, cids = cent_values(update(assign_arrow(cvals, cids)))
+    return assign_arrow(cvals, cids).select(
         F.col(id_col), F.col("cid").cast("int").alias("cluster")
     )

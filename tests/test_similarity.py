@@ -195,3 +195,18 @@ def test_semantic_dedup_subset_of_all_pairs(spark):
     # splits hard); the contract here is subset + non-degenerate retention.
     if allp:
         assert sem, (len(sem), len(allp))
+
+
+def test_kmeans_arrow_bit_identical(spark):
+    """The Arrow assignment path must match the expression path exactly —
+    same clusters for every vector."""
+    import os
+
+    from hadoop_1_spark.operators import similarity
+    from hadoop_1_spark.session import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = load_table(spark, sf_dir, "embeddings")
+    arrow = {r.vec_id: r.cluster for r in similarity.kmeans_train_assign(emb, use_arrow=True).collect()}
+    expr = {r.vec_id: r.cluster for r in similarity.kmeans_train_assign(emb, use_arrow=False).collect()}
+    assert arrow == expr and arrow
