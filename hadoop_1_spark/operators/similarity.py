@@ -393,6 +393,7 @@ def kmeans_train_assign(
     vec_col: str = "embedding",
     dims: int = DIMS,
     use_arrow: bool = True,
+    cache_points: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd k-means over the embedding column -> (id,
     cluster). Trains the coarse quantizer the IVF probe assumes exists
@@ -413,6 +414,17 @@ def kmeans_train_assign(
     shuffle on id for the argmin window -> a k-row wide aggregation
     (map-side partial). iters and k are constants; nothing driver-side
     except the loop structure (no collect)."""
+    # The loop reads the points 2*iters+1 times. cache_points pins the
+    # (id, vec) projection once (standard Lloyd practice, what MLlib
+    # does) — the right call when the source is a remote/expensive scan.
+    # A/B'd at sf0.1 and left OFF by default: the blocking materialization
+    # job costs more than the re-scans it saves on a local parquet table
+    # (2.9 s -> ~4 s measured), and column-pruned re-scans are cheap.
+    emb = emb.select(F.col(id_col), F.col(vec_col))
+    if cache_points:
+        from hadoop_1_spark.operators.caching import persist_tracked
+
+        emb = persist_tracked(emb)
     seed_pool = emb.select(
         F.md5(F.col(id_col).cast("string")).alias("_m"),
         F.col(id_col).alias("_sid"),
