@@ -231,3 +231,76 @@ def test_hash_split_weight_variants(spark):
     assert all_in.where("split <> 'x'").count() == 0
     with pytest.raises(ValueError):
         corpusprep.hash_split(df, weights=(("a", 60), ("b", 60)))
+
+
+# ---------------------------------------------------------------------------
+# PII scrub vs a direct Python-re reference (round 5)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet="abc 0123456789.-@xyz\t",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_pii_scrub_matches_python_re(spark, texts):
+    import re
+
+    from hadoop_1_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in textops.pii_scrub(df).collect()}
+    for i, t in enumerate(texts):
+        n_em = len(re.findall(textops.PII_EMAIL_RE, t))
+        t1 = re.sub(textops.PII_EMAIL_RE, "[EMAIL]", t)
+        n_ph = len(re.findall(textops.PII_PHONE_RE, t1))
+        t2 = re.sub(textops.PII_PHONE_RE, "[PHONE]", t1)
+        n_ip = len(re.findall(textops.PII_IP_RE, t2))
+        t3 = re.sub(textops.PII_IP_RE, "[IP]", t2)
+        r = got[i]
+        assert (r.n_emails, r.n_phones, r.n_ips) == (n_em, n_ph, n_ip), t
+        assert r.clean_text == t3, t
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats vs a direct Python reference (round 5)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=20
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_repetition_stats_matches_python(spark, docs):
+    from hadoop_1_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in textops.repetition_stats(df, n=2).collect()}
+    for i, t in enumerate(docs):
+        toks = t.split()
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if not grams:
+            assert i not in got
+            continue
+        from collections import Counter
+
+        c = Counter(grams)
+        r = got[i]
+        assert r.n_grams == len(grams)
+        assert r.dup_gram_frac == round(1 - len(c) / len(grams), 9)
+        assert r.top_gram_frac == round(max(c.values()) / len(grams), 9)
