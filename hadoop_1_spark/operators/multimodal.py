@@ -154,3 +154,26 @@ def frame_sample(media: DataFrame, fps_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def content_hash_dedup(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Exact content-hash dedup over the binary column — the image/audio
+    dedup step of a multimodal ingest (identical bytes -> one canonical
+    copy). digest = md5(hex(content)): hex() first because the oracle
+    engine's md5 is VARCHAR-only, and hex is bit-identical across engines.
+
+    One digest-keyed shuffle (map-side partial min); blobs never leave
+    the JVM — the hash is computed in the scan stage and only (id,
+    digest) rows shuffle."""
+    digest = F.md5(F.hex(F.col("content")))
+    hashed = media.select(F.col(id_col), digest.alias("digest"))
+    canon = hashed.groupBy("digest").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        hashed.join(canon, "digest")
+        .select(
+            id_col,
+            "digest",
+            "canonical_id",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
+        )
+    )

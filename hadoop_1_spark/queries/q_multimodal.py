@@ -132,3 +132,21 @@ FROM media WHERE modality = 'video'
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan: one row per sampled timestamp (1 fps)."""
     return multimodal.frame_sample(_media(spark, sf_dir), fps_ms=1000)
+
+
+@register(
+    "mm_dedup",
+    oracle=f"""
+WITH {_MEDIA_CTE.strip().rstrip()},
+h AS (SELECT media_id, md5(hex(content)) AS digest FROM blobs),
+c AS (SELECT digest, min(media_id) AS canonical_id FROM h GROUP BY 1)
+SELECT h.media_id, h.digest, c.canonical_id,
+       h.media_id <> c.canonical_id AS is_dup
+FROM h JOIN c USING (digest)
+""",
+)
+def mm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup over media blobs: identical bytes map to
+    one canonical media_id (duplicate documents that share a modality
+    slot collide; the blob column never leaves the JVM)."""
+    return multimodal.content_hash_dedup(_media(spark, sf_dir))

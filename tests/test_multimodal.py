@@ -50,3 +50,21 @@ def test_extract_features_batch_shape(spark):
     assert len(rows) == 20
     assert all(0.0 <= r["brightness"] < 1.0 for r in rows)
     assert all(len(r["digest"]) == 32 for r in rows)
+
+
+def test_content_hash_dedup_marks_identical_blobs(spark):
+    from hadoop_1_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"\x89PNG\r\n\x1a\nAAA")),
+            (2, bytearray(b"\x89PNG\r\n\x1a\nAAA")),  # identical to 1
+            (3, bytearray(b"\x89PNG\r\n\x1a\nBBB")),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in multimodal.content_hash_dedup(df).collect()}
+    assert rows[1].canonical_id == 1 and not rows[1].is_dup
+    assert rows[2].canonical_id == 1 and rows[2].is_dup
+    assert rows[3].canonical_id == 3 and not rows[3].is_dup
+    assert rows[1].digest == rows[2].digest != rows[3].digest
