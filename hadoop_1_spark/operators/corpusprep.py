@@ -187,3 +187,48 @@ def rebalance_by_language(
         .where(bucket * F.col("_n") * F.lit(100) < pct * F.col("_total") * F.lit(mod))
         .drop("_n", "_total")
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    token windows (size ``chunk_size``, step ``stride``) — the complement
+    of pack_bins (short docs pack, long docs chunk) in a pretraining prep
+    pipeline. Every token is covered when stride <= chunk_size; the last
+    window of a doc may be shorter.
+
+    Narrow per-document op: tokens, window starts (sequence with step),
+    and slices are all array expressions in one projection — the only
+    wide operation is whatever the consumer does next."""
+    from hadoop_1_spark.operators.textops import ws_tokens
+
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = ws_tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+    chunks = F.filter(
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                s.alias("start"),
+                F.array_join(F.slice(toks, s, chunk_size), " ").alias("chunk"),
+                F.size(F.slice(toks, s, chunk_size)).alias("n_tokens"),
+            ),
+        ),
+        lambda c: c["n_tokens"] > 0,
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("c.start").cast("int").alias("start_token"),
+            F.col("c.n_tokens").cast("int").alias("n_tokens"),
+            F.col("c.chunk").alias("chunk"),
+        )
+    )

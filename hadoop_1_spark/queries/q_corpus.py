@@ -293,3 +293,42 @@ def corpus_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_kept"))
         .join(totals, "lang")
     )
+
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "corpus_chunk_windows",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks), 1) + 1, {CHUNK_STRIDE})) AS start
+  FROM t
+),
+c AS (
+  SELECT doc_id, start,
+         row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS chunk_idx,
+         toks[start:start + {CHUNK_SIZE} - 1] AS w
+  FROM s
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(start AS INT) AS start_token,
+       CAST(len(w) AS INT) AS n_tokens,
+       array_to_string(w, ' ') AS chunk
+FROM c WHERE len(w) > 0
+""",
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking over documents (size 32, stride 24 —
+    8-token overlap): long documents become overlapping training windows,
+    the complement of corpus_pack_bins' short-doc packing."""
+    from hadoop_1_spark.operators import corpusprep
+
+    return corpusprep.chunk_windows(
+        _load(spark, sf_dir, "documents"),
+        chunk_size=CHUNK_SIZE,
+        stride=CHUNK_STRIDE,
+    )

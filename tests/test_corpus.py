@@ -150,3 +150,38 @@ def test_rebalance_shrinks_overrepresented_only(spark):
             assert kept == tot, lang
         else:  # over-represented: strictly downsampled
             assert kept < tot, lang
+
+
+def test_chunk_windows_coverage_and_overlap(spark):
+    from hadoop_1_spark.operators import corpusprep
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        corpusprep.chunk_windows(df, chunk_size=4, stride=3).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    d1 = [r for r in rows if r.doc_id == 1]
+    # starts 1,4,7,10 -> windows of 4,4,4,1 tokens
+    assert [(r.start_token, r.n_tokens) for r in d1] == [(1, 4), (4, 4), (7, 4), (10, 1)]
+    assert d1[0].chunk == "t0 t1 t2 t3" and d1[1].chunk == "t3 t4 t5 t6"
+    # stride < size -> every token appears in >= 1 chunk
+    covered = {t for r in d1 for t in r.chunk.split()}
+    assert covered == {f"t{i}" for i in range(10)}
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert [(r.start_token, r.n_tokens, r.chunk) for r in d2] == [(1, 2, "a b")]
+    assert not [r for r in rows if r.doc_id == 3]  # empty doc -> no chunks
+
+
+def test_chunk_windows_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from hadoop_1_spark.operators import corpusprep
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        corpusprep.chunk_windows(df, chunk_size=0)
+    with _pytest.raises(ValueError):
+        corpusprep.chunk_windows(df, stride=0)
