@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 LONG_VALUE_SUM = "LongValueSum"
@@ -242,3 +242,85 @@ def aggregate_descriptors(
     for b in branches[1:]:
         out = out.unionAll(b)
     return out.select(F.col("id").alias("key"), "value")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Deterministic KMV (k-minimum-values) distinct-count sketch per
+    group (Bar-Yossef et al. / Beyer et al., public sketch literature):
+    hash each value to md5 hex, keep the k smallest distinct hashes, and
+    estimate |D| = (k-1) / frac(h_(k)) where frac maps the k-th smallest
+    hash to (0,1]. With fewer than k distinct values the count is exact.
+
+    Unlike HLL (engine-specific registers), every step here — md5, hash
+    order, the fraction arithmetic — replays identically in any engine,
+    so the ORACLE CHECKS THE SKETCH VALUE ITSELF, not just its shape.
+
+    Scale: one distinct shuffle on (group, hash), then a per-group rank
+    pruned to k rows by WindowGroupLimit (the sort never materializes
+    beyond k per partition); at 100 TB swap the distinct for a partial
+    per-partition bottom-k pre-aggregation if the value space is huge."""
+    h = df.select(
+        F.col(group_col), F.md5(F.col(value_col).cast("string")).alias("_h")
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("_h")
+    topk = h.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= k)
+    # frac(h) from the first 13 hex digits (52 bits — exact in a double):
+    # uniform in (0,1] after the +1 guard against the (impossible) all-zero
+    # prefix ever yielding a zero divisor.
+    frac = (F.conv(F.substring("_h", 1, 13), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(16**13)
+    )
+    agg = topk.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max(F.when(F.col("_rk") == k, frac)).alias("_kth"),
+    )
+    return agg.select(
+        group_col,
+        F.when(F.col("_n") < k, F.col("_n").cast("double"))
+        .otherwise(F.round((F.lit(float(k - 1))) / F.col("_kth"), 6))
+        .alias("distinct_est"),
+        F.col("_n").cast("int").alias("n_hashes"),
+    )
+
+
+def sample_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    sample_id_col: str,
+    s: int = 200,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Deterministic sample-based quantiles per group: rank rows by
+    (md5(id), id) — a fixed random-looking order — keep the first ``s``
+    per group, and take exact index quantiles of the SAMPLE (element at
+    floor((n-1) * q) of the sorted sample, 0-based).
+
+    The deterministic twin of percentile_approx: bounded memory per
+    group (s values), and because the sample membership and the index
+    arithmetic are engine-portable, the oracle checks the estimates
+    exactly. One shuffle on the group key; the rank is
+    WindowGroupLimit-pruned to s rows per group."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(sample_id_col).cast("string")), F.col(sample_id_col)
+    )
+    sample = (
+        df.select(group_col, value_col, F.col(sample_id_col))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= s)
+    )
+    vals = sample.groupBy(group_col).agg(
+        F.sort_array(F.collect_list(F.col(value_col).cast("double"))).alias("_v")
+    )
+    cols = [F.col(group_col)]
+    for q in qs:
+        idx = F.floor((F.size("_v") - 1) * F.lit(q)).cast("int") + 1  # 1-based
+        cols.append(
+            F.round(F.element_at("_v", idx), 6).alias(f"p{int(q * 100)}")
+        )
+    return vals.select(*cols)

@@ -288,3 +288,66 @@ def percentile_approx_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(q, 3).alias("p75"),
         F.element_at(q, 4).alias("p95"),
     )
+
+
+KMV_K = 64
+
+
+@register(
+    "uniq_count_kmv",
+    oracle=f"""
+WITH h AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM h),
+t AS (SELECT event_type, count(*) AS n,
+             max(CASE WHEN rk = {KMV_K}
+                 THEN (CAST(('0x' || substr(h, 1, 13))::BIGINT AS DOUBLE) + 1.0)
+                      / 4503599627370496.0 END) AS kth
+      FROM r WHERE rk <= {KMV_K} GROUP BY 1)
+SELECT event_type,
+       CASE WHEN n < {KMV_K} THEN CAST(n AS DOUBLE)
+            ELSE round({KMV_K - 1}.0 / kth, 6) END AS distinct_est,
+       CAST(n AS INT) AS n_hashes
+FROM t
+""",
+)
+def uniq_count_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV distinct-count sketch per event type — the
+    oracle-checkable approximate twin of UniqValueCount: unlike the HLL
+    variant (uniq_count_approx, engine-specific registers, rows-only
+    check), every step replays in SQL so the driver hash-checks the
+    SKETCH VALUES themselves. Exact twin: uniq_count_capped."""
+    ev = _load(spark, sf_dir, "events")
+    return agg.kmv_distinct(ev, "event_type", "user_id", k=KMV_K)
+
+
+@register(
+    "percentile_sample_quantiles",
+    oracle="""
+WITH r AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+  FROM events
+),
+s AS (SELECT event_type, v FROM r WHERE rk <= 200),
+a AS (SELECT event_type, list_sort(list(v)) AS vs FROM s GROUP BY 1)
+SELECT event_type,
+  round(vs[CAST(floor((len(vs) - 1) * 0.5) AS INT) + 1], 6) AS p50,
+  round(vs[CAST(floor((len(vs) - 1) * 0.95) AS INT) + 1], 6) AS p95,
+  round(vs[CAST(floor((len(vs) - 1) * 0.99) AS INT) + 1], 6) AS p99
+FROM a
+""",
+)
+def percentile_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sample-based quantiles per event type (s=200 rows
+    chosen by md5 rank) — the oracle-checkable approximate twin of
+    percentile_approx_cdf: bounded memory like a sketch, but the sample
+    membership and index arithmetic replay exactly in SQL. Exact twin:
+    rumen_cdf."""
+    ev = _load(spark, sf_dir, "events")
+    return agg.sample_quantiles(
+        ev, "event_type", "value", "event_id", s=200, qs=(0.5, 0.95, 0.99)
+    )

@@ -64,3 +64,34 @@ def test_histogram_tab_count_inputs(spark):
     out = agg.histogram_report_df(df).collect()
     # freqs: a=4, b=2 -> n=2 min=2 median=counts[1]=4 max=4 avg=3.0 sd=1.0
     assert out[0]["value"] == "2\t2\t4\t4\t3.0\t1.0"
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    from hadoop_1_spark.operators import aggregate as agg
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(
+        F.when(F.col("id") < 20, "small").otherwise("big").alias("grp"),
+        # 'small': 10 distinct values; 'big': 1980 distinct values
+        F.when(F.col("id") < 20, F.col("id") % 10).otherwise(F.col("id")).alias("v"),
+    )
+    rows = {r.grp: r for r in agg.kmv_distinct(df, "grp", "v", k=64).collect()}
+    assert rows["small"].distinct_est == 10.0  # exact below k
+    assert rows["small"].n_hashes == 10
+    assert rows["big"].n_hashes == 64
+    # KMV sigma ~ 1/sqrt(k) ~ 12.5%; allow 4 sigma
+    assert abs(rows["big"].distinct_est - 1980) / 1980 < 0.5
+
+
+def test_sample_quantiles_exact_when_group_fits_sample(spark):
+    from hadoop_1_spark.operators import aggregate as agg
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.lit("g").alias("grp"), F.col("id").alias("eid"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    row = agg.sample_quantiles(df, "grp", "v", "eid", s=200, qs=(0.5, 0.95)).first()
+    # n=100 <= s: sample is the whole group -> index quantiles of 0..99
+    assert row.p50 == 49.0   # floor(99*0.5)=49
+    assert row.p95 == 94.0   # floor(99*0.95)=94
