@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "dedup_semantic",      # SemDeDup: in-cell cosine via trained clusters
     "text_repetition",     # dup/top bigram fractions (1-exchange zip-grams)
     "corpus_pii_scrub",    # codegen'd PII count+redact projection
+    "uniq_count_kmv",      # deterministic KMV distinct sketch (oracled)
     "index_build",         # inverted index (explode + 2-level agg)
     "mm_features",         # Arrow mapInPandas over binary blobs
     "rumen_cdf",           # JSON parse + percentile CDFs
