@@ -463,25 +463,33 @@ def kmeans_train_assign(
             .select(F.col(id_col), F.col(vec_col), F.col("_m.cid").alias("cid"))
         )
 
+    # The update aggregation is 64 decimal sums + a 64-term mean array.
+    # Built once here and reused every round: chaining Column methods costs
+    # ~6 py4j round trips per term (~1.2 s of driver chatter per round,
+    # measured at sf0.1); parsing each term as one expression string and
+    # reusing the Column objects across rounds cuts that to a one-time
+    # ~0.2 s. Semantics identical — same cast chain, same decimal(18,6)
+    # exact sums, same single IEEE division (the oracle replays them).
+    _sum_exprs = [
+        F.expr(
+            f"sum(cast(cast(element_at({vec_col}, {d}) as double)"
+            f" as decimal(18,6)))"
+        ).alias(f"_s{d}")
+        for d in range(1, dims + 1)
+    ]
+    _count_expr = F.expr("count(1)").alias("_n")
+    _mean_arr = F.expr(
+        "array("
+        + ", ".join(
+            f"cast(_s{d} as double) / cast(_n as double)"
+            for d in range(1, dims + 1)
+        )
+        + ")"
+    ).alias("cvec")
+
     def update(a: DataFrame) -> DataFrame:
-        sums = a.groupBy("cid").agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[
-                F.sum(
-                    F.element_at(F.col(vec_col), d).cast("double").cast("decimal(18,6)")
-                ).alias(f"_s{d}")
-                for d in range(1, dims + 1)
-            ],
-        )
-        return sums.select(
-            "cid",
-            F.array(
-                *[
-                    F.col(f"_s{d}").cast("double") / F.col("_n").cast("double")
-                    for d in range(1, dims + 1)
-                ]
-            ).alias("cvec"),
-        )
+        sums = a.groupBy("cid").agg(_count_expr, *_sum_exprs)
+        return sums.select("cid", _mean_arr)
 
     if not use_arrow:
         for _ in range(iters):
