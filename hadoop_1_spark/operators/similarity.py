@@ -385,15 +385,68 @@ def kmeans_assign_udf(cvals: list[list[float]], cids: list[int] | None = None):
     return _assign
 
 
+def lit_vec(vals: list[float]) -> Column:
+    """A vector of double literals via string->double casts. repr() emits
+    the shortest round-trip decimal and CAST(varchar AS double) is
+    correctly rounded, so the plan constant is bit-equal to the source
+    value — the same contract the oracle relies on when it recomputes the
+    vector from the table instead of receiving the literal."""
+    return F.expr(
+        "array(" + ", ".join(f"cast('{v!r}' as double)" for v in vals) + ")"
+    )
+
+
+def farthest_first_seeds(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic kmeans++-style init: farthest-first traversal with
+    md5 tie-breaks (the classic k-center seeding — kmeans++ with the
+    distance-weighted coin replaced by its argmax mode, so no RNG state).
+
+    Seed 0 is the vector with the smallest (md5(id), id) — the same rule
+    as the hash init. Seed i maximizes the min L2 distance to the chosen
+    seeds, ties broken by (md5(id), id) ascending. Distances use the
+    fixed-order l2_chain fold, so an engine replaying the same rule (the
+    cluster_kmeans_pp oracle) picks bit-identical seeds.
+
+    Scale shape: k-1 rounds, each a corpus scan against k broadcast
+    literal vectors folded with F.least, reduced by TakeOrdered(1) — a
+    bounded driver action per round (one row), no data collect. Cost is
+    O(k * scan): the right init when k is modest and cluster quality
+    matters; the O(1)-pass hash init remains the default."""
+    base = emb.select(
+        F.md5(F.col(id_col).cast("string")).alias("_m"),
+        F.col(id_col).alias("_sid"),
+        F.col(vec_col).alias("_v"),
+    )
+    first = base.orderBy("_m", "_sid").limit(1).collect()[0]
+    seeds: list[list[float]] = [[float(x) for x in first["_v"]]]
+    for _ in range(1, k):
+        dists = [l2_chain(F.col("_v"), lit_vec(s)) for s in seeds]
+        dmin = F.least(*dists) if len(dists) > 1 else dists[0]
+        row = (
+            base.select("_m", "_sid", "_v", dmin.alias("_d"))
+            .orderBy(F.desc("_d"), "_m", "_sid")
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append([float(x) for x in row["_v"]])
+    return seeds
+
+
 def kmeans_train_assign(
     emb: DataFrame,
-    k: int = 8,
+    k: int | None = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = DIMS,
     use_arrow: bool = True,
     cache_points: bool = False,
+    init: str = "hash",
 ) -> DataFrame:
     """Deterministic Lloyd k-means over the embedding column -> (id,
     cluster). Trains the coarse quantizer the IVF probe assumes exists
@@ -413,7 +466,22 @@ def kmeans_train_assign(
     Scale shape: each round is corpus x broadcast(k centroids) -> one
     shuffle on id for the argmin window -> a k-row wide aggregation
     (map-side partial). iters and k are constants; nothing driver-side
-    except the loop structure (no collect)."""
+    except the loop structure (no collect).
+
+    Scale knobs (fixture queries pin k/iters so the static oracle SQL can
+    replay them; pipelines at real scale use these):
+    - ``k=None`` derives k = max(2, isqrt(n)) — the usual SemDeDup-style
+      cell count that keeps expected cell size ~sqrt(n) (one count job).
+    - ``init="kmeanspp"`` seeds by deterministic farthest-first traversal
+      (see farthest_first_seeds) instead of the (md5(id), id) smallest-k
+      hash draw — better-separated seeds for skewed embedding spaces at
+      the price of k-1 extra scans."""
+    if k is None:
+        import math
+
+        k = max(2, math.isqrt(emb.count()))
+    if init not in ("hash", "kmeanspp"):
+        raise ValueError(f"unknown init {init!r} (want 'hash' or 'kmeanspp')")
     # The loop reads the points 2*iters+1 times. cache_points pins the
     # (id, vec) projection once (standard Lloyd practice, what MLlib
     # does) — the right call when the source is a remote/expensive scan.
@@ -425,16 +493,24 @@ def kmeans_train_assign(
         from hadoop_1_spark.operators.caching import persist_tracked
 
         emb = persist_tracked(emb)
-    seed_pool = emb.select(
-        F.md5(F.col(id_col).cast("string")).alias("_m"),
-        F.col(id_col).alias("_sid"),
-        F.col(vec_col).alias("cvec"),
-    ).orderBy("_m", "_sid").limit(k)
-    # row_number here runs over k rows post-limit, not the corpus
-    w_seed = Window.orderBy("_m", "_sid")
-    cents = seed_pool.select(
-        (F.row_number().over(w_seed) - 1).alias("cid"), "cvec"
-    )
+    if init == "kmeanspp":
+        pp = farthest_first_seeds(emb, k, id_col=id_col, vec_col=vec_col)
+        # literal centroids (exact: createDataFrame ships the doubles as
+        # values, no parsing) in selection order = cid order
+        cents = emb.sparkSession.createDataFrame(
+            [(i, v) for i, v in enumerate(pp)], "cid int, cvec array<double>"
+        )
+    else:
+        seed_pool = emb.select(
+            F.md5(F.col(id_col).cast("string")).alias("_m"),
+            F.col(id_col).alias("_sid"),
+            F.col(vec_col).alias("cvec"),
+        ).orderBy("_m", "_sid").limit(k)
+        # row_number here runs over k rows post-limit, not the corpus
+        w_seed = Window.orderBy("_m", "_sid")
+        cents = seed_pool.select(
+            (F.row_number().over(w_seed) - 1).alias("cid"), "cvec"
+        )
 
     def assign(centroids: DataFrame) -> DataFrame:
         # argmin as min(struct(dist, cid)) rather than a window: the k

@@ -111,11 +111,43 @@ KM_K = 8
 KM_ITERS = 2
 
 
-def _kmeans_ctes(k: int = KM_K, iters: int = KM_ITERS, dims: int = 64) -> list[str]:
+def _kmeanspp_seed_ctes(k: int, dims: int) -> list[str]:
+    """CTE chain replaying similarity.farthest_first_seeds: seed 0 is the
+    smallest (md5(id), id) vector; seed i maximizes the min fixed-order
+    L2 distance to the chosen seeds, ties by (md5(id), id). Ends in
+    ``seeds(cid, cvec)`` with cid = selection order."""
+    dist = similarity.sql_l2_chain("e.embedding", "s.cvec", dims)
+    ctes = [
+        """seeds1 AS (
+  SELECT 0 AS cid, embedding AS cvec FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+)"""
+    ]
+    for i in range(1, k):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT e.vec_id, e.embedding, MIN({dist}) AS dmin
+  FROM e CROSS JOIN seeds{i} s GROUP BY e.vec_id, e.embedding
+),
+pick{i} AS (
+  SELECT {i} AS cid, embedding AS cvec FROM d{i}
+  ORDER BY dmin DESC, md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+),
+seeds{i + 1} AS (SELECT cid, cvec FROM seeds{i} UNION ALL SELECT cid, cvec FROM pick{i})"""
+        )
+    ctes.append(f"seeds AS (SELECT cid, cvec FROM seeds{k})")
+    return ctes
+
+
+def _kmeans_ctes(
+    k: int = KM_K, iters: int = KM_ITERS, dims: int = 64, init: str = "hash"
+) -> list[str]:
     """CTE chain replaying kmeans_train_assign exactly (same seeds, same
     fixed-order distance chain, same decimal-exact centroid means); the
     final assignment lives in CTE ``afinal(vec_id, embedding, cid)``.
-    Shared by the cluster_kmeans oracle and the SemDeDup oracle."""
+    Shared by the cluster_kmeans oracle and the SemDeDup oracle.
+    ``init`` mirrors the operator knob: 'hash' (smallest-k md5 draw) or
+    'kmeanspp' (farthest-first traversal, _kmeanspp_seed_ctes)."""
     dist = similarity.sql_l2_chain("e.embedding", "s.cvec", dims)
     mean_list = ", ".join(
         f"CAST(sum(CAST(CAST(embedding[{d}] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)"
@@ -131,15 +163,18 @@ def _kmeans_ctes(k: int = KM_K, iters: int = KM_ITERS, dims: int = 64) -> list[s
     FROM e CROSS JOIN {cents} s) WHERE rn = 1
 )"""
 
-    ctes = [
-        "e AS (SELECT vec_id, embedding FROM embeddings)",
-        f"""seeds AS (
+    ctes = ["e AS (SELECT vec_id, embedding FROM embeddings)"]
+    if init == "kmeanspp":
+        ctes.extend(_kmeanspp_seed_ctes(k, dims))
+    else:
+        ctes.append(
+            f"""seeds AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
          embedding AS cvec
   FROM (SELECT vec_id, embedding FROM e
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
-)""",
-    ]
+)"""
+        )
     cents = "seeds"
     for i in range(iters):
         ctes.append(assign_cte(f"a{i}", cents))
@@ -167,6 +202,31 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     init, fixed-order distance folds, decimal-exact centroid means."""
     emb = _load(spark, sf_dir, "embeddings")
     return similarity.kmeans_train_assign(emb, k=KM_K, iters=KM_ITERS)
+
+
+KM_PP_K = 4
+KM_PP_ITERS = 1
+
+
+def _kmeans_pp_oracle() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_ctes(k=KM_PP_K, iters=KM_PP_ITERS, init="kmeanspp"))
+        + "\nSELECT vec_id, CAST(cid AS INT) AS cluster FROM afinal"
+    )
+
+
+@register("cluster_kmeans_pp", oracle=_kmeans_pp_oracle())
+def cluster_kmeans_pp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means seeded by the deterministic kmeans++-style
+    farthest-first traversal (k=4, 1 update round) — the quality-first
+    init knob (similarity.farthest_first_seeds; TODO #9). The oracle
+    replays the full recursion: min-distance argmax seed picks with md5
+    tie-breaks, then the same assign/update rounds as cluster_kmeans."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.kmeans_train_assign(
+        emb, k=KM_PP_K, iters=KM_PP_ITERS, init="kmeanspp"
+    )
 
 
 def _semantic_dedup_oracle(threshold: float = 0.45, dims: int = 64) -> str:

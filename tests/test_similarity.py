@@ -210,3 +210,41 @@ def test_kmeans_arrow_bit_identical(spark):
     arrow = {r.vec_id: r.cluster for r in similarity.kmeans_train_assign(emb, use_arrow=True).collect()}
     expr = {r.vec_id: r.cluster for r in similarity.kmeans_train_assign(emb, use_arrow=False).collect()}
     assert arrow == expr and arrow
+
+
+def test_kmeans_auto_k_and_pp_init(spark):
+    """Scale knobs: k=None derives max(2, isqrt(n)); init='kmeanspp'
+    seeds by deterministic farthest-first and stays deterministic and
+    bit-identical across the Arrow/expression paths."""
+    import math
+    import os
+
+    import pytest
+
+    from hadoop_1_spark.operators import similarity
+    from hadoop_1_spark.session import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    want_k = max(2, math.isqrt(n))
+    auto = similarity.kmeans_train_assign(emb, k=None, iters=1)
+    labels = {r.cluster for r in auto.collect()}
+    assert labels <= set(range(want_k)) and len(labels) > 1
+
+    # farthest-first seeds: first seed = hash-init seed; all distinct
+    seeds = similarity.farthest_first_seeds(emb, 4)
+    assert len(seeds) == 4
+    assert len({tuple(s) for s in seeds}) == 4
+
+    pp_a = {r.vec_id: r.cluster for r in similarity.kmeans_train_assign(
+        emb, k=4, iters=1, init="kmeanspp").collect()}
+    pp_b = {r.vec_id: r.cluster for r in similarity.kmeans_train_assign(
+        emb, k=4, iters=1, init="kmeanspp").collect()}
+    assert pp_a == pp_b and set(pp_a.values()) <= set(range(4))
+    expr = {r.vec_id: r.cluster for r in similarity.kmeans_train_assign(
+        emb, k=4, iters=1, init="kmeanspp", use_arrow=False).collect()}
+    assert pp_a == expr
+
+    with pytest.raises(ValueError):
+        similarity.kmeans_train_assign(emb, k=4, init="rng")
