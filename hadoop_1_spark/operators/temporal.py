@@ -107,6 +107,52 @@ def asof_join(
     return out
 
 
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Batch sessionization: assign each row a per-key session sequence
+    number, where a NEW session starts when the gap to the previous event
+    STRICTLY exceeds ``gap_seconds`` (events exactly gap apart share a
+    session — the same closed-gap rule as Spark's streaming
+    session_window). Adds ``session_seq`` (1-based within key).
+
+    The classic batch formulation: lag(ts) over (key, ts) marks session
+    starts, a running sum of the marks numbers them — exactly the gap
+    rule Structured Streaming's session_window applies to live data
+    (streaming/__init__.py), so batch backfill and the streaming path
+    agree on boundaries.
+
+    Determinism: equal timestamps order by ``tie_cols`` (required if key
+    + ts can tie); rows with NULL ts are dropped (no position on the
+    timeline — same rule as asof_join's null filter).
+
+    Scale shape: ONE shuffle on key_col; both windows share the same
+    (key, ts) sort, so Catalyst plans a single Window node over one
+    exchange. Linear in-partition scan; hot keys serialize within their
+    partition (the asof_join caveat) — split the key's time range
+    upstream if a single key's history exceeds a partition.
+    """
+    tie = tie_cols or []
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tie]]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap_us = F.lit(int(gap_seconds) * 1_000_000)
+    new_mark = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        df.where(F.col(ts_col).isNotNull())
+        .withColumn("session_seq", F.sum(new_mark).over(wrun))
+    )
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -70,6 +70,53 @@ def asof_signup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_S = 8 * 3600  # median per-user gap is ~7.3h at sf0.01
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+WITH e AS (SELECT user_id, ts, event_id, value FROM events WHERE ts IS NOT NULL),
+m AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > CAST({SESSION_GAP_S} AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS new_mark
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id, value,
+         sum(new_mark) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM m
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, session_seq
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization of the event stream (8h inactivity
+    closes a session) rolled up to per-session bounds and exact-decimal
+    value sums — the batch twin of the streaming session_window query,
+    sharing its closed-gap boundary rule. One shuffle on user_id feeds
+    both the session numbering window and the rollup."""
+    ev = _load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    s = temporal.sessionize(
+        ev, key_col="user_id", ts_col="ts",
+        gap_seconds=SESSION_GAP_S, tie_cols=["event_id"],
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(_us("ts")).alias("start_us"),
+        F.max(_us("ts")).alias("end_us"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
 def _bands_oracle() -> str:
     rows = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in BANDS)
     return f"""

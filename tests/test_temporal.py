@@ -110,3 +110,46 @@ def test_asof_equal_ts_tie_breaks_to_max_payload(spark):
         [("a", 50, 7), ("a", 50, 11), ("a", 50, 9)],
     )
     assert got[("a", 1)] == (50, 11)
+
+
+def test_sessionize_gap_rule(spark):
+    """Strictly-greater-than-gap starts a NEW session; exactly-gap stays in
+    the same one (the streaming session_window closed-gap rule); NULL ts
+    rows are dropped; sessions number 1..n per key in time order."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.operators import temporal
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        ("u1", s(0), 1),
+        ("u1", s(10), 2),     # gap 10 == gap_seconds -> same session
+        ("u1", s(21), 3),     # gap 11 > 10 -> new session
+        ("u1", None, 4),      # dropped
+        ("u2", s(5), 5),      # separate key numbers from 1
+        ("u2", s(100), 6),    # new session
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long")
+    out = temporal.sessionize(df, "k", "ts", gap_seconds=10, tie_cols=["eid"])
+    got = {(r.k, r.eid): r.session_seq for r in out.collect()}
+    assert got == {
+        ("u1", 1): 1, ("u1", 2): 1, ("u1", 3): 2,
+        ("u2", 5): 1, ("u2", 6): 2,
+    }
+    # equal timestamps: tie_cols make numbering deterministic
+    dup = spark.createDataFrame(
+        [("u", s(0), 2), ("u", s(0), 1), ("u", s(30), 3)],
+        "k string, ts timestamp, eid long",
+    )
+    out2 = temporal.sessionize(dup, "k", "ts", gap_seconds=10, tie_cols=["eid"])
+    assert {(r.eid, r.session_seq) for r in out2.collect()} == {(1, 1), (2, 1), (3, 2)}
+    # one shuffle feeds both windows (AQE toString repeats the plan under
+    # '== Initial Plan ==' — count the final section only)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
