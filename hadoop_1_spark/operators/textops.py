@@ -375,6 +375,51 @@ def repetition_stats(df: DataFrame, n: int = 2, text_col: str = "text", id_col: 
     )
 
 
+def tfidf_topk(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-k characteristic terms by tf-idf, in the exact
+    integer arithmetic the repo uses for cross-engine-hashable ranking
+    (rebalance_by_language's discipline): score_q6 = (tf * 1e6) div df —
+    raw inverse-document-frequency weighting (the log-free idf variant;
+    the log dampening changes the curve, not the plumbing), quantized so
+    both engines rank identical bigints instead of transcendental
+    doubles. Ties break by token ascending.
+
+    Shape (2 exchanges, 1 scan): one repartition on doc_id lets the
+    (doc, token) tf aggregation, and later the per-doc ranking window,
+    both run without their own shuffle (ClusteredDistribution(doc, token)
+    is satisfied by hash(doc)); the tf relation is persisted (tracked, so
+    the registry's release_caches frees it) because both the document-
+    frequency branch and the scoring join read it — without the pin the
+    planner re-scans and re-explodes the corpus for the df branch. The
+    df aggregation is the second exchange, over distinct (doc, token)
+    pairs, and its vocab-sized result broadcasts back."""
+    from pyspark.sql import Window
+
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    tok = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("token")
+    ).repartition(id_col)
+    tf = persist_tracked(
+        tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "token").select(
+        F.col(id_col),
+        F.col("token"),
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df").cast("bigint").alias("df"),
+        F.expr("(tf * 1000000) div df").cast("bigint").alias("score_q6"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_q6"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def vocab_top(
     df: DataFrame, k: int = 20, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

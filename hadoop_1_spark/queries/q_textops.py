@@ -291,3 +291,30 @@ def text_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus vocabulary with cumulative coverage fractions — the
     vocab/token-budget planning step of a pretraining pipeline."""
     return textops.vocab_top(_load(spark, sf_dir, "documents"), k=20)
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+s AS (
+  SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+         CAST(df.df AS BIGINT) AS df,
+         CAST((tf.tf * 1000000) // df.df AS BIGINT) AS score_q6
+  FROM tf JOIN df USING (token)
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score_q6 DESC, token) AS INT) AS rank
+  FROM s
+)
+SELECT doc_id, token, tf, df, score_q6, rank FROM r WHERE rank <= 3
+""",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by integer-quantized
+    tf-idf (raw 1/df idf) — keyword extraction for corpus curation. Both
+    engines rank identical bigints; see textops.tfidf_topk."""
+    return textops.tfidf_topk(_load(spark, sf_dir, "documents"), k=3)

@@ -114,3 +114,29 @@ def test_vocab_top_coverage_monotone(spark):
     cums = [r.cum_coverage for r in rows]
     assert cums == sorted(cums) and cums[-1] <= 1.0
     assert cums[0] == round(4 / 9, 9)
+
+
+def test_tfidf_topk_integer_ranking(spark):
+    """score_q6 = (tf*1e6) div df exactly; rank ties break by token asc;
+    k bounds per-doc rows."""
+    from hadoop_1_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textops.tfidf_topk(df, k=2)
+    rows = {(r.doc_id, r.rank): (r.token, r.tf, r.df, r.score_q6) for r in out.collect()}
+    # doc 1: apple tf=2 df=1 -> 2_000_000; banana tf=1 df=2 -> 500_000
+    assert rows[(1, 1)] == ("apple", 2, 1, 2_000_000)
+    assert rows[(1, 2)] == ("banana", 1, 2, 500_000)
+    # doc 2: banana and cherry both tf=1 df=2 -> tie 500_000, token asc
+    assert rows[(2, 1)][0] == "banana" and rows[(2, 2)][0] == "cherry"
+    # doc 3: cherry tf=3 df=2 -> 1_500_000 beats common tf=1 df=3 -> 333_333
+    assert rows[(3, 1)] == ("cherry", 3, 2, 1_500_000)
+    assert rows[(3, 2)] == ("common", 1, 3, 333_333)
+    assert all(r.rank <= 2 for r in out.collect())
