@@ -115,6 +115,74 @@ def ngram_jaccard_pairs(
     return _pair_jaccard(sh, id_col).where(F.col("jaccard") >= threshold)
 
 
+def minhash_signature_relation(
+    df: DataFrame,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The shared MinHash core: returns (per_doc, banded) where per_doc is
+    the PERSISTED (id, h0..h{n-1}, hs) signature relation and banded the
+    exploded (id, band_key) view over it. Factored out of
+    minhash_lsh_pairs so directional consumers (incremental_dedup's
+    batch-vs-snapshot join) reuse the identical signature contract.
+
+    Pre-partitions the corpus by doc id: the per-doc aggregation needs
+    this exact partitioning anyway (Catalyst reuses it — ONE exchange
+    total), and moving the exchange before the shingle/md5 work spreads
+    the hashing across the cluster even when the input arrives as a
+    handful of coarse splits (same intent as FileInputFormat's
+    goalSize-based split sizing, mapred/FileInputFormat.java:261).
+    Explicit partition count: without it AQE's coalescer sizes the
+    exchange by pre-explosion BYTES and would collapse a small corpus of
+    long documents to one task — the hash work is per-shingle, not
+    per-byte.
+
+    ONE aggregation produces both the minhash signature and the full
+    shingle-hash set per doc — the corpus is exploded exactly once, and
+    candidate verification runs on compact per-doc arrays instead of
+    re-joining the shingle relation. One md5 per shingle: the 60-bit
+    digest prefix is both the hs-set member (hex) and the base of the
+    affine permutation family (long). The signature table is persisted
+    because consumers reference it from multiple join sides (exchange
+    reuse is at the planner's discretion and AQE's broadcast choices
+    defeat it unpredictably); size is per-doc signatures + hash sets (a
+    few % of corpus bytes), the standard trade in web-scale minhash
+    dedup."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(par, F.col(id_col))
+    # Duplicate shingles don't change min() or collect_set(), so skip the
+    # per-(id, shingle) distinct shuffle entirely (shingles distinct=False).
+    sh = textops.shingles(df, k=k, text_col=text_col, id_col=id_col, distinct=False)
+    hx = textops.hex_hash(F.col("shingle"), 0)
+    base = F.conv(hx, 16, 10).cast("long") % F.lit(textops.MINHASH_P)
+    hashed = sh.select(F.col(id_col), hx.alias("hx"), base.alias("hm"))
+    perms = textops.minhash_affine(F.col("hm"), num_hashes)
+    per_doc = hashed.groupBy(id_col).agg(
+        *[F.min(p).alias(f"h{i}") for i, p in enumerate(perms)],
+        F.collect_set("hx").alias("hs"),
+    )
+    per_doc = _persist(per_doc)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = per_doc.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
+    )
+    return per_doc, banded
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     k: int = 3,
@@ -131,57 +199,9 @@ def minhash_lsh_pairs(
     This is the 100 TB path: per-doc state is num_hashes longs; the only
     large shuffle is (band_key, doc_id). rows_per_band = num_hashes/bands
     tunes the S-curve: 8 bands x 2 rows catches j>=0.8 w.p. ~1-(1-0.64)^8."""
-    assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    # Pre-partition the corpus by doc id: the per-doc aggregation below
-    # needs this exact partitioning anyway (Catalyst reuses it — ONE
-    # exchange total), and moving the exchange before the shingle/md5 work
-    # spreads the hashing across the cluster even when the input arrives as
-    # a handful of coarse splits (same intent as FileInputFormat's
-    # goalSize-based split sizing, mapred/FileInputFormat.java:261).
-    # Explicit partition count: without it AQE's coalescer sizes the
-    # exchange by pre-explosion BYTES and would collapse a small corpus of
-    # long documents to one task — the hash work is per-shingle, not
-    # per-byte.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(par, F.col(id_col))
-    # Duplicate shingles don't change min() or collect_set(), so skip the
-    # per-(id, shingle) distinct shuffle entirely (shingles distinct=False).
-    sh = textops.shingles(df, k=k, text_col=text_col, id_col=id_col, distinct=False)
-    # ONE aggregation produces both the minhash signature and the full
-    # shingle-hash set per doc — the corpus is exploded exactly once, and
-    # the candidate verify below runs on compact per-doc arrays instead of
-    # re-joining the shingle relation (which would re-scan the corpus).
-    # One md5 per shingle: the 60-bit digest prefix is both the hs-set
-    # member (hex) and the base of the affine permutation family (long).
-    hx = textops.hex_hash(F.col("shingle"), 0)
-    base = F.conv(hx, 16, 10).cast("long") % F.lit(textops.MINHASH_P)
-    hashed = sh.select(F.col(id_col), hx.alias("hx"), base.alias("hm"))
-    perms = textops.minhash_affine(F.col("hm"), num_hashes)
-    per_doc = hashed.groupBy(id_col).agg(
-        *[F.min(p).alias(f"h{i}") for i, p in enumerate(perms)],
-        F.collect_set("hx").alias("hs"),
-    )
-    # The signature table is referenced by BOTH sides of the band self-join
-    # and both probes of the verify join. Without materialization each
-    # reference re-runs the whole shingle+md5 pipeline (exchange reuse is
-    # at the planner's discretion and AQE's broadcast choices defeat it
-    # unpredictably) — persist it once, spill-safe. Size is per-doc
-    # signatures + hash sets (a few % of corpus bytes), the standard
-    # trade in web-scale minhash dedup.
-    per_doc = _persist(per_doc)
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.lit(str(b)),
-                *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
-            )
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = per_doc.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
+    per_doc, banded = minhash_signature_relation(
+        df, k=k, num_hashes=num_hashes, bands=bands,
+        text_col=text_col, id_col=id_col,
     )
     cand = (
         banded.alias("x")
@@ -494,6 +514,171 @@ def semantic_dedup_pairs(
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    snap_df: DataFrame,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingestion dedup: admit a NEW batch of documents against
+    an EXISTING corpus snapshot — the steady-state shape of a training-
+    data pipeline (the snapshot is already deduplicated; only the delta
+    needs work). One row per new doc with integer flags:
+
+    - exact_snap:  normalized text hash already present in the snapshot
+    - exact_batch: within-batch exact duplicate that is not its hash
+                   group's min-id representative
+    - near_snap:   verified MinHash-LSH near-duplicate (jaccard >=
+                   threshold) of some snapshot doc
+    - keep:        none of the above — the rows to append
+
+    Scale shape: the snapshot side is the big one and is never self-
+    joined — the band join is DIRECTIONAL (new x snapshot), so candidate
+    count scales with the batch, not the corpus. Exact-hash membership is
+    a key-only join on md5; the batch-representative rule is one window
+    over the batch's hash groups. Signatures come from
+    minhash_signature_relation — at steady state the snapshot's signature
+    relation would be precomputed and stored (it never changes), leaving
+    per-ingest cost proportional to the batch."""
+    nh = new_df.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("_th")
+    )
+    snap_hashes = (
+        snap_df.select(F.md5(normalize_text(F.col(text_col))).alias("_th"))
+        .distinct()
+        .withColumn("_in_snap", F.lit(1))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_th")
+    flagged = (
+        nh.join(snap_hashes, "_th", "left")
+        .withColumn("_minid", F.min(id_col).over(w))
+    )
+    pd_new, band_new = minhash_signature_relation(
+        new_df, k=k, num_hashes=num_hashes, bands=bands,
+        text_col=text_col, id_col=id_col,
+    )
+    pd_snap, band_snap = minhash_signature_relation(
+        snap_df, k=k, num_hashes=num_hashes, bands=bands,
+        text_col=text_col, id_col=id_col,
+    )
+    cand = (
+        band_new.alias("x")
+        .join(band_snap.alias("y"), "band_key")
+        .select(
+            F.col(f"x.{id_col}").alias("_dn"), F.col(f"y.{id_col}").alias("_ds")
+        )
+        .distinct()
+    )
+    near = (
+        cand.join(
+            pd_new.select(F.col(id_col).alias("_dn"), F.col("hs").alias("hs1")), "_dn"
+        )
+        .join(
+            pd_snap.select(F.col(id_col).alias("_ds"), F.col("hs").alias("hs2")), "_ds"
+        )
+        .withColumn("_i", F.size(F.array_intersect("hs1", "hs2")))
+        .where(
+            F.col("_i").cast("double")
+            / (F.size("hs1") + F.size("hs2") - F.col("_i"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("_dn").alias(id_col))
+        .distinct()
+        .withColumn("_near", F.lit(1))
+    )
+    exact_snap = (F.col("_in_snap").isNotNull()).cast("int")
+    exact_batch = (F.col(id_col) != F.col("_minid")).cast("int")
+    near_snap = (F.col("_near").isNotNull()).cast("int")
+    return (
+        flagged.join(near, id_col, "left")
+        .select(
+            F.col(id_col),
+            exact_snap.alias("exact_snap"),
+            exact_batch.alias("exact_batch"),
+            near_snap.alias("near_snap"),
+            (
+                (exact_snap == 0) & (exact_batch == 0) & (near_snap == 0)
+            ).cast("int").alias("keep"),
+        )
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document duplicated-span statistics — the exact-substring-dedup
+    signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): slide a k-token window over every document, hash each
+    span, and call a span DUPLICATED when the identical span also appears
+    in at least one OTHER document. Returns one row per document:
+    (id, n_spans, n_dup_spans, dup_frac_q6) with dup_frac_q6 =
+    (n_dup_spans * 1e6) div n_spans (integer-exact, 0 when the doc is
+    shorter than k tokens). The fraction is the curation knob: drop or
+    trim documents whose content is mostly boilerplate shared verbatim
+    across the corpus. (The paper's suffix-array pass finds arbitrary-
+    length duplicated substrings; fixed-k rolling windows are the
+    shuffle-friendly approximation — every duplicated substring of
+    length >= k is covered by a duplicated window.)
+
+    Shape (3 exchanges + the final presentation join): ONE repartition on
+    the span hash makes the (hash, doc) count, the per-hash doc count,
+    and their self-join all run co-partitioned with no further shuffle
+    (the (hash, doc) relation is pinned via the tracked cache — it feeds
+    both sides); the per-doc rollup is the second exchange, and joining
+    the zero-span documents back is the third. The shuffles carry only
+    (md5, id, count) triples, never span text — at 100 TB the widest
+    relation is one row per distinct (span, doc)."""
+    toks = textops.ws_tokens(F.col(text_col))
+    spans = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(_toks) >= {k} THEN transform("
+                    f"sequence(1, size(_toks) - {k - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(_toks, i, {k}))))"
+                    f" ELSE array() END"
+                )
+            ).alias("_h"),
+        )
+        .repartition("_h")
+    )
+    per_hd = _persist(
+        spans.groupBy("_h", id_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    ndocs = per_hd.groupBy("_h").agg(F.count(F.lit(1)).alias("_ndocs"))
+    per_doc = (
+        per_hd.join(ndocs, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cnt").alias("n_spans"),
+            F.sum(
+                F.when(F.col("_ndocs") >= 2, F.col("_cnt")).otherwise(F.lit(0))
+            ).alias("n_dup_spans"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.when(F.coalesce(F.col("n_spans"), F.lit(0)) == 0, F.lit(0))
+            .otherwise(F.expr("(n_dup_spans * 1000000) div n_spans"))
+            .cast("long")
+            .alias("dup_frac_q6"),
+        )
     )
 
 

@@ -284,3 +284,126 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs).select(
         F.col("v").alias("doc_id"), "cluster"
     )
+
+
+@register(
+    "dedup_span_stats",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, md5(array_to_string(toks[i:i+4], ' ')) AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+        FROM t WHERE len(toks) >= 5)
+),
+hd AS (SELECT h, doc_id, count(*) AS cnt FROM s GROUP BY 1, 2),
+nd AS (SELECT h, count(*) AS n_docs FROM hd GROUP BY 1),
+pd AS (
+  SELECT doc_id, sum(cnt) AS n_spans,
+         sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS n_dup
+  FROM hd JOIN nd USING (h) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_spans,
+       CAST(CASE WHEN coalesce(n_spans, 0) = 0 THEN 0
+                 ELSE (n_dup * 1000000) // n_spans END AS BIGINT) AS dup_frac_q6
+FROM documents d LEFT JOIN pd USING (doc_id)
+""",
+)
+def dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring-dedup signal: per-document fraction of 5-token
+    rolling spans that appear verbatim in another document (Lee et al.
+    2022's duplicated-substring metric, fixed-window approximation) —
+    the boilerplate/contamination trim knob of a pretraining pipeline.
+    See dedup.duplicated_span_stats for the 3-exchange shape."""
+    return dedup.duplicated_span_stats(_load(spark, sf_dir, "documents"), k=5)
+
+
+def _incremental_oracle(
+    batch: str = "src7", num_hashes: int = 16, bands: int = 8,
+    threshold: float = 0.8,
+) -> str:
+    """Replays dedup.incremental_dedup end-to-end: exact-hash membership +
+    batch min-id representative + DIRECTIONAL minhash band candidates
+    (batch x snapshot) verified by exact cross-split Jaccard."""
+    rows = num_hashes // bands
+    from hadoop_1_spark.operators.textops import MINHASH_P, minhash_coeffs
+
+    mins = ",\n    ".join(
+        f"min(({a} * hm + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    band_keys = ", ".join(
+        "md5('{b}' || ',' || {parts})".format(
+            b=b,
+            parts=" || ',' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    norm = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+    def side(tag: str, pred: str) -> str:
+        return f"""t_{tag} AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE {pred}
+),
+sh_{tag} AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM t_{tag} WHERE len(toks) >= 3)
+),
+hashed_{tag} AS (
+  SELECT doc_id, ('0x' || substr(md5('0:' || shingle), 1, 15))::BIGINT % {MINHASH_P} AS hm
+  FROM sh_{tag}
+),
+mins_{tag} AS (SELECT doc_id, {mins} FROM hashed_{tag} GROUP BY doc_id),
+banded_{tag} AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM mins_{tag}),
+sizes_{tag} AS (SELECT doc_id, count(*) AS n FROM sh_{tag} GROUP BY doc_id)"""
+
+    return f"""
+WITH {side("new", f"source = '{batch}'")},
+{side("snap", f"source <> '{batch}'")},
+nh AS (SELECT doc_id, {norm} AS th FROM documents WHERE source = '{batch}'),
+snap_h AS (SELECT DISTINCT {norm} AS th FROM documents WHERE source <> '{batch}'),
+minid AS (SELECT th, min(doc_id) AS mid FROM nh GROUP BY 1),
+cand AS (
+  SELECT DISTINCT x.doc_id AS dn, y.doc_id AS ds
+  FROM banded_new x JOIN banded_snap y USING (band_key)
+),
+inter AS (
+  SELECT a.doc_id AS dn, b.doc_id AS ds, count(*) AS c
+  FROM sh_new a JOIN sh_snap b ON a.shingle = b.shingle
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT DISTINCT cand.dn
+  FROM cand JOIN inter ON cand.dn = inter.dn AND cand.ds = inter.ds
+  JOIN sizes_new s1 ON cand.dn = s1.doc_id
+  JOIN sizes_snap s2 ON cand.ds = s2.doc_id
+  WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= {threshold}
+)
+SELECT n.doc_id,
+       CAST(CASE WHEN sh.th IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_snap,
+       CAST(CASE WHEN n.doc_id <> m.mid THEN 1 ELSE 0 END AS INT) AS exact_batch,
+       CAST(CASE WHEN nr.dn IS NOT NULL THEN 1 ELSE 0 END AS INT) AS near_snap,
+       CAST(CASE WHEN sh.th IS NULL AND n.doc_id = m.mid AND nr.dn IS NULL
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM nh n
+LEFT JOIN snap_h sh USING (th)
+JOIN minid m USING (th)
+LEFT JOIN near nr ON n.doc_id = nr.dn
+"""
+
+
+@register("dedup_incremental", oracle=_incremental_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admit the src7 batch against the rest of the corpus as snapshot:
+    exact-hash membership, within-batch representative rule, and a
+    DIRECTIONAL MinHash-LSH near-dup check (batch x snapshot only — the
+    snapshot is never self-joined), flags per incoming doc. The oracle
+    replays the full pipeline including the band-candidate restriction."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(
+        docs.where(F.col("source") == "src7"),
+        docs.where(F.col("source") != "src7"),
+        k=3, num_hashes=16, bands=8, threshold=0.8,
+    )

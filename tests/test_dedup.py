@@ -99,3 +99,58 @@ def test_dedup_clusters_matches_oracle(spark, duck):
     from tests.conftest import assert_query_matches_oracle
 
     assert_query_matches_oracle(spark, duck, "dedup_clusters")
+
+
+def test_duplicated_span_stats(spark):
+    """Planted verbatim overlap is found; short docs get 0; the fraction
+    is integer-exact; a span repeated only WITHIN one doc doesn't count."""
+    from hadoop_1_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon"            # one 5-token span
+    df = spark.createDataFrame(
+        [
+            (1, shared + " zeta"),                       # 2 spans, 1 dup'd
+            (2, "prefix " + shared),                     # 2 spans, 1 dup'd
+            (3, "tiny doc"),                             # < 5 tokens
+            (4, "p q r s t p q r s t"),                  # self-repeat only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_frac_q6)
+           for r in dedup.duplicated_span_stats(df, k=5).collect()}
+    assert out[1] == (2, 1, 500_000)
+    assert out[2] == (2, 1, 500_000)
+    assert out[3] == (0, 0, 0)
+    # doc 4: 6 spans; 'p q r s t' appears twice in-doc but nowhere else
+    assert out[4] == (6, 0, 0)
+
+
+def test_incremental_dedup_flags(spark):
+    """Exact snapshot hit, batch representative rule, directional near-dup
+    vs snapshot, and the keep conjunction."""
+    from hadoop_1_spark.operators import dedup
+
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(29)) + " zz"   # high jaccard vs base
+    snap = spark.createDataFrame(
+        [(100, base), (101, "completely different snapshot text here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "  " + base.upper() + "  "),  # exact after normalization
+            (2, "fresh unique content alpha beta"),
+            (3, "fresh unique content alpha beta"),  # batch dup of 2
+            (4, near),                                # near-dup of snapshot
+            (5, "another novel doc entirely unlike others"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.exact_snap, r.exact_batch, r.near_snap, r.keep)
+           for r in dedup.incremental_dedup(new, snap, threshold=0.8).collect()}
+    assert out[1][0] == 1 and out[1][3] == 0          # exact vs snapshot
+    assert out[2] == (0, 0, 0, 1)                     # representative kept
+    assert out[3][1] == 1 and out[3][3] == 0          # batch dup dropped
+    assert out[4][2] == 1 and out[4][3] == 0          # near-dup dropped
+    assert out[5] == (0, 0, 0, 1)
+    assert len(out) == 5                              # one row per new doc
