@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     "gridmix_api_sort_pipes",      # gridmix job-5: same sort, Arrow subprocess
     "corpus_clean",            # composed LLM-data pipeline (quality+lang+dedup)
     "wordcount_salted",        # skew-safe two-stage aggregation
+    "sessionize_events",       # gap-based batch sessionization (1 exchange)
+    "text_tfidf_topk",         # integer-exact tf-idf keyword extraction
+    "dedup_span_stats",        # duplicated 5-token-span fractions
+    "dedup_incremental",       # batch-vs-snapshot directional dedup
 ]
 
 
