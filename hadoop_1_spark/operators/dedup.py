@@ -482,9 +482,16 @@ def semantic_dedup_pairs(
     # Pin ONE materialization of (id, cluster, vec, norm): both self-join
     # sides read it, so the k-means subplan (3 assign rounds) and the norm
     # pass run once, not once per side — same discipline as the embedding
-    # LSH's persisted bucket relation.
+    # LSH's persisted bucket relation. When ``clusters`` already carries
+    # the vector (kmeans_train_assign(keep_vector=True)) the re-join
+    # against the source is skipped entirely — one fewer corpus scan.
+    base = (
+        clusters
+        if vec_col in clusters.columns
+        else emb.join(clusters, id_col)
+    )
     e = _persist(
-        emb.join(clusters, id_col).select(
+        base.select(
             F.col(id_col),
             F.col("cluster"),
             F.col(vec_col),

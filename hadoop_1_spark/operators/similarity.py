@@ -447,6 +447,7 @@ def kmeans_train_assign(
     use_arrow: bool = True,
     cache_points: bool = False,
     init: str = "hash",
+    keep_vector: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd k-means over the embedding column -> (id,
     cluster). Trains the coarse quantizer the IVF probe assumes exists
@@ -567,12 +568,19 @@ def kmeans_train_assign(
         sums = a.groupBy("cid").agg(_count_expr, *_sum_exprs)
         return sums.select("cid", _mean_arr)
 
+    # keep_vector returns (id, vec, cluster) so consumers that need both
+    # (semantic_dedup_pairs' in-cell cosine) skip a re-join against the
+    # source — the final assignment pass already streams the vectors.
+    def _out(a: DataFrame) -> DataFrame:
+        cols = [F.col(id_col)]
+        if keep_vector:
+            cols.append(F.col(vec_col))
+        return a.select(*cols, F.col("cid").cast("int").alias("cluster"))
+
     if not use_arrow:
         for _ in range(iters):
             cents = update(assign(cents))
-        return assign(cents).select(
-            F.col(id_col), F.col("cid").cast("int").alias("cluster")
-        )
+        return _out(assign(cents))
 
     # Arrow fast path (default): the l2 folds above are interpreted by
     # Catalyst; kmeans_assign_udf does the same math dimension-by-dimension
@@ -598,6 +606,4 @@ def kmeans_train_assign(
     cvals, cids = cent_values(cents)
     for _ in range(iters):
         cvals, cids = cent_values(update(assign_arrow(cvals, cids)))
-    return assign_arrow(cvals, cids).select(
-        F.col(id_col), F.col("cid").cast("int").alias("cluster")
-    )
+    return _out(assign_arrow(cvals, cids))

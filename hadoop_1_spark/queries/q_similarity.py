@@ -258,5 +258,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_1_spark.operators import dedup
 
     emb = _load(spark, sf_dir, "embeddings")
-    clusters = similarity.kmeans_train_assign(emb, k=KM_K, iters=KM_ITERS)
+    clusters = similarity.kmeans_train_assign(
+        emb, k=KM_K, iters=KM_ITERS, keep_vector=True
+    )
     return dedup.semantic_dedup_pairs(emb, clusters, threshold=0.45)
