@@ -77,7 +77,27 @@ def main() -> None:
         c = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000))
         out_li = c if out_li is None else out_li.unionByName(c)
     out_li.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
-    print(f"wrote {out}: documents={n_docs}, lineitem=10x sf0.1")
+
+    # events: 10x by disjoint user/event id ranges (10x the users, same
+    # per-user history density — sessionization cost scales with keys)
+    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    out_ev = None
+    for i in range(10):
+        c = ev.withColumn(
+            "user_id", F.col("user_id") + F.lit(i * 10_000_000)
+        ).withColumn("event_id", F.col("event_id") + F.lit(i * 1_000_000_000))
+        out_ev = c if out_ev is None else out_ev.unionByName(c)
+    out_ev.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+
+    # embeddings: 10x by disjoint vec_id ranges (identical vectors repeat —
+    # fine for timing: distance arithmetic cost is value-independent)
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    out_emb = None
+    for i in range(10):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        out_emb = c if out_emb is None else out_emb.unionByName(c)
+    out_emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    print(f"wrote {out}: documents={n_docs}, lineitem/events/embeddings=10x sf0.1")
 
 
 if __name__ == "__main__":

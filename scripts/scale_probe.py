@@ -24,6 +24,13 @@ QUERIES = [
     "text_fingerprint",
     "dedup_minhash_lsh",
     "corpus_clean",
+    # round-5 additions (events/embeddings sf1 legs in gen_scale_probe)
+    "sessionize_events",
+    "text_tfidf_topk",
+    "dedup_span_stats",
+    "dedup_incremental",
+    "cluster_kmeans",
+    "dedup_semantic",
 ]
 
 
