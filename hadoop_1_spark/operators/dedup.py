@@ -167,6 +167,23 @@ def minhash_signature_relation(
         F.collect_set("hx").alias("hs"),
     )
     per_doc = _persist(per_doc)
+    return per_doc, band_view(per_doc, num_hashes=num_hashes, bands=bands, id_col=id_col)
+
+
+def band_view(
+    per_doc: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The (id, band_key) LSH view over a signature relation — works on a
+    freshly computed relation OR one reloaded from storage
+    (write/read_signatures), since band keys derive purely from the h*
+    columns. Exploding here (rather than storing band keys) keeps the
+    stored snapshot num_hashes-wide and lets bands/rows be retuned
+    without recomputing signatures."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -177,10 +194,26 @@ def minhash_signature_relation(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = per_doc.select(
+    return per_doc.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
     )
-    return per_doc, banded
+
+
+def write_signatures(per_doc: DataFrame, path: str) -> None:
+    """Park a signature relation as parquet — the steady-state store for
+    incremental ingestion: the snapshot's signatures are computed once
+    when the snapshot is built, then every ingest reads them instead of
+    re-shingling the full corpus (incremental_dedup's snap_signatures
+    parameter). Plain columnar layout (id, h0..h{n-1}, hs): the h*
+    columns are fixed-width longs, hs is the shingle-hash set the verify
+    stage needs; band keys are derived on read (band_view), so the store
+    is independent of the bands/rows tuning."""
+    per_doc.write.mode("overwrite").parquet(path)
+
+
+def read_signatures(spark, path: str) -> DataFrame:
+    """Load a signature relation written by write_signatures."""
+    return spark.read.parquet(path)
 
 
 def minhash_lsh_pairs(
@@ -533,6 +566,7 @@ def incremental_dedup(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    snap_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ingestion dedup: admit a NEW batch of documents against
     an EXISTING corpus snapshot — the steady-state shape of a training-
@@ -551,9 +585,10 @@ def incremental_dedup(
     count scales with the batch, not the corpus. Exact-hash membership is
     a key-only join on md5; the batch-representative rule is one window
     over the batch's hash groups. Signatures come from
-    minhash_signature_relation — at steady state the snapshot's signature
-    relation would be precomputed and stored (it never changes), leaving
-    per-ingest cost proportional to the batch."""
+    minhash_signature_relation; pass ``snap_signatures`` (a relation
+    written once by write_signatures when the snapshot was built) to skip
+    re-shingling the snapshot corpus entirely — per-ingest cost then
+    scales with the batch, which is the steady-state contract."""
     nh = new_df.select(
         F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("_th")
     )
@@ -573,10 +608,16 @@ def incremental_dedup(
         new_df, k=k, num_hashes=num_hashes, bands=bands,
         text_col=text_col, id_col=id_col,
     )
-    pd_snap, band_snap = minhash_signature_relation(
-        snap_df, k=k, num_hashes=num_hashes, bands=bands,
-        text_col=text_col, id_col=id_col,
-    )
+    if snap_signatures is not None:
+        pd_snap = snap_signatures
+        band_snap = band_view(
+            pd_snap, num_hashes=num_hashes, bands=bands, id_col=id_col
+        )
+    else:
+        pd_snap, band_snap = minhash_signature_relation(
+            snap_df, k=k, num_hashes=num_hashes, bands=bands,
+            text_col=text_col, id_col=id_col,
+        )
     cand = (
         band_new.alias("x")
         .join(band_snap.alias("y"), "band_key")

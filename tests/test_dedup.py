@@ -154,3 +154,28 @@ def test_incremental_dedup_flags(spark):
     assert out[4][2] == 1 and out[4][3] == 0          # near-dup dropped
     assert out[5] == (0, 0, 0, 1)
     assert len(out) == 5                              # one row per new doc
+
+
+def test_incremental_dedup_stored_signatures(tmp_path, spark):
+    """The steady-state path: snapshot signatures written once and reloaded
+    must yield flag-identical results to recomputing them from text."""
+    from hadoop_1_spark.operators import dedup
+
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(29)) + " zz"
+    snap = spark.createDataFrame(
+        [(100, base), (101, "completely different snapshot text here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, near), (2, "novel content entirely")],
+        "doc_id long, text string",
+    )
+    fresh = {r.doc_id: tuple(r)[1:] for r in dedup.incremental_dedup(new, snap).collect()}
+
+    sigs, _ = dedup.minhash_signature_relation(snap)
+    dedup.write_signatures(sigs, str(tmp_path / "snap_sigs"))
+    stored = dedup.read_signatures(spark, str(tmp_path / "snap_sigs"))
+    via_store = {r.doc_id: tuple(r)[1:] for r in dedup.incremental_dedup(
+        new, snap, snap_signatures=stored).collect()}
+    assert fresh == via_store and fresh[1][2] == 1  # near-dup still caught
