@@ -232,3 +232,37 @@ def chunk_windows(
             F.col("c.chunk").alias("chunk"),
         )
     )
+
+
+def mix_report(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-mixture report: per (source, lang) document and token counts
+    plus each cell's integer-exact share of the corpus token budget
+    (share_q6 = tokens * 1e6 div total) — the observability step before
+    rebalance_by_language/stratified_sample decide what to resample.
+
+    Shape: ONE corpus scan computes per-doc token counts in the
+    projection; one group aggregation (map-side partial) reduces to the
+    |sources| x |langs| cells; the 1-row total broadcasts back. No
+    per-doc data crosses the shuffle — only (group, count, tokens)
+    partials."""
+    gcols = group_cols or ["source", "lang"]
+    per_doc = df.select(
+        *[F.col(c) for c in gcols],
+        F.size(textops.ws_tokens(F.col(text_col))).cast("long").alias("_nt"),
+    )
+    cells = per_doc.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+    )
+    total = cells.agg(F.sum("n_tokens").alias("_total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        *[F.col(c) for c in gcols],
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr("(n_tokens * 1000000) div _total").cast("long").alias("share_q6"),
+    )

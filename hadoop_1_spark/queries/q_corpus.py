@@ -332,3 +332,32 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_size=CHUNK_SIZE,
         stride=CHUNK_STRIDE,
     )
+
+
+@register(
+    "corpus_mix_report",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT source, lang,
+         CAST(len({_TOKS}) AS BIGINT) AS nt
+  FROM documents
+),
+cells AS (
+  SELECT source, lang, count(*) AS n_docs, sum(nt) AS n_tokens
+  FROM per_doc GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_tokens) AS total FROM cells)
+SELECT source, lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((n_tokens * 1000000) // (SELECT total FROM tot) AS BIGINT) AS share_q6
+FROM cells
+""",
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) document/token counts with integer-exact token
+    shares — the mixture-observability step before rebalancing. One scan,
+    one cell aggregation, a 1-row broadcast total."""
+    from hadoop_1_spark.operators import corpusprep
+
+    return corpusprep.mix_report(_load(spark, sf_dir, "documents"))

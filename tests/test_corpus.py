@@ -185,3 +185,20 @@ def test_chunk_windows_rejects_bad_params(spark):
         corpusprep.chunk_windows(df, chunk_size=0)
     with _pytest.raises(ValueError):
         corpusprep.chunk_windows(df, stride=0)
+
+
+def test_mix_report_exact_shares(spark):
+    from hadoop_1_spark.operators import corpusprep
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1"),
+            (2, "d e", "en", "s1"),
+            (3, "f g h i j", "fr", "s2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {(r.source, r.lang): (r.n_docs, r.n_tokens, r.share_q6)
+           for r in corpusprep.mix_report(df).collect()}
+    assert out[("s1", "en")] == (2, 5, 500_000)   # 5/10 tokens
+    assert out[("s2", "fr")] == (1, 5, 500_000)
