@@ -224,6 +224,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    band_cap: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup: signature (num_hashes mins) -> band keys
     (md5 of each band's slice) -> docs sharing a band become candidates ->
@@ -231,11 +232,27 @@ def minhash_lsh_pairs(
 
     This is the 100 TB path: per-doc state is num_hashes longs; the only
     large shuffle is (band_key, doc_id). rows_per_band = num_hashes/bands
-    tunes the S-curve: 8 bands x 2 rows catches j>=0.8 w.p. ~1-(1-0.64)^8."""
+    tunes the S-curve: 8 bands x 2 rows catches j>=0.8 w.p. ~1-(1-0.64)^8.
+
+    ``band_cap`` is the hot-band skew guard (the band-join analog of
+    ngram_jaccard_pairs' df_cap): a band shared by B docs contributes
+    O(B^2) candidate pairs, so one degenerate band (mass-produced
+    boilerplate, empty-text minima) can dominate the whole join at scale.
+    Bands with more than band_cap members are dropped BEFORE the
+    self-join; a pair is lost only if NO other sub-cap band covers it —
+    near-identical docs agree on most of their bands, so the planted-pair
+    recall cost is tiny while the worst-case join cost becomes
+    O(bands * cap * n)."""
     per_doc, banded = minhash_signature_relation(
         df, k=k, num_hashes=num_hashes, bands=bands,
         text_col=text_col, id_col=id_col,
     )
+    if band_cap is not None:
+        counts = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bc"))
+        banded = (
+            banded.join(counts.where(F.col("_bc") <= band_cap), "band_key")
+            .drop("_bc")
+        )
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), "band_key")

@@ -103,7 +103,9 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 8) -> str:
+def _minhash_oracle(
+    num_hashes: int = 16, bands: int = 8, band_cap: int | None = None
+) -> str:
     rows = num_hashes // bands
     # affine permutations over one md5-derived base hash (matches
     # textops.minhash_affine — same literal coefficients and modulus)
@@ -131,7 +133,8 @@ mins AS (
     {mins}
   FROM hashed GROUP BY doc_id
 ),
-banded AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM mins),
+banded0 AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM mins),
+banded AS ({"SELECT doc_id, band_key FROM banded0 QUALIFY count(*) OVER (PARTITION BY band_key) <= " + str(band_cap) if band_cap is not None else "SELECT doc_id, band_key FROM banded0"}),
 cand AS (
   SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
   FROM banded x JOIN banded y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
@@ -149,6 +152,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band keys), so candidate-set equality is part of the check."""
     return dedup.minhash_lsh_pairs(
         _load(spark, sf_dir, "documents"), k=3, num_hashes=16, bands=8, threshold=0.8
+    )
+
+
+BAND_CAP = 2  # sf0.01 band sizes top out at 3 — cap 2 exercises the guard
+
+
+@register("dedup_minhash_lsh_capped", oracle=_minhash_oracle(band_cap=BAND_CAP))
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-band skew-guarded twin of dedup_minhash_lsh (band_cap=2):
+    bands shared by more than cap docs are dropped before the self-join,
+    bounding the worst-case candidate blowup a degenerate band (mass
+    boilerplate) causes at scale — the band-join analog of the
+    df_cap-guarded Jaccard twin. The oracle replays the cap."""
+    return dedup.minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"), k=3, num_hashes=16, bands=8,
+        threshold=0.8, band_cap=BAND_CAP,
     )
 
 

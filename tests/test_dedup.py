@@ -179,3 +179,23 @@ def test_incremental_dedup_stored_signatures(tmp_path, spark):
     via_store = {r.doc_id: tuple(r)[1:] for r in dedup.incremental_dedup(
         new, snap, snap_signatures=stored).collect()}
     assert fresh == via_store and fresh[1][2] == 1  # near-dup still caught
+
+
+def test_minhash_band_cap_guard(spark):
+    """A degenerate hot band (30 identical docs -> every band shared by
+    all 30) is dropped by the cap, while a normal near-dup pair whose
+    bands stay under the cap is still found."""
+    from hadoop_1_spark.operators import dedup
+
+    boiler = "mass produced boiler plate text repeated verbatim everywhere always"
+    base = " ".join(f"tok{i}" for i in range(25))
+    near = " ".join(f"tok{i}" for i in range(24)) + " zz"
+    rows = [(i, boiler) for i in range(30)] + [(100, base), (101, near)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {(r.d1, r.d2) for r in dedup.minhash_lsh_pairs(df, threshold=0.8).collect()}
+    capped = {(r.d1, r.d2) for r in dedup.minhash_lsh_pairs(
+        df, threshold=0.8, band_cap=5).collect()}
+    # the boilerplate clique is 30*29/2 pairs uncapped, gone when capped
+    assert len(uncapped) >= 435
+    assert capped == {(100, 101)}

@@ -304,3 +304,61 @@ def test_repetition_stats_matches_python(spark, docs):
         assert r.n_grams == len(grams)
         assert r.dup_gram_frac == round(1 - len(c) / len(grams), 9)
         assert r.top_gram_frac == round(max(c.values()) / len(grams), 9)
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization vs a direct Python reference
+
+
+def _reference_sessions(events, gap_s):
+    """events: list[(key, ts_seconds)] -> {(key, i): session_seq} where i
+    is the index in the per-key (ts, original-index) sort order. New
+    session when the gap STRICTLY exceeds gap_s."""
+    from collections import defaultdict
+
+    per_key = defaultdict(list)
+    for idx, (k, t) in enumerate(events):
+        per_key[k].append((t, idx))
+    out = {}
+    for k, evs in per_key.items():
+        evs.sort()
+        seq = 0
+        prev = None
+        for t, idx in evs:
+            if prev is None or t - prev > gap_s:
+                seq += 1
+            out[(k, idx)] = seq
+            prev = t
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=60),
+)
+@settings(max_examples=15, deadline=None)
+def test_sessionize_matches_python_reference(spark, events, gap_s):
+    import datetime as dt
+
+    from hadoop_1_spark.operators import temporal
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, t0 + dt.timedelta(seconds=t), idx)
+        for idx, (k, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, idx long")
+    got = {
+        (r.k, r.idx): r.session_seq
+        for r in temporal.sessionize(df, "k", "ts", gap_s, tie_cols=["idx"]).collect()
+    }
+    want = _reference_sessions(events, gap_s)
+    # ties at equal (key, ts): both orders by (ts, idx) — identical keys
+    assert got == want

@@ -153,3 +153,44 @@ def test_sessionize_gap_rule(spark):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_sessionize_matches_session_window(spark):
+    """Batch sessionize and Spark's session_window must carve IDENTICAL
+    sessions (same count, start, end) for the same gap — the batch
+    backfill / live stream agreement the operator promises."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.operators import temporal
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # deterministic pseudo-random event times: 3 users, bursts + gaps
+    for u in range(3):
+        t = 0
+        for i in range(40):
+            t += ((u * 7919 + i * 104729) % 130) + 1   # 1..130 s steps
+            rows.append((f"u{u}", t0 + dt.timedelta(seconds=t), u * 100 + i))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long")
+    gap = 60
+
+    sw = {
+        (r.k, r["session_window"].start, r["session_window"].end): r["count"]
+        for r in df.groupBy(F.session_window("ts", f"{gap} seconds"), "k")
+        .count()
+        .collect()
+    }
+    batch = {
+        (r.k, r.start, r.end_plus_gap): r.n
+        for r in temporal.sessionize(df, "k", "ts", gap_seconds=gap, tie_cols=["eid"])
+        .groupBy("k", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("start"),
+            (F.max("ts") + F.expr(f"INTERVAL {gap} SECONDS")).alias("end_plus_gap"),
+        )
+        .collect()
+    }
+    assert sw == batch and len(sw) > 6
