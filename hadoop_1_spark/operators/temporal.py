@@ -41,6 +41,7 @@ def asof_join(
     ts_col: str = "ts",
     direction: str = "backward",
     right_prefix: str = "asof_",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the single right row with the largest
     ``ts_col`` <= left's (direction='backward'; 'forward' = smallest >=).
@@ -49,6 +50,12 @@ def asof_join(
 
     Right columns (except the key and ts) come back prefixed with
     ``right_prefix``; right's ts becomes ``{prefix}{ts_col}``.
+
+    ``tolerance`` (pandas merge_asof parity): a match further than this
+    from the left row is nulled out — in microseconds for timestamp
+    ts_col, in the column's own units for numeric ts_col. The as-of pick
+    itself is unchanged (the NEAREST eligible row either matches or the
+    left row gets nulls; a further-back row never substitutes).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
@@ -94,6 +101,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = F.last("_p", ignorenulls=True).over(w)
+    if tolerance is not None:
+        from pyspark.sql.types import TimestampType, TimestampNTZType
+
+        is_ts = isinstance(left.schema[ts_col].dataType, (TimestampType, TimestampNTZType))
+        to_num = F.unix_micros if is_ts else (lambda c: c.cast("long"))
+        gap = F.abs(to_num(F.col("_t")) - to_num(carried.getField(ts_col)))
+        carried = F.when(gap <= F.lit(int(tolerance)), carried)
     out = (
         u.withColumn("_match", carried)
         .where(F.col("_src") == 1)

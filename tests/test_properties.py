@@ -362,3 +362,90 @@ def test_sessionize_matches_python_reference(spark, events, gap_s):
     want = _reference_sessions(events, gap_s)
     # ties at equal (key, ts): both orders by (ts, idx) — identical keys
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# duplicated_span_stats vs a direct Python reference
+
+
+def _reference_span_stats(docs, k):
+    """docs: {doc_id: text} -> {doc_id: (n_spans, n_dup, frac_q6)}."""
+    spans = {}
+    for d, text in docs.items():
+        toks = text.split()
+        spans[d] = [
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        ] if len(toks) >= k else []
+    from collections import Counter, defaultdict
+
+    doc_sets = defaultdict(set)
+    for d, ss in spans.items():
+        for s in set(ss):
+            doc_sets[s].add(d)
+    out = {}
+    for d, ss in spans.items():
+        n = len(ss)
+        dup = sum(1 for s in ss if len(doc_sets[s]) >= 2)
+        out[d] = (n, dup, (dup * 1_000_000) // n if n else 0)
+    return out
+
+
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=15, deadline=None)
+def test_span_stats_matches_python(spark, docs, k):
+    from hadoop_1_spark.operators import dedup
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_frac_q6)
+           for r in dedup.duplicated_span_stats(df, k=k).collect()}
+    assert got == _reference_span_stats(docs, k)
+
+
+# ---------------------------------------------------------------------------
+# tfidf_topk vs a direct Python reference
+
+
+def _reference_tfidf(docs, topk):
+    from collections import Counter
+
+    tf = {d: Counter(t.split()) for d, t in docs.items()}
+    df_counts = Counter(tok for c in tf.values() for tok in c)
+    out = {}
+    for d, c in tf.items():
+        scored = sorted(
+            ((-(n * 1_000_000 // df_counts[t]), t) for t, n in c.items())
+        )[:topk]
+        out[d] = [(t, -s) for s, t in scored]
+    return out
+
+
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.lists(
+            st.sampled_from(["x", "y", "z", "w", "v"]), min_size=1, max_size=10
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(max_examples=15, deadline=None)
+def test_tfidf_topk_matches_python(spark, docs):
+    from hadoop_1_spark.operators import textops
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    out = textops.tfidf_topk(df, k=3).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.rank)):
+        got.setdefault(r.doc_id, []).append((r.token, r.score_q6))
+    assert got == _reference_tfidf(docs, 3)

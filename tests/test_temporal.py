@@ -194,3 +194,25 @@ def test_sessionize_matches_session_window(spark):
         .collect()
     }
     assert sw == batch and len(sw) > 6
+
+
+def test_asof_tolerance_nulls_distant_matches(spark):
+    """merge_asof-style tolerance: a match further than tolerance is nulled
+    (never substituted by an even-older row); in-tolerance matches and
+    the no-match case are unaffected."""
+    left = spark.createDataFrame(
+        [("a", 100, 1), ("a", 1000, 2), ("b", 5, 3)],
+        "k string, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [("a", 90, 7), ("a", 500, 8)], "k string, ts long, rid long"
+    )
+    out = {
+        (r.k, r.lid): (r.asof_ts, r.asof_rid)
+        for r in temporal.asof_join(
+            left, right, on="k", ts_col="ts", tolerance=50
+        ).collect()
+    }
+    assert out[("a", 1)] == (90, 7)        # gap 10 <= 50
+    assert out[("a", 2)] == (None, None)   # nearest prior is 500, gap 500 > 50
+    assert out[("b", 3)] == (None, None)   # no right rows for key
