@@ -264,5 +264,10 @@ def mix_report(
         *[F.col(c) for c in gcols],
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.expr("(n_tokens * 1000000) div _total").cast("long").alias("share_q6"),
+        # zero-token corpus (all-empty texts): shares are 0, not a
+        # DIVIDE_BY_ZERO (Spark 4 ANSI) — same guard as span stats
+        F.when(F.col("_total") == 0, F.lit(0))
+        .otherwise(F.expr("(n_tokens * 1000000) div _total"))
+        .cast("long")
+        .alias("share_q6"),
     )

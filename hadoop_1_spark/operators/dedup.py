@@ -152,7 +152,6 @@ def minhash_signature_relation(
     few % of corpus bytes), the standard trade in web-scale minhash
     dedup."""
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
     par = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(par, F.col(id_col))
     # Duplicate shingles don't change min() or collect_set(), so skip the
@@ -661,7 +660,13 @@ def incremental_dedup(
         .withColumn("_near", F.lit(1))
     )
     exact_snap = (F.col("_in_snap").isNotNull()).cast("int")
-    exact_batch = (F.col(id_col) != F.col("_minid")).cast("int")
+    # NULL-text docs hash to NULL and all land in one window partition —
+    # without the null guard min(id) would "represent" them and flag the
+    # rest as duplicates of each other (they are not duplicates of
+    # anything; they simply have no text to compare)
+    exact_batch = (
+        F.col("_th").isNotNull() & (F.col(id_col) != F.col("_minid"))
+    ).cast("int")
     near_snap = (F.col("_near").isNotNull()).cast("int")
     return (
         flagged.join(near, id_col, "left")

@@ -41,7 +41,7 @@ def asof_join(
     ts_col: str = "ts",
     direction: str = "backward",
     right_prefix: str = "asof_",
-    tolerance: int | None = None,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """For every left row, attach the single right row with the largest
     ``ts_col`` <= left's (direction='backward'; 'forward' = smallest >=).
@@ -102,12 +102,21 @@ def asof_join(
     )
     carried = F.last("_p", ignorenulls=True).over(w)
     if tolerance is not None:
-        from pyspark.sql.types import TimestampType, TimestampNTZType
+        from pyspark.sql.types import TimestampNTZType, TimestampType
 
-        is_ts = isinstance(left.schema[ts_col].dataType, (TimestampType, TimestampNTZType))
-        to_num = F.unix_micros if is_ts else (lambda c: c.cast("long"))
+        is_ts = isinstance(
+            left.schema[ts_col].dataType, (TimestampType, TimestampNTZType)
+        )
+        if is_ts:
+            # cast covers NTZ too (unix_micros alone rejects TIMESTAMP_NTZ);
+            # the session-tz offset the cast applies cancels in the gap
+            to_num = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+        else:
+            # double, not long: a long cast would floor fractional numeric
+            # timestamps and mis-round the gap against the tolerance
+            to_num = lambda c: c.cast("double")  # noqa: E731
         gap = F.abs(to_num(F.col("_t")) - to_num(carried.getField(ts_col)))
-        carried = F.when(gap <= F.lit(int(tolerance)), carried)
+        carried = F.when(gap <= F.lit(tolerance), carried)
     out = (
         u.withColumn("_match", carried)
         .where(F.col("_src") == 1)

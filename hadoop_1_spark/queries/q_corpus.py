@@ -350,7 +350,8 @@ tot AS (SELECT sum(n_tokens) AS total FROM cells)
 SELECT source, lang,
        CAST(n_docs AS BIGINT) AS n_docs,
        CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST((n_tokens * 1000000) // (SELECT total FROM tot) AS BIGINT) AS share_q6
+       CAST(CASE WHEN (SELECT total FROM tot) = 0 THEN 0
+                 ELSE (n_tokens * 1000000) // (SELECT total FROM tot) END AS BIGINT) AS share_q6
 FROM cells
 """,
 )

@@ -402,13 +402,14 @@ near AS (
 )
 SELECT n.doc_id,
        CAST(CASE WHEN sh.th IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_snap,
-       CAST(CASE WHEN n.doc_id <> m.mid THEN 1 ELSE 0 END AS INT) AS exact_batch,
+       CAST(CASE WHEN n.th IS NOT NULL AND n.doc_id <> m.mid THEN 1 ELSE 0 END AS INT) AS exact_batch,
        CAST(CASE WHEN nr.dn IS NOT NULL THEN 1 ELSE 0 END AS INT) AS near_snap,
-       CAST(CASE WHEN sh.th IS NULL AND n.doc_id = m.mid AND nr.dn IS NULL
+       CAST(CASE WHEN sh.th IS NULL AND (n.th IS NULL OR n.doc_id = m.mid)
+                  AND nr.dn IS NULL
                  THEN 1 ELSE 0 END AS INT) AS keep
 FROM nh n
 LEFT JOIN snap_h sh USING (th)
-JOIN minid m USING (th)
+LEFT JOIN minid m USING (th)
 LEFT JOIN near nr ON n.doc_id = nr.dn
 """
 

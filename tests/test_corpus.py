@@ -202,3 +202,15 @@ def test_mix_report_exact_shares(spark):
            for r in corpusprep.mix_report(df).collect()}
     assert out[("s1", "en")] == (2, 5, 500_000)   # 5/10 tokens
     assert out[("s2", "fr")] == (1, 5, 500_000)
+
+
+def test_mix_report_zero_token_corpus(spark):
+    """An all-empty corpus reports zero shares instead of DIVIDE_BY_ZERO."""
+    from hadoop_1_spark.operators import corpusprep
+
+    df = spark.createDataFrame(
+        [(1, None, "en", "s1"), (2, "   ", "en", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = corpusprep.mix_report(df).collect()
+    assert rows and all(r.n_tokens == 0 and r.share_q6 == 0 for r in rows)

@@ -199,3 +199,22 @@ def test_minhash_band_cap_guard(spark):
     # the boilerplate clique is 30*29/2 pairs uncapped, gone when capped
     assert len(uncapped) >= 435
     assert capped == {(100, 101)}
+
+
+def test_incremental_dedup_null_text_docs(spark):
+    """NULL-text batch docs are not duplicates of each other (or anything):
+    one row each, all flags 0, keep=1."""
+    from hadoop_1_spark.operators import dedup
+
+    snap = spark.createDataFrame([(100, "snapshot doc text")],
+                                 "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (3, "fresh doc entirely new")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.exact_snap, r.exact_batch, r.near_snap, r.keep)
+           for r in dedup.incremental_dedup(new, snap).collect()}
+    assert out[1] == (0, 0, 0, 1)
+    assert out[2] == (0, 0, 0, 1)
+    assert out[3] == (0, 0, 0, 1)
+    assert len(out) == 3

@@ -216,3 +216,34 @@ def test_asof_tolerance_nulls_distant_matches(spark):
     assert out[("a", 1)] == (90, 7)        # gap 10 <= 50
     assert out[("a", 2)] == (None, None)   # nearest prior is 500, gap 500 > 50
     assert out[("b", 3)] == (None, None)   # no right rows for key
+
+
+def test_asof_tolerance_ntz_and_fractional(spark):
+    """Tolerance works on TIMESTAMP_NTZ columns (unix_micros alone rejects
+    them) and on fractional numeric timestamps (no long-floor rounding)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("a", t0 + dt.timedelta(seconds=100), 1)],
+        "k string, ts timestamp_ntz, lid long",
+    )
+    right = spark.createDataFrame(
+        [("a", t0 + dt.timedelta(seconds=40), 7)],
+        "k string, ts timestamp_ntz, rid long",
+    )
+    out = temporal.asof_join(left, right, on="k", ts_col="ts",
+                             tolerance=60_000_000).collect()
+    assert out[0]["asof_rid"] == 7          # gap 60 s == tolerance, kept
+    out2 = temporal.asof_join(left, right, on="k", ts_col="ts",
+                              tolerance=59_000_000).collect()
+    assert out2[0]["asof_rid"] is None      # 60 s > 59 s, nulled
+
+    # fractional doubles: true gap 1.9 must not floor down to 1
+    fl = spark.createDataFrame([("a", 5.9, 1)], "k string, ts double, lid long")
+    fr = spark.createDataFrame([("a", 4.0, 7)], "k string, ts double, rid long")
+    o = temporal.asof_join(fl, fr, on="k", ts_col="ts", tolerance=1).collect()
+    assert o[0]["asof_rid"] is None
+    # (5.9 - 4.0 is 1.9000000000000004 in IEEE doubles — bound above it)
+    o2 = temporal.asof_join(fl, fr, on="k", ts_col="ts", tolerance=1.91).collect()
+    assert o2[0]["asof_rid"] == 7
