@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "text_tfidf_topk",         # integer-exact tf-idf keyword extraction
     "dedup_span_stats",        # duplicated 5-token-span fractions
     "dedup_incremental",       # batch-vs-snapshot directional dedup
+    "corpus_budget_trim",      # quality rank + distributed prefix-sum trim
 ]
 
 

@@ -94,6 +94,71 @@ def global_rank(df: DataFrame, *cols: Column | str, rank_col: str = "rank") -> D
     )
 
 
+def global_prefix_sum(
+    df: DataFrame, *cols: Column | str, value_col: str, out_col: str = "cum"
+) -> DataFrame:
+    """Distributed prefix sum (scan) of ``value_col`` over a total order —
+    the budget/quota primitive (token-budget trims, quota-fill sampling,
+    cumulative-coverage curves) computed WITHOUT a single-partition
+    window. Classic two-pass scan, the running-sum sibling of
+    global_rank:
+
+    1. range-shuffle on the sort key + sortWithinPartitions, then ONE
+       Arrow pass per partition computes the within-partition running sum
+       (mapInPandas preserves within-partition row order — the
+       sort_validate precedent) and tags rows with the partition id from
+       TaskContext;
+    2. per-partition totals (a #partitions-row aggregate) turn into
+       cumulative offsets via a window over the tiny counts relation, and
+       broadcast back.
+
+    The stage-1 output is pinned via the tracked cache: the offsets
+    branch and the output branch both read it, so the nondeterministic
+    range-partitioner sampling and the Python stage run exactly once.
+
+    ``cols`` must define a TOTAL order (unique tie-break) for a
+    well-defined scan. Integer-exact when ``value_col`` is integral
+    (int64 accumulation end-to-end); NULL values count as 0."""
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    part = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    out_schema = StructType(
+        list(part.schema.fields)
+        + [StructField("_pid", LongType()), StructField(out_col, LongType())]
+    )
+
+    def scan(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        acc = 0
+        for pdf in batches:
+            vals = pdf[value_col].fillna(0).astype("int64")
+            cs = vals.cumsum() + acc
+            if len(cs):
+                acc = int(cs.iloc[-1])
+            pdf = pdf.assign(_pid=pid, **{out_col: cs})
+            yield pdf
+
+    stage1 = persist_tracked(part.mapInPandas(scan, out_schema))
+    totals = stage1.groupBy("_pid").agg(F.sum(value_col).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.coalesce(1).select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        stage1.join(F.broadcast(offsets), "_pid")
+        .select(
+            *df.columns,
+            (F.col(out_col) + F.col("_off")).cast("bigint").alias(out_col),
+        )
+    )
+
+
 def secondary_sort_partitions(
     df: DataFrame, partition_key: str, *sort_cols: Column | str, num_partitions: int | None = None
 ) -> DataFrame:

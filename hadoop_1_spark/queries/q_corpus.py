@@ -362,3 +362,50 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_1_spark.operators import corpusprep
 
     return corpusprep.mix_report(_load(spark, sf_dir, "documents"))
+
+
+TOKEN_BUDGET = 10_000
+
+
+def _budget_trim_oracle() -> str:
+    quality_sql = ORACLE["text_quality"]
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({quality_sql})),
+toks AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+ordered AS (
+  SELECT q.doc_id, q.quality, t.n_tokens,
+         sum(t.n_tokens) OVER (ORDER BY q.quality DESC, q.doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM q JOIN toks t USING (doc_id)
+)
+SELECT doc_id, round(quality, 6) AS quality, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ordered WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
+@register("corpus_budget_trim", oracle=_budget_trim_oracle())
+def corpus_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curriculum trim: rank the corpus by quality score and
+    keep the best documents until a fixed token budget is exhausted — the
+    data-selection step between scoring and shard writing. The cumulative
+    token count comes from sort.global_prefix_sum (range shuffle +
+    per-partition Arrow scan + broadcast offsets), never a global
+    single-partition window."""
+    from hadoop_1_spark.operators import sort as sortops
+    from hadoop_1_spark.operators import textops
+
+    docs = _load(spark, sf_dir, "documents")
+    q = textops.quality_score(docs).select("doc_id", "quality")
+    toks = docs.select(
+        F.col("doc_id"),
+        F.size(textops.ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    scored = q.join(toks, "doc_id")
+    cum = sortops.global_prefix_sum(
+        scored, F.desc("quality"), F.asc("doc_id"),
+        value_col="n_tokens", out_col="cum_tokens",
+    )
+    return cum.where(F.col("cum_tokens") <= TOKEN_BUDGET).select(
+        "doc_id", F.round("quality", 6).alias("quality"), "n_tokens", "cum_tokens"
+    )

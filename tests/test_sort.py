@@ -102,3 +102,19 @@ def test_global_rank_matches_single_window(spark):
         for r in df.select(F.row_number().over(w).alias("rank"), "id").collect()
     }
     assert got == want
+
+
+def test_global_prefix_sum_exact(spark):
+    """Distributed scan == single-machine cumsum over the same total
+    order, across many range partitions; NULLs count 0."""
+    from hadoop_1_spark.operators import sort as sortops
+
+    rows = [(i, ((i * 37) % 11) or None) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(13)
+    out = sortops.global_prefix_sum(df, "k", value_col="v", out_col="cum")
+    got = {r.k: r.cum for r in out.collect()}
+    acc = 0
+    for k, v in sorted(rows):
+        acc += v or 0
+        assert got[k] == acc
+    assert len(got) == 500
