@@ -288,6 +288,61 @@ def fingerprint(df: DataFrame, k: int = 3, s: int = 4, text_col: str = "text", i
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    local fingerprinting scheme): hash every k-token gram, slide a window
+    of w consecutive gram hashes, select each window's MINIMUM hash with
+    ties broken to the RIGHTMOST position, and keep the distinct
+    (position, hash) selections. Guarantees: any shared substring of at
+    least k+w-1 tokens yields at least one shared fingerprint, and the
+    per-doc fingerprint density is ~2/(w+1) — a storage-tunable near-dup
+    index with a matching guarantee, unlike the probabilistic bottom-s
+    sketch (fingerprint()).
+
+    Cross-engine determinism: gram hashes are the 15-hex md5 prefix
+    (hex_hash idiom) whose STRING order equals numeric order; the
+    min-with-rightmost-tie pick is one string min over
+    ``hash || zero_padded(99999 - pos)`` — both engines compare the same
+    fixed-width keys, no floats anywhere. Positions are capped at 99999
+    grams/doc by the pad width (assert-guarded upstream contract:
+    chunk long docs first).
+
+    Shape: a pure narrow projection per document (token array -> gram
+    hash array -> window mins, all inside whole-stage codegen) followed
+    by one explode + distinct — the only shuffle is the distinct on
+    (id, pos, fp), carrying ~2n/(w+1) fixed-width rows per doc."""
+    toks = ws_tokens(F.col(text_col))
+    grams = (
+        f"transform(sequence(1, size(_toks) - {k - 1}),"
+        f" i -> substring(md5(concat('0:', concat_ws(' ', slice(_toks, i, {k})))), 1, 15))"
+    )
+    keys = (
+        f"transform(_hs, (h, p) -> concat(h, lpad(cast(99999 - (p + 1) as string), 5, '0')))"
+    )
+    sel = (
+        f"transform(sequence(1, size(_keys) - {w - 1}),"
+        f" j -> array_min(slice(_keys, j, {w})))"
+    )
+    base = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") >= k + w - 1)
+        .select(F.col(id_col), F.expr(grams).alias("_hs"))
+        .select(F.col(id_col), F.expr(keys).alias("_keys"))
+        .select(F.col(id_col), F.explode(F.expr(sel)).alias("_sel"))
+    )
+    return base.select(
+        F.col(id_col),
+        (F.lit(99999) - F.substring("_sel", 16, 5).cast("int")).alias("pos"),
+        F.substring("_sel", 1, 15).alias("fp"),
+    ).distinct()
+
+
 # PII patterns, written to the common RE2/Java regex subset so the SAME
 # strings run in Spark and the DuckDB oracle. Public-web-corpus scrubbing
 # rules (the C4/RefinedWeb-style cleanup stage): emails, NANP-style phone

@@ -140,3 +140,30 @@ def test_tfidf_topk_integer_ranking(spark):
     assert rows[(3, 1)] == ("cherry", 3, 2, 1_500_000)
     assert rows[(3, 2)] == ("common", 1, 3, 333_333)
     assert all(r.rank <= 2 for r in out.collect())
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """The winnowing guarantee: any shared substring of >= k+w-1 tokens
+    yields at least one shared fingerprint; rightmost tie-break and
+    density ~2/(w+1) hold; short docs emit nothing."""
+    from hadoop_1_spark.operators import textops
+
+    shared = "alpha beta gamma delta epsilon zeta"      # 6 tokens = k+w-1
+    df = spark.createDataFrame(
+        [
+            (1, "one two three " + shared),
+            (2, shared + " seven eight nine"),
+            (3, "un deux"),                              # < k+w-1 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = textops.winnow_fingerprints(df, k=3, w=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert 3 not in fps
+    assert fps[1] & fps[2], "shared 6-token substring must share a fingerprint"
+    # density: selections per doc <= number of windows, >= windows/w
+    n_grams_1 = 9 - 3 + 1   # doc 1 has 9 tokens
+    n_windows_1 = n_grams_1 - 4 + 1
+    assert 1 <= len(fps[1]) <= n_windows_1
