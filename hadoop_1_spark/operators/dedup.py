@@ -682,6 +682,42 @@ def incremental_dedup(
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_cap: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints (the MOSS
+    match step): docs sharing at least ``min_shared`` distinct selected
+    fingerprints. Complements MinHash: winnowing's selections carry a
+    GUARANTEE (every shared >= k+w-1-token substring contributes one), so
+    shared-count is a deterministic substring-overlap measure rather than
+    a probabilistic sketch collision. Same equi-join shape as the LSH
+    band join — the shuffle carries (fp, id); ``fp_cap`` is the hot-key
+    guard (band_cap analog) for fingerprints shared by many docs."""
+    fp = textops.winnow_fingerprints(
+        df, k=k, w=w, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col), "fp").distinct()
+    fp = _persist(fp)
+    if fp_cap is not None:
+        counts = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_c"))
+        fp = fp.join(counts.where(F.col("_c") <= fp_cap), "fp").drop("_c")
+    return (
+        fp.alias("a")
+        .join(fp.alias("b"), "fp")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
+
+
 def duplicated_span_stats(
     df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -343,6 +343,37 @@ def winnow_fingerprints(
     ).distinct()
 
 
+def winnow_oracle_sql(toks_expr: str, k: int = 3, w: int = 4) -> str:
+    """The DuckDB replay of winnow_fingerprints (shared by the
+    text_winnow_fingerprints and dedup_winnow_overlap oracles;
+    ``toks_expr`` is the engine-side whitespace-token-array expression)."""
+    return f"""
+WITH t AS (SELECT doc_id, {toks_expr} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i AS pos,
+         substr(md5('0:' || array_to_string(toks[i:i+{k - 1}], ' ')), 1, 15) AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {k} + 2)) AS i
+        FROM t WHERE len(toks) >= {k + w - 1})
+),
+ky AS (
+  SELECT doc_id, pos, h || lpad(CAST(99999 - pos AS VARCHAR), 5, '0') AS key
+  FROM g
+),
+m AS (SELECT doc_id, max(pos) AS mx FROM g GROUP BY 1),
+win AS (SELECT doc_id, unnest(range(1, mx - {w} + 2)) AS j FROM m),
+sel AS (
+  SELECT w.doc_id, w.j, min(k2.key) AS sk
+  FROM win w JOIN ky k2
+    ON w.doc_id = k2.doc_id AND k2.pos BETWEEN w.j AND w.j + {w - 1}
+  GROUP BY 1, 2
+)
+SELECT DISTINCT doc_id,
+       CAST(99999 - CAST(substr(sk, 16, 5) AS INT) AS INT) AS pos,
+       substr(sk, 1, 15) AS fp
+FROM sel
+"""
+
+
 # PII patterns, written to the common RE2/Java regex subset so the SAME
 # strings run in Spark and the DuckDB oracle. Public-web-corpus scrubbing
 # rules (the C4/RefinedWeb-style cleanup stage): emails, NANP-style phone

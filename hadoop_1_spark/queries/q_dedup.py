@@ -427,3 +427,30 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("source") != "src7"),
         k=3, num_hashes=16, bands=8, threshold=0.8,
     )
+
+
+WINNOW_MIN_SHARED = 10
+
+
+def _winnow_overlap_oracle() -> str:
+    from hadoop_1_spark.operators.textops import winnow_oracle_sql
+
+    return f"""
+WITH f AS ({winnow_oracle_sql(_TOKS, k=3, w=4)}),
+d AS (SELECT DISTINCT doc_id, fp FROM f)
+SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS shared_fps
+FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+@register("dedup_winnow_overlap", oracle=_winnow_overlap_oracle())
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup pairs: documents sharing >= 10 winnowing
+    fingerprints — the deterministic substring-overlap companion to the
+    probabilistic MinHash candidates (planted near-dups share 17-41 fps
+    at sf0.01; the background tops out well below 10)."""
+    return dedup.winnow_overlap_pairs(
+        _load(spark, sf_dir, "documents"), k=3, w=4,
+        min_shared=WINNOW_MIN_SHARED,
+    )

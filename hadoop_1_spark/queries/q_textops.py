@@ -326,31 +326,7 @@ WIN_W = 4
 
 @register(
     "text_winnow_fingerprints",
-    oracle=f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-g AS (
-  SELECT doc_id, i AS pos,
-         substr(md5('0:' || array_to_string(toks[i:i+{WIN_K - 1}], ' ')), 1, 15) AS h
-  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {WIN_K} + 2)) AS i
-        FROM t WHERE len(toks) >= {WIN_K + WIN_W - 1})
-),
-ky AS (
-  SELECT doc_id, pos, h || lpad(CAST(99999 - pos AS VARCHAR), 5, '0') AS key
-  FROM g
-),
-m AS (SELECT doc_id, max(pos) AS mx FROM g GROUP BY 1),
-win AS (SELECT doc_id, unnest(range(1, mx - {WIN_W} + 2)) AS j FROM m),
-sel AS (
-  SELECT w.doc_id, w.j, min(k2.key) AS sk
-  FROM win w JOIN ky k2
-    ON w.doc_id = k2.doc_id AND k2.pos BETWEEN w.j AND w.j + {WIN_W - 1}
-  GROUP BY 1, 2
-)
-SELECT DISTINCT doc_id,
-       CAST(99999 - CAST(substr(sk, 16, 5) AS INT) AS INT) AS pos,
-       substr(sk, 1, 15) AS fp
-FROM sel
-""",
+    oracle=textops.winnow_oracle_sql(_TOKS, k=WIN_K, w=WIN_W),
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints over documents: 3-token grams, window

@@ -218,3 +218,26 @@ def test_incremental_dedup_null_text_docs(spark):
     assert out[2] == (0, 0, 0, 1)
     assert out[3] == (0, 0, 0, 1)
     assert len(out) == 3
+
+
+def test_winnow_overlap_pairs(spark):
+    """Docs sharing a long substring pair up; unrelated docs don't; the
+    fp_cap guard kills a mass-shared fingerprint clique."""
+    from hadoop_1_spark.operators import dedup
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, "x y z " + shared),
+        (2, shared + " p q r"),
+        (3, "totally different content here entirely unrelated words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.d1, r.d2): r.shared_fps
+             for r in dedup.winnow_overlap_pairs(df, min_shared=2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)
+
+    boiler = [(i, shared) for i in range(10, 40)]
+    df2 = spark.createDataFrame(rows + boiler, "doc_id long, text string")
+    capped = dedup.winnow_overlap_pairs(df2, min_shared=2, fp_cap=5).collect()
+    assert capped == []  # every fp of the clique exceeds the cap
