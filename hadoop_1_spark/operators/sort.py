@@ -44,6 +44,19 @@ def top_k(df: DataFrame, k: int, *cols: Column | str) -> DataFrame:
     return df.orderBy(*cols).limit(k)
 
 
+def _broadcast_offsets(totals: DataFrame, n_col: str = "_n") -> DataFrame:
+    """Per-partition totals (_pid, n) -> broadcastable cumulative offsets
+    (_pid, _off). coalesce(1) (not an exchange) satisfies the
+    empty-partitionBy window's single-partition requirement: the
+    cumulative window runs over the O(#partitions) summary rows, never
+    data. Shared by global_rank and global_prefix_sum so the subtle
+    coalesce-window trick lives in exactly one place."""
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    return totals.coalesce(1).select(
+        "_pid", F.coalesce(F.sum(n_col).over(w_off), F.lit(0)).alias("_off")
+    )
+
+
 def global_rank(df: DataFrame, *cols: Column | str, rank_col: str = "rank") -> DataFrame:
     """Distributed global row_number over a total order — never a
     single-partition window. Range-shuffle on the sort key (the
@@ -77,13 +90,7 @@ def global_rank(df: DataFrame, *cols: Column | str, rank_col: str = "rank") -> D
     pid = F.shiftright("_mid", 33).alias("_pid")
     pos = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
     counts = part.select(pid).groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    # coalesce(1) (not an exchange) satisfies the empty-partitionBy window's
-    # single-partition requirement: the cumulative-offset window over the
-    # O(#partitions) count rows plans with no extra shuffle.
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.coalesce(1).select(
-        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
-    )
+    offsets = _broadcast_offsets(counts)
     return (
         part.withColumn("_pid", pid)
         .join(F.broadcast(offsets), "_pid")
@@ -121,9 +128,20 @@ def global_prefix_sum(
     (int64 accumulation end-to-end); NULL values count as 0."""
     import pandas as pd  # noqa: F401  (worker-side)
 
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import (
+        ByteType, IntegerType, LongType, ShortType, StructField, StructType,
+    )
 
     from hadoop_1_spark.operators.caching import persist_tracked
+
+    vtype = df.schema[value_col].dataType
+    if not isinstance(vtype, (ByteType, ShortType, IntegerType, LongType)):
+        # the scan accumulates int64; a double value would be truncated
+        # per-row in stage 1 but summed exactly in the offsets branch —
+        # two different wrong answers. Refuse instead.
+        raise ValueError(
+            f"global_prefix_sum needs an integral value_col; {value_col} is {vtype}"
+        )
 
     part = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
     out_schema = StructType(
@@ -146,10 +164,7 @@ def global_prefix_sum(
 
     stage1 = persist_tracked(part.mapInPandas(scan, out_schema))
     totals = stage1.groupBy("_pid").agg(F.sum(value_col).alias("_n"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.coalesce(1).select(
-        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
-    )
+    offsets = _broadcast_offsets(totals)
     return (
         stage1.join(F.broadcast(offsets), "_pid")
         .select(

@@ -308,10 +308,12 @@ def winnow_fingerprints(
     Cross-engine determinism: gram hashes are the 15-hex md5 prefix
     (hex_hash idiom) whose STRING order equals numeric order; the
     min-with-rightmost-tie pick is one string min over
-    ``hash || zero_padded(99999 - pos)`` — both engines compare the same
-    fixed-width keys, no floats anywhere. Positions are capped at 99999
-    grams/doc by the pad width (assert-guarded upstream contract:
-    chunk long docs first).
+    ``hash || zero_padded(9999999 - pos)`` — both engines compare the
+    same fixed-width keys, no floats anywhere. The pad width caps
+    positions at 9,999,999 grams per document (~10M tokens — beyond any
+    sane unchunked doc); docs over the cap are EXCLUDED by the same
+    filter in both engines rather than silently corrupted (chunk them
+    first: corpusprep.chunk_windows).
 
     Shape: a pure narrow projection per document (token array -> gram
     hash array -> window mins, all inside whole-stage codegen) followed
@@ -323,7 +325,7 @@ def winnow_fingerprints(
         f" i -> substring(md5(concat('0:', concat_ws(' ', slice(_toks, i, {k})))), 1, 15))"
     )
     keys = (
-        f"transform(_hs, (h, p) -> concat(h, lpad(cast(99999 - (p + 1) as string), 5, '0')))"
+        f"transform(_hs, (h, p) -> concat(h, lpad(cast(9999999 - (p + 1) as string), 7, '0')))"
     )
     sel = (
         f"transform(sequence(1, size(_keys) - {w - 1}),"
@@ -331,14 +333,17 @@ def winnow_fingerprints(
     )
     base = (
         df.select(F.col(id_col), toks.alias("_toks"))
-        .where(F.size("_toks") >= k + w - 1)
+        .where(
+            (F.size("_toks") >= k + w - 1)
+            & (F.size("_toks") - (k - 1) <= 9999999)
+        )
         .select(F.col(id_col), F.expr(grams).alias("_hs"))
         .select(F.col(id_col), F.expr(keys).alias("_keys"))
         .select(F.col(id_col), F.explode(F.expr(sel)).alias("_sel"))
     )
     return base.select(
         F.col(id_col),
-        (F.lit(99999) - F.substring("_sel", 16, 5).cast("int")).alias("pos"),
+        (F.lit(9999999) - F.substring("_sel", 16, 7).cast("int")).alias("pos"),
         F.substring("_sel", 1, 15).alias("fp"),
     ).distinct()
 
@@ -353,10 +358,10 @@ g AS (
   SELECT doc_id, i AS pos,
          substr(md5('0:' || array_to_string(toks[i:i+{k - 1}], ' ')), 1, 15) AS h
   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {k} + 2)) AS i
-        FROM t WHERE len(toks) >= {k + w - 1})
+        FROM t WHERE len(toks) >= {k + w - 1} AND len(toks) - {k - 1} <= 9999999)
 ),
 ky AS (
-  SELECT doc_id, pos, h || lpad(CAST(99999 - pos AS VARCHAR), 5, '0') AS key
+  SELECT doc_id, pos, h || lpad(CAST(9999999 - pos AS VARCHAR), 7, '0') AS key
   FROM g
 ),
 m AS (SELECT doc_id, max(pos) AS mx FROM g GROUP BY 1),
@@ -368,7 +373,7 @@ sel AS (
   GROUP BY 1, 2
 )
 SELECT DISTINCT doc_id,
-       CAST(99999 - CAST(substr(sk, 16, 5) AS INT) AS INT) AS pos,
+       CAST(9999999 - CAST(substr(sk, 16, 7) AS INT) AS INT) AS pos,
        substr(sk, 1, 15) AS fp
 FROM sel
 """

@@ -118,3 +118,13 @@ def test_global_prefix_sum_exact(spark):
         acc += v or 0
         assert got[k] == acc
     assert len(got) == 500
+
+
+def test_global_prefix_sum_rejects_non_integral(spark):
+    import pytest
+
+    from hadoop_1_spark.operators import sort as sortops
+
+    df = spark.createDataFrame([(1, 0.5)], "k long, v double")
+    with pytest.raises(ValueError):
+        sortops.global_prefix_sum(df, "k", value_col="v")
