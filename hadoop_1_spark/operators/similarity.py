@@ -607,3 +607,45 @@ def kmeans_train_assign(
     for _ in range(iters):
         cvals, cids = cent_values(update(assign_arrow(cvals, cids)))
     return _out(assign_arrow(cvals, cids))
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the ANN
+    storage path (4x memory vs float32; scan candidates over int8, rerank
+    survivors with the full floats). Per vector: s = max(|v_i|), and
+    q_i = floor(v_i * 127 / s + 0.5) in [-127, 127] (floor(x+0.5) rounds
+    half toward +inf for BOTH signs — one deterministic rule, no
+    banker's-rounding divergence between engines). The all-zero vector
+    quantizes to zeros with scale 0.
+
+    Output: (id, scale_q9, qcsv) where scale_q9 = round(s/127, 9) is the
+    dequant multiplier and qcsv the comma-joined int codes (a string so
+    the driver's value hash is unambiguous across engines).
+
+    Shape: one narrow projection — fold for the max, transform for the
+    codes, all inside whole-stage codegen; no shuffle at all."""
+    v = F.col(vec_col)
+    maxabs = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    base = emb.select(F.col(id_col), v.alias("_v"), maxabs.alias("_s"))
+    codes = F.when(
+        F.col("_s") == 0.0,
+        F.transform(F.col("_v"), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(x.cast("double") * F.lit(127.0) / F.col("_s") + F.lit(0.5)).cast("int"),
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        F.round(F.col("_s") / F.lit(127.0), 9).alias("scale_q9"),
+        F.concat_ws(",", codes).alias("qcsv"),
+    )

@@ -262,3 +262,28 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=KM_K, iters=KM_ITERS, keep_vector=True
     )
     return dedup.semantic_dedup_pairs(emb, clusters, threshold=0.45)
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+WITH b AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+  FROM embeddings
+)
+SELECT vec_id,
+       round(s / 127.0, 9) AS scale_q9,
+       CASE WHEN s = 0 THEN array_to_string(list_transform(embedding, x -> 0), ',')
+            ELSE array_to_string(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5) AS INT)), ',')
+       END AS qcsv
+FROM b
+""",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (4x ANN memory reduction;
+    scan int8 candidates, rerank with floats). One shuffle-free codegen'd
+    projection; floor(x+0.5) rounding is replayed bit-for-bit by the
+    oracle. See similarity.quantize_embeddings."""
+    return similarity.quantize_embeddings(_load(spark, sf_dir, "embeddings"))

@@ -449,3 +449,54 @@ def test_tfidf_topk_matches_python(spark, docs):
     for r in sorted(out, key=lambda r: (r.doc_id, r.rank)):
         got.setdefault(r.doc_id, []).append((r.token, r.score_q6))
     assert got == _reference_tfidf(docs, 3)
+
+
+# ---------------------------------------------------------------------------
+# winnow_fingerprints vs a direct Python reference
+
+
+def _reference_winnow(docs, k, w):
+    import hashlib
+
+    out = {}
+    for d, text in docs.items():
+        toks = text.split()
+        m = len(toks) - k + 1
+        if len(toks) < k + w - 1:
+            out[d] = set()
+            continue
+        hs = [
+            hashlib.md5(("0:" + " ".join(toks[i : i + k])).encode()).hexdigest()[:15]
+            for i in range(m)
+        ]
+        sel = set()
+        for j in range(m - w + 1):
+            # min hash in window, rightmost position on ties
+            best = min(range(j, j + w), key=lambda p: (hs[p], -p))
+            sel.add((best + 1, hs[best]))
+        out[d] = sel
+    return out
+
+
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=6),
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=2, max_value=3),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=12, deadline=None)
+def test_winnow_matches_python(spark, docs, k, w):
+    from hadoop_1_spark.operators import textops
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {}
+    for r in textops.winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    want = {d: s for d, s in _reference_winnow(docs, k, w).items() if s}
+    assert got == want

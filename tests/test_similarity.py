@@ -248,3 +248,27 @@ def test_kmeans_auto_k_and_pp_init(spark):
 
     with pytest.raises(ValueError):
         similarity.kmeans_train_assign(emb, k=4, init="rng")
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    """int8 codes stay in [-127, 127], dequant error <= scale/2 per
+    component, zero vectors quantize to zeros with scale 0."""
+    from hadoop_1_spark.operators import similarity
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [-2.0, 2.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: (r.scale_q9, [int(x) for x in r.qcsv.split(",")])
+           for r in similarity.quantize_embeddings(df).collect()}
+    assert out[2] == (0.0, [0, 0, 0, 0])
+    for vid, vec in [(1, rows[0][1]), (3, rows[2][1])]:
+        scale, q = out[vid]
+        assert all(-127 <= c <= 127 for c in q)
+        for orig, code in zip(vec, q):
+            # scale_q9 is rounded to 9 decimals, which can push the
+            # half-step dequant bound out by up to ~127 * 0.5e-9
+            assert abs(orig - code * scale) <= scale / 2 + 1e-6
+    assert out[1][1][0] == 127  # max component maps to full range
