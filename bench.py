@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_clusters",      # near-dup pairs → connected-components resolution
     "sim_lsh_topk",        # hyperplane-bucketed ANN
     "sim_ivf_topk",        # IVF cell-pruned ANN
+    "sim_quantized_topk",  # int8 candidate scan + float rerank
     "cluster_kmeans",      # deterministic Lloyd k-means (Arrow assign path)
     "dedup_semantic",      # SemDeDup: in-cell cosine via trained clusters
     "text_repetition",     # dup/top bigram fractions (1-exchange zip-grams)

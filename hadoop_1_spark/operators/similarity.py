@@ -609,6 +609,33 @@ def kmeans_train_assign(
     return _out(assign_arrow(cvals, cids))
 
 
+def quantize_arrays(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Internal/array form of quantize_embeddings: (id, _s, qvec) with _s
+    the raw max-abs (NOT divided by 127) and qvec array<int> — the form
+    the quantized ANN candidate scan consumes directly."""
+    v = F.col(vec_col)
+    maxabs = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    base = emb.select(F.col(id_col), v.alias("_v"), maxabs.alias("_s"))
+    codes = F.when(
+        F.col("_s") == 0.0,
+        F.transform(F.col("_v"), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(x.cast("double") * F.lit(127.0) / F.col("_s") + F.lit(0.5)).cast("int"),
+        )
+    )
+    return base.select(F.col(id_col), F.col("_s"), codes.alias("qvec"))
+
+
 def quantize_embeddings(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -628,24 +655,76 @@ def quantize_embeddings(
 
     Shape: one narrow projection — fold for the max, transform for the
     codes, all inside whole-stage codegen; no shuffle at all."""
-    v = F.col(vec_col)
-    maxabs = F.aggregate(
-        v,
-        F.lit(0.0),
-        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
-    )
-    base = emb.select(F.col(id_col), v.alias("_v"), maxabs.alias("_s"))
-    codes = F.when(
-        F.col("_s") == 0.0,
-        F.transform(F.col("_v"), lambda x: F.lit(0)),
-    ).otherwise(
-        F.transform(
-            F.col("_v"),
-            lambda x: F.floor(x.cast("double") * F.lit(127.0) / F.col("_s") + F.lit(0.5)).cast("int"),
-        )
-    )
-    return base.select(
+    qa = quantize_arrays(emb, id_col=id_col, vec_col=vec_col)
+    return qa.select(
         F.col(id_col),
         F.round(F.col("_s") / F.lit(127.0), 9).alias("scale_q9"),
-        F.concat_ws(",", codes).alias("qcsv"),
+        F.concat_ws(",", F.col("qvec")).alias("qcsv"),
     )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage quantized ANN: score ALL candidates with exact-integer
+    int8 dot products (the 4x-smaller scan), keep the top ``rerank`` per
+    query, then rerank ONLY those with the full-precision cosine
+    contract (dot fold + round 9, same as cosine_topk). The candidate
+    stage is engine-exact — int dot products have no rounding at all —
+    so the candidate SET (not just the final ranks) is oracle-checkable.
+
+    Scale shape: stage 1 is the brute-force scan shape but over int8
+    codes (a quarter of the bytes, integer SIMD); stage 2 touches
+    rerank x |queries| rows of floats. Queries are broadcast; the only
+    per-query state crossing the shuffle is (query, neighbor, int score).
+    Compose with the IVF cell filter for sub-linear candidate counts."""
+    from hadoop_1_spark.operators.dedup import dot_chain
+
+    cq = quantize_arrays(corpus, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cq")
+    )
+    qq = quantize_arrays(queries, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qq")
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        cq.crossJoin(F.broadcast(qq))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", int_dot.alias("qscore"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qscore"), F.asc("neighbor_id")
+    )
+    short = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= rerank)
+        .select("query_id", "neighbor_id", "qscore")
+    )
+    nrm = _norm(F.col(vec_col))
+    qside = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), nrm.alias("qn")
+    )
+    cside = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), nrm.alias("cn")
+    )
+    rer = (
+        short.join(F.broadcast(qside), "query_id")
+        .join(cside, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_chain(F.col("qv"), F.col("cv"), DIMS) / (F.col("qn") * F.col("cn")), 9
+            ).alias("cosine"),
+        )
+    )
+    return _topk(rer, k)

@@ -287,3 +287,54 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection; floor(x+0.5) rounding is replayed bit-for-bit by the
     oracle. See similarity.quantize_embeddings."""
     return similarity.quantize_embeddings(_load(spark, sf_dir, "embeddings"))
+
+
+RERANK = 20
+
+
+def _quantized_oracle() -> str:
+    int_dot = " + ".join(f"a[{i}] * b[{i}]" for i in range(1, 65))
+    return f"""
+WITH qz AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+                          list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+                          + 0.5) AS INT))
+         END AS qvec
+  FROM embeddings
+),
+qq AS (SELECT vec_id AS query_id, qvec AS a FROM qz WHERE vec_id < 10),
+cc AS (SELECT vec_id AS neighbor_id, qvec AS b FROM qz),
+cand AS (
+  SELECT query_id, neighbor_id, {int_dot} AS qscore
+  FROM qq JOIN cc ON query_id <> neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY qscore DESC, neighbor_id) <= {RERANK}
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, {_NRM} AS qn FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, {_NRM} AS cn FROM embeddings),
+p AS (
+  SELECT s.query_id, s.neighbor_id, q.qv, c.cv, q.qn, c.cn
+  FROM short s JOIN q USING (query_id) JOIN c USING (neighbor_id)
+),
+{_COSINE_CTES}
+{_FINAL}
+"""
+
+
+@register("sim_quantized_topk", oracle=_quantized_oracle())
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized ANN top-5: int8 candidate scan (exact-integer
+    dot products — the oracle checks the candidate SET, not just ranks)
+    reranked with the full-precision cosine contract. The 4x-memory ANN
+    path embedding_quantize feeds. See similarity.quantized_topk."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(
+        emb, emb.where("vec_id < 10"), k=K, rerank=RERANK
+    )

@@ -272,3 +272,24 @@ def test_quantize_embeddings_roundtrip(spark):
             # half-step dequant bound out by up to ~127 * 0.5e-9
             assert abs(orig - code * scale) <= scale / 2 + 1e-6
     assert out[1][1][0] == 127  # max component maps to full range
+
+
+def test_quantized_topk_recall_and_contract(spark):
+    """int8 candidates + float rerank: rank-1 recall vs brute force is
+    high (int8 is a ~0.4% error approximation; rerank=20 recovers the
+    ordering), and returned cosines equal the brute-force values for the
+    same (query, neighbor) pairs bit-for-bit."""
+    from hadoop_1_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.where("vec_id < 20")
+    bf = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+          for r in similarity.cosine_topk(emb, q, k=1).collect()}
+    qt = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+          for r in similarity.quantized_topk(emb, q, k=1, rerank=20).collect()}
+    hits = sum(1 for key in bf if qt.get(key) == bf[key])
+    assert hits >= len(bf) * 0.8, (hits, len(bf))
+    # any agreeing pair carries the identical rounded cosine
+    for key in bf:
+        if key in qt and qt[key][0] == bf[key][0]:
+            assert qt[key][1] == bf[key][1]
