@@ -670,6 +670,7 @@ def quantized_topk(
     rerank: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Two-stage quantized ANN: score ALL candidates with exact-integer
     int8 dot products (the 4x-smaller scan), keep the top ``rerank`` per
@@ -682,23 +683,37 @@ def quantized_topk(
     codes (a quarter of the bytes, integer SIMD); stage 2 touches
     rerank x |queries| rows of floats. Queries are broadcast; the only
     per-query state crossing the shuffle is (query, neighbor, int score).
-    Compose with the IVF cell filter for sub-linear candidate counts."""
+
+    ``cell_col`` composes the IVF probe: candidates are restricted to the
+    query's coarse cell (IVF-PQ's shape — cell prune, int8 scan, float
+    rerank), making the candidate count sub-linear in the corpus; at
+    100 TB the cell is also the partition key, so the int8 scan is
+    partition-pruned."""
     from hadoop_1_spark.operators.dedup import dot_chain
 
-    cq = quantize_arrays(corpus, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cq")
-    )
-    qq = quantize_arrays(queries, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("qvec").alias("qq")
-    )
+    def _side(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        q = quantize_arrays(df, id_col=id_col, vec_col=vec_col)
+        if cell_col:
+            q = q.join(df.select(F.col(id_col), cell_col), id_col)
+        keep = [F.col(id_col).alias(out_id), F.col("qvec").alias(out_vec)]
+        if cell_col:
+            keep.append(F.col(cell_col))
+        return q.select(*keep)
+
+    cq = _side(corpus, "neighbor_id", "cq")
+    qq = _side(queries, "query_id", "qq")
     int_dot = F.aggregate(
         F.zip_with(F.col("qq"), F.col("cq"), lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    joined = (
+        cq.join(F.broadcast(qq), cell_col)
+        if cell_col
+        else cq.crossJoin(F.broadcast(qq))
+    )
     cand = (
-        cq.crossJoin(F.broadcast(qq))
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        joined.where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", int_dot.alias("qscore"))
     )
     w = Window.partitionBy("query_id").orderBy(

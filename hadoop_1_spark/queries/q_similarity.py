@@ -338,3 +338,52 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantized_topk(
         emb, emb.where("vec_id < 10"), k=K, rerank=RERANK
     )
+
+
+def _ivf_quantized_oracle() -> str:
+    int_dot = " + ".join(f"a[{i}] * b[{i}]" for i in range(1, 65))
+    return f"""
+WITH qz AS (
+  SELECT vec_id, label,
+         CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 /
+                          list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+                          + 0.5) AS INT))
+         END AS qvec
+  FROM embeddings
+),
+qq AS (SELECT vec_id AS query_id, label, qvec AS a FROM qz WHERE vec_id < 10),
+cc AS (SELECT vec_id AS neighbor_id, label, qvec AS b FROM qz),
+cand AS (
+  SELECT query_id, neighbor_id, {int_dot} AS qscore
+  FROM qq JOIN cc USING (label) WHERE query_id <> neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY qscore DESC, neighbor_id) <= {RERANK}
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, {_NRM} AS qn FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, {_NRM} AS cn FROM embeddings),
+p AS (
+  SELECT s.query_id, s.neighbor_id, q.qv, c.cv, q.qn, c.cn
+  FROM short s JOIN q USING (query_id) JOIN c USING (neighbor_id)
+),
+{_COSINE_CTES}
+{_FINAL}
+"""
+
+
+@register("sim_ivf_quantized_topk", oracle=_ivf_quantized_oracle())
+def sim_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern ANN stack in one query (IVF-PQ's shape): coarse
+    cell prune (label) -> exact-integer int8 candidate scan -> float
+    rerank under the cosine contract. Candidate count is sub-linear in
+    the corpus (cell fraction) and the scan reads a quarter of the
+    bytes; the oracle replays cells, integer scores, and reranks."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(
+        emb, emb.where("vec_id < 10"), k=K, rerank=RERANK, cell_col="label"
+    )

@@ -293,3 +293,18 @@ def test_quantized_topk_recall_and_contract(spark):
     for key in bf:
         if key in qt and qt[key][0] == bf[key][0]:
             assert qt[key][1] == bf[key][1]
+
+
+def test_ivf_quantized_subset_of_cell(spark):
+    """Cell-pruned quantized candidates never cross cells: every reported
+    neighbor shares the query's label."""
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.where("vec_id < 10")
+    out = similarity.quantized_topk(emb, q, k=3, rerank=10, cell_col="label")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in out.collect():
+        assert labels[r["query_id"]] == labels[r["neighbor_id"]]
