@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "sim_lsh_topk",        # hyperplane-bucketed ANN
     "sim_ivf_topk",        # IVF cell-pruned ANN
     "sim_quantized_topk",  # int8 candidate scan + float rerank
+    "sim_ivf_quantized_topk",  # cell prune -> int8 scan -> rerank (IVF-PQ shape)
     "cluster_kmeans",      # deterministic Lloyd k-means (Arrow assign path)
     "dedup_semantic",      # SemDeDup: in-cell cosine via trained clusters
     "text_repetition",     # dup/top bigram fractions (1-exchange zip-grams)

@@ -500,3 +500,48 @@ def test_winnow_matches_python(spark, docs, k, w):
         got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
     want = {d: s for d, s in _reference_winnow(docs, k, w).items() if s}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup exact flags vs a direct Python reference
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=4)
+        .map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=4)
+        .map(" ".join),
+        min_size=0,
+        max_size=5,
+    ),
+)
+@settings(max_examples=12, deadline=None)
+def test_incremental_exact_flags_match_python(spark, new_texts, snap_texts):
+    from hadoop_1_spark.operators import dedup
+
+    norm = lambda t: " ".join(t.lower().split())  # noqa: E731
+    new = spark.createDataFrame(
+        list(enumerate(new_texts)), "doc_id long, text string"
+    )
+    snap = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(snap_texts)] or [(999, "zz")],
+        "doc_id long, text string",
+    )
+    snap_set = {norm(t) for t in (snap_texts or ["zz"])}
+    first_seen = {}
+    for i, t in enumerate(new_texts):
+        first_seen.setdefault(norm(t), i)
+    out = {r.doc_id: r for r in dedup.incremental_dedup(new, snap).collect()}
+    assert len(out) == len(new_texts)          # one row per new doc
+    for i, t in enumerate(new_texts):
+        r = out[i]
+        assert r.exact_snap == int(norm(t) in snap_set)
+        assert r.exact_batch == int(first_seen[norm(t)] != i)
+        assert r.keep == int(
+            not (r.exact_snap or r.exact_batch or r.near_snap)
+        )
