@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "dedup_span_stats",        # duplicated 5-token-span fractions
     "dedup_incremental",       # batch-vs-snapshot directional dedup
     "corpus_budget_trim",      # quality rank + distributed prefix-sum trim
+    "funnel_conversion",       # ordered-stage conversion funnel (1 shuffle)
 ]
 
 

@@ -176,6 +176,93 @@ def sessionize(
     )
 
 
+def funnel_stages(
+    events: DataFrame,
+    stages: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_gap_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: for each key, stage i is reached at the
+    EARLIEST ``stages[i]`` event at-or-after the stage i-1 time (>=, so a
+    same-timestamp follow-up counts), and — when ``max_gap_seconds`` is
+    set — no later than that conversion window after it. Returns one row
+    per stage: (stage, event_type, n_users) with n_users monotonically
+    non-increasing — the classic conversion funnel.
+
+    Shape: ONE shuffle total. Stage times are a per-key iterated
+    conditional-min over the (key, [sorted (ts, type)]) aggregation —
+    each key's events collect once (the reducer-iterator shape,
+    secondary-sort discipline), and the per-key array walk is a codegen'd
+    aggregate fold per stage, not a join chain (k stages as k joins would
+    shuffle k times). Per-key event history must fit a collect_list —
+    the same bound every sessionization/funnel reducer has; split the
+    key's time range upstream for pathological keys. NULL-ts events are
+    dropped (no position on the timeline, as in sessionize/asof)."""
+    if not stages:
+        raise ValueError("funnel_stages needs at least one stage")
+    ev = (
+        events.where(F.col(ts_col).isNotNull())
+        .where(F.col(type_col).isin(stages))
+        .select(
+            F.col(key_col),
+            F.struct(
+                F.col(ts_col).alias("ts"), F.col(type_col).alias("et")
+            ).alias("_e"),
+        )
+    )
+    per_key = ev.groupBy(key_col).agg(
+        F.array_sort(F.collect_list("_e")).alias("_evs")
+    )
+    # stage time i: fold over the sorted events — the first stages[i]
+    # event with ts >= stage time i-1 (NULL if i-1 unreached or none)
+    prev = None
+    stage_cols = []
+    for i, s in enumerate(stages):
+        if prev is None:
+            expr = F.expr(
+                "filter(_evs, e -> e.et = '{0}')".format(s)
+            )
+        else:
+            gap_cond = (
+                ""
+                if max_gap_seconds is None
+                else " AND e.ts <= _t{0} + INTERVAL {1} SECONDS".format(
+                    i - 1, int(max_gap_seconds)
+                )
+            )
+            expr = F.expr(
+                "CASE WHEN _t{1} IS NULL THEN array()"
+                " ELSE filter(_evs, e -> e.et = '{0}' AND e.ts >= _t{1}{2}) END".format(
+                    s, i - 1, gap_cond
+                )
+            )
+        # try_element_at: NULL (stage unreached) on the empty array, where
+        # ANSI element_at would throw
+        stage_cols.append(
+            F.try_element_at(expr, F.lit(1)).getField("ts").alias(f"_t{i}")
+        )
+        # materialize progressively so _t{i-1} is referable
+        per_key = per_key.select("*", stage_cols[-1])
+        prev = s
+    counts = per_key.select(
+        key_col, *[F.col(f"_t{i}") for i in range(len(stages))]
+    )
+    rows = [
+        counts.agg(
+            F.lit(i + 1).alias("stage"),
+            F.lit(s).alias("event_type"),
+            F.count(F.col(f"_t{i}")).cast("long").alias("n_users"),
+        )
+        for i, s in enumerate(stages)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -139,3 +139,43 @@ def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = spark.sql(f"SELECT * FROM VALUES {rows} AS t(band, lo, hi)")
     out = temporal.range_join(ev, bands, "value", "lo", "hi", bin_width=7.0)
     return out.select("event_id", "band", F.col("value").alias("val"))
+
+
+FUNNEL_STAGES = ["signup", "view", "purchase"]
+FUNNEL_GAP_S = 4 * 3600
+
+
+def _funnel_oracle() -> str:
+    quoted = ", ".join(f"'{s}'" for s in FUNNEL_STAGES)
+    ctes = [
+        f"e AS (SELECT user_id, ts, event_type FROM events"
+        f" WHERE ts IS NOT NULL AND event_type IN ({quoted}))",
+        f"t0 AS (SELECT user_id, min(ts) AS t FROM e"
+        f" WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1)",
+    ]
+    for i, s in enumerate(FUNNEL_STAGES[1:], start=1):
+        ctes.append(
+            f"t{i} AS (SELECT e.user_id, min(e.ts) AS t"
+            f" FROM e JOIN t{i - 1} p USING (user_id)"
+            f" WHERE e.event_type = '{s}' AND e.ts >= p.t"
+            f" AND e.ts <= p.t + INTERVAL {FUNNEL_GAP_S} SECONDS GROUP BY 1)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1} AS stage, '{s}' AS event_type,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM t{i}) AS n_users"
+        for i, s in enumerate(FUNNEL_STAGES)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+@register("funnel_conversion", oracle=_funnel_oracle())
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup -> view -> purchase conversion funnel with a 4-hour
+    per-stage window: users reaching each ordered stage (earliest
+    qualifying event, >= previous stage time, within the window). One
+    shuffle — per-user sorted event arrays walked with codegen'd folds,
+    not a per-stage join chain. See temporal.funnel_stages."""
+    return temporal.funnel_stages(
+        _load(spark, sf_dir, "events"), FUNNEL_STAGES,
+        max_gap_seconds=FUNNEL_GAP_S,
+    )

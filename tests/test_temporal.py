@@ -247,3 +247,30 @@ def test_asof_tolerance_ntz_and_fractional(spark):
     # (5.9 - 4.0 is 1.9000000000000004 in IEEE doubles — bound above it)
     o2 = temporal.asof_join(fl, fr, on="k", ts_col="ts", tolerance=1.91).collect()
     assert o2[0]["asof_rid"] == 7
+
+
+def test_funnel_stages_semantics(spark):
+    """Ordering is enforced (a purchase BEFORE signup doesn't convert),
+    same-timestamp follow-ups count (>=), the conversion window bounds
+    stage gaps, and counts are monotonically non-increasing."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        # u1: clean signup -> view -> purchase inside windows
+        ("u1", s(0), "signup"), ("u1", s(10), "view"), ("u1", s(20), "purchase"),
+        # u2: purchase BEFORE signup — never converts past stage 1
+        ("u2", s(0), "purchase"), ("u2", s(10), "signup"),
+        # u3: view at the same timestamp as signup (>= counts), no purchase
+        ("u3", s(5), "signup"), ("u3", s(5), "view"),
+        # u4: view outside the window
+        ("u4", s(0), "signup"), ("u4", s(1000), "view"),
+        # u5: no signup at all
+        ("u5", s(0), "view"), ("u5", s(1), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+    out = {r.stage: r.n_users for r in temporal.funnel_stages(
+        df, ["signup", "view", "purchase"], key_col="user_id",
+        max_gap_seconds=100).collect()}
+    assert out == {1: 4, 2: 2, 3: 1}
