@@ -613,17 +613,24 @@ def quantize_arrays(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
-    """Internal/array form of quantize_embeddings: (id, _s, qvec) with _s
-    the raw max-abs (NOT divided by 127) and qvec array<int> — the form
-    the quantized ANN candidate scan consumes directly."""
+    """Internal/array form of quantize_embeddings: (id, _s, qvec[,
+    passthrough...]) with _s the raw max-abs (NOT divided by 127) and
+    qvec array<int> — the form the quantized ANN candidate scan consumes
+    directly. ``passthrough`` columns ride along in the SAME narrow
+    projection (no join back to the source to re-attach them)."""
     v = F.col(vec_col)
+    extra = passthrough or []
     maxabs = F.aggregate(
         v,
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
     )
-    base = emb.select(F.col(id_col), v.alias("_v"), maxabs.alias("_s"))
+    base = emb.select(
+        F.col(id_col), v.alias("_v"), maxabs.alias("_s"),
+        *[F.col(c) for c in extra],
+    )
     codes = F.when(
         F.col("_s") == 0.0,
         F.transform(F.col("_v"), lambda x: F.lit(0)),
@@ -633,7 +640,10 @@ def quantize_arrays(
             lambda x: F.floor(x.cast("double") * F.lit(127.0) / F.col("_s") + F.lit(0.5)).cast("int"),
         )
     )
-    return base.select(F.col(id_col), F.col("_s"), codes.alias("qvec"))
+    return base.select(
+        F.col(id_col), F.col("_s"), codes.alias("qvec"),
+        *[F.col(c) for c in extra],
+    )
 
 
 def quantize_embeddings(
@@ -689,12 +699,12 @@ def quantized_topk(
     rerank), making the candidate count sub-linear in the corpus; at
     100 TB the cell is also the partition key, so the int8 scan is
     partition-pruned."""
-    from hadoop_1_spark.operators.dedup import dot_chain
 
     def _side(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        q = quantize_arrays(df, id_col=id_col, vec_col=vec_col)
-        if cell_col:
-            q = q.join(df.select(F.col(id_col), cell_col), id_col)
+        q = quantize_arrays(
+            df, id_col=id_col, vec_col=vec_col,
+            passthrough=[cell_col] if cell_col else None,
+        )
         keep = [F.col(id_col).alias(out_id), F.col("qvec").alias(out_vec)]
         if cell_col:
             keep.append(F.col(cell_col))

@@ -191,15 +191,17 @@ def funnel_stages(
     per stage: (stage, event_type, n_users) with n_users monotonically
     non-increasing — the classic conversion funnel.
 
-    Shape: ONE shuffle total. Stage times are a per-key iterated
-    conditional-min over the (key, [sorted (ts, type)]) aggregation —
-    each key's events collect once (the reducer-iterator shape,
-    secondary-sort discipline), and the per-key array walk is a codegen'd
-    aggregate fold per stage, not a join chain (k stages as k joins would
-    shuffle k times). Per-key event history must fit a collect_list —
-    the same bound every sessionization/funnel reducer has; split the
-    key's time range upstream for pathological keys. NULL-ts events are
-    dropped (no position on the timeline, as in sessionize/asof)."""
+    Shape: ONE shuffle total. Each key's qualifying events collect once
+    into a sorted array (the reducer-iterator shape, secondary-sort
+    discipline); stage times are per-key array filters (codegen'd Column
+    lambdas — no SQL string interpolation, so stage names may contain any
+    characters), and ALL stage counts come from a single final aggregate
+    whose k rows explode into the output — never a per-stage join chain
+    or per-stage agg branches (k re-shuffles). Per-key event history must
+    fit a collect_list — the same bound every sessionization/funnel
+    reducer has; split the key's time range upstream for pathological
+    keys. NULL-ts events are dropped (no position on the timeline, as in
+    sessionize/asof)."""
     if not stages:
         raise ValueError("funnel_stages needs at least one stage")
     ev = (
@@ -212,55 +214,56 @@ def funnel_stages(
             ).alias("_e"),
         )
     )
-    per_key = ev.groupBy(key_col).agg(
+    cur = ev.groupBy(key_col).agg(
         F.array_sort(F.collect_list("_e")).alias("_evs")
     )
-    # stage time i: fold over the sorted events — the first stages[i]
-    # event with ts >= stage time i-1 (NULL if i-1 unreached or none)
-    prev = None
-    stage_cols = []
-    for i, s in enumerate(stages):
-        if prev is None:
-            expr = F.expr(
-                "filter(_evs, e -> e.et = '{0}')".format(s)
-            )
-        else:
-            gap_cond = (
-                ""
-                if max_gap_seconds is None
-                else " AND e.ts <= _t{0} + INTERVAL {1} SECONDS".format(
-                    i - 1, int(max_gap_seconds)
-                )
-            )
-            expr = F.expr(
-                "CASE WHEN _t{1} IS NULL THEN array()"
-                " ELSE filter(_evs, e -> e.et = '{0}' AND e.ts >= _t{1}{2}) END".format(
-                    s, i - 1, gap_cond
-                )
-            )
-        # try_element_at: NULL (stage unreached) on the empty array, where
-        # ANSI element_at would throw
-        stage_cols.append(
-            F.try_element_at(expr, F.lit(1)).getField("ts").alias(f"_t{i}")
-        )
-        # materialize progressively so _t{i-1} is referable
-        per_key = per_key.select("*", stage_cols[-1])
-        prev = s
-    counts = per_key.select(
-        key_col, *[F.col(f"_t{i}") for i in range(len(stages))]
+    gap = (
+        None
+        if max_gap_seconds is None
+        else F.expr(f"INTERVAL {int(max_gap_seconds)} SECONDS")
     )
-    rows = [
-        counts.agg(
-            F.lit(i + 1).alias("stage"),
-            F.lit(s).alias("event_type"),
-            F.count(F.col(f"_t{i}")).cast("long").alias("n_users"),
+    def stage_pred(s, prev_t):
+        # single-arg closure (F.filter inspects the lambda's arity, so
+        # the stage/prev bindings must not appear as parameters)
+        def pred(e):
+            c = e["et"] == F.lit(s)
+            if prev_t is not None:
+                # NULL prev_t (stage i-1 unreached) makes the comparison
+                # NULL -> filter drops everything -> stage i unreached
+                c = c & (e["ts"] >= prev_t)
+                if gap is not None:
+                    c = c & (e["ts"] <= prev_t + gap)
+            return c
+
+        return pred
+
+    for i, s in enumerate(stages):
+        prev_t = F.col(f"_t{i - 1}") if i else None
+        cur = cur.withColumn(
+            f"_t{i}",
+            F.try_element_at(
+                F.filter(F.col("_evs"), stage_pred(s, prev_t)), F.lit(1)
+            ).getField("ts"),
         )
-        for i, s in enumerate(stages)
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    counts = cur.agg(
+        *[
+            F.count(F.col(f"_t{i}")).cast("long").alias(f"_c{i}")
+            for i in range(len(stages))
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage"),
+                F.lit(s).alias("event_type"),
+                F.col(f"_c{i}").alias("n_users"),
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("_r")).select(
+        "_r.stage", "_r.event_type", "_r.n_users"
+    )
 
 
 def range_join(

@@ -292,11 +292,21 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 RERANK = 20
 
 
-def _quantized_oracle() -> str:
+def _quantized_oracle(cell_join: bool = False) -> str:
+    """Oracle for the quantized ANN paths; ``cell_join`` adds the IVF
+    cell restriction (sim_ivf_quantized_topk) to the candidate stage —
+    ONE builder so the quantization expression, integer dot chain, and
+    tie-breaks can never desynchronize between the two variants."""
     int_dot = " + ".join(f"a[{i}] * b[{i}]" for i in range(1, 65))
+    label_col = ", label" if cell_join else ""
+    cand_join = (
+        "FROM qq JOIN cc USING (label) WHERE query_id <> neighbor_id"
+        if cell_join
+        else "FROM qq JOIN cc ON query_id <> neighbor_id"
+    )
     return f"""
 WITH qz AS (
-  SELECT vec_id,
+  SELECT vec_id{label_col},
          CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
               THEN list_transform(embedding, x -> 0)
               ELSE list_transform(embedding,
@@ -306,11 +316,11 @@ WITH qz AS (
          END AS qvec
   FROM embeddings
 ),
-qq AS (SELECT vec_id AS query_id, qvec AS a FROM qz WHERE vec_id < 10),
-cc AS (SELECT vec_id AS neighbor_id, qvec AS b FROM qz),
+qq AS (SELECT vec_id AS query_id{label_col}, qvec AS a FROM qz WHERE vec_id < 10),
+cc AS (SELECT vec_id AS neighbor_id{label_col}, qvec AS b FROM qz),
 cand AS (
   SELECT query_id, neighbor_id, {int_dot} AS qscore
-  FROM qq JOIN cc ON query_id <> neighbor_id
+  {cand_join}
 ),
 short AS (
   SELECT query_id, neighbor_id FROM cand
@@ -340,43 +350,7 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_quantized_oracle() -> str:
-    int_dot = " + ".join(f"a[{i}] * b[{i}]" for i in range(1, 65))
-    return f"""
-WITH qz AS (
-  SELECT vec_id, label,
-         CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
-              THEN list_transform(embedding, x -> 0)
-              ELSE list_transform(embedding,
-                     x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 /
-                          list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
-                          + 0.5) AS INT))
-         END AS qvec
-  FROM embeddings
-),
-qq AS (SELECT vec_id AS query_id, label, qvec AS a FROM qz WHERE vec_id < 10),
-cc AS (SELECT vec_id AS neighbor_id, label, qvec AS b FROM qz),
-cand AS (
-  SELECT query_id, neighbor_id, {int_dot} AS qscore
-  FROM qq JOIN cc USING (label) WHERE query_id <> neighbor_id
-),
-short AS (
-  SELECT query_id, neighbor_id FROM cand
-  QUALIFY row_number() OVER (PARTITION BY query_id
-                             ORDER BY qscore DESC, neighbor_id) <= {RERANK}
-),
-q AS (SELECT vec_id AS query_id, embedding AS qv, {_NRM} AS qn FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv, {_NRM} AS cn FROM embeddings),
-p AS (
-  SELECT s.query_id, s.neighbor_id, q.qv, c.cv, q.qn, c.cn
-  FROM short s JOIN q USING (query_id) JOIN c USING (neighbor_id)
-),
-{_COSINE_CTES}
-{_FINAL}
-"""
-
-
-@register("sim_ivf_quantized_topk", oracle=_ivf_quantized_oracle())
+@register("sim_ivf_quantized_topk", oracle=_quantized_oracle(cell_join=True))
 def sim_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full modern ANN stack in one query (IVF-PQ's shape): coarse
     cell prune (label) -> exact-integer int8 candidate scan -> float

@@ -298,8 +298,6 @@ def test_quantized_topk_recall_and_contract(spark):
 def test_ivf_quantized_subset_of_cell(spark):
     """Cell-pruned quantized candidates never cross cells: every reported
     neighbor shares the query's label."""
-    from pyspark.sql import functions as F
-
     from hadoop_1_spark.session import load_table
 
     emb = load_table(spark, SF_DIR, "embeddings")
