@@ -31,6 +31,9 @@ QUERIES = [
     "dedup_incremental",
     "cluster_kmeans",
     "dedup_semantic",
+    "funnel_conversion",
+    "sim_quantized_topk",
+    "sim_ivf_quantized_topk",
 ]
 
 
