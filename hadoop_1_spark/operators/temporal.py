@@ -191,13 +191,15 @@ def funnel_stages(
     per stage: (stage, event_type, n_users) with n_users monotonically
     non-increasing — the classic conversion funnel.
 
-    Shape: ONE shuffle total. Each key's qualifying events collect once
-    into a sorted array (the reducer-iterator shape, secondary-sort
-    discipline); stage times are per-key array filters (codegen'd Column
-    lambdas — no SQL string interpolation, so stage names may contain any
-    characters), and ALL stage counts come from a single final aggregate
-    whose k rows explode into the output — never a per-stage join chain
-    or per-stage agg branches (k re-shuffles). Per-key event history must
+    Shape: ONE data shuffle (the per-key collect; the only other
+    exchange is the O(1)-row single-partition final aggregate). Each
+    key's qualifying events collect once into a sorted array (the
+    reducer-iterator shape, secondary-sort discipline); stage times are
+    per-key array filters built from Column lambdas — no SQL string
+    interpolation, so stage names may contain any characters — and ALL
+    stage counts come from that single final aggregate whose k rows
+    explode into the output: never a per-stage join chain or per-stage
+    agg branches (k re-shuffles of the data). Per-key event history must
     fit a collect_list — the same bound every sessionization/funnel
     reducer has; split the key's time range upstream for pathological
     keys. NULL-ts events are dropped (no position on the timeline, as in
