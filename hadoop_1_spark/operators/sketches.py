@@ -1,0 +1,181 @@
+"""Frequent-item (heavy hitter) operators: exact answers from two-pass
+candidate generation.
+
+The reference's aggregation library reports exact per-key counts
+(mapred/lib/aggregate/LongValueSum.java:23) but has no bounded-output
+"which keys are frequent" primitive — the closest idiom is running the
+full wordcount and post-filtering, which at 100 TB shuffles the entire
+long tail to answer a question about the top handful of keys. These
+operators answer it with the classic two-pass frequent-items scheme
+(Misra–Gries 1982 / the "lossy counting" family): a candidate pass whose
+per-partition state is provably a superset of the true heavy hitters,
+then an exact recount restricted to candidates.
+
+Correctness invariant (pigeonhole): any item with global count
+``> n/(k+1)`` has local count ``> n_p/(k+1)`` in at least one partition
+(if it fell at or below that bound in every partition, summing over
+partitions bounds its global count by n/(k+1) — contradiction). So a
+per-partition candidate rule that keeps every item with local count
+``> n_p/(k+1)`` yields a superset of the true heavy hitters, and the
+exact recount + exact global threshold makes the FINAL output
+deterministic and partitioning-independent even though the candidate
+set is not.
+
+Two implementations of the candidate pass, same exact output:
+
+- ``heavy_hitters`` (JVM path): one (partition, item) hash aggregation —
+  partial aggregation completes map-side because the partition id is
+  constant within a partition — then a broadcast of per-partition totals
+  and the threshold filter. ONE tail-sized shuffle (the same cost as
+  wordcount), after which everything is candidate-sized or broadcast.
+- ``heavy_hitters_mg`` (bounded-memory twin): a true Misra–Gries sketch
+  with k counters per partition, run in an Arrow-batched ``mapInPandas``
+  over the token stream; the candidate shuffle carries AT MOST k rows
+  per partition regardless of vocabulary size. This is the shape for a
+  100 TB corpus whose key space is unique-heavy (URLs, n-grams): the
+  JVM path's (partition, item) aggregation would shuffle the whole tail,
+  the sketch never materializes it. Cost: the token stream crosses the
+  Arrow seam once (scan-shaped, no shuffle), and a second scan recounts
+  the ≤ k*num_partitions candidates exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_1_spark.operators.caching import persist_tracked
+
+
+def _exact_over_candidates(
+    items: DataFrame, cand: DataFrame, k: int, col: str
+) -> DataFrame:
+    """Exact recount of candidate items + the exact global threshold
+    filter ``cnt*(k+1) > n``. ``n`` comes from one scalar aggregate of
+    the item stream (count of all rows, not just candidates)."""
+    total = items.agg(F.count(F.lit(1)).alias("_n"))
+    exact = (
+        items.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * (k + 1) > F.col("_n"))
+        .select(
+            F.col(col),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            # integer floor division on both engines (div / //), never the
+            # double-division path
+            F.expr(f"cast(_n as bigint) div {k + 1}").cast("bigint").alias("threshold"),
+        )
+    )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 30) -> DataFrame:
+    """Exact heavy hitters (count > n/(k+1)) via the JVM candidate pass.
+
+    Plan shape: one (pid, item) aggregation (the only tail-sized
+    shuffle; map-side partial aggregation finishes locally because pid
+    is constant per partition), persisted because three small branches
+    read it: per-partition totals (broadcast back), the candidate
+    filter, and the exact recount — which reuses the SAME aggregated
+    rows (sum of local counts per item is the exact global count), so
+    no second corpus scan.
+
+    The total row count ``n`` is likewise derived from the local counts.
+    Output: (item, cnt, threshold), exact, partitioning-independent."""
+    items = df.select(F.col(col))
+    local = persist_tracked(
+        items.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid", col)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = local.groupBy("_pid").agg(F.sum("c").alias("_np"))
+    cand = (
+        local.join(F.broadcast(totals), "_pid")
+        .where(F.col("c") * (k + 1) > F.col("_np"))
+        .select(col)
+        .distinct()
+    )
+    # Exact global counts = sum of per-partition counts, restricted to
+    # candidate items only (candidate-sized shuffle).
+    exact = (
+        local.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+    )
+    total = local.agg(F.sum("c").alias("_n"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * (k + 1) > F.col("_n"))
+        .select(
+            F.col(col),
+            F.col("cnt"),
+            F.expr(f"cast(_n as bigint) div {k + 1}").cast("bigint").alias("threshold"),
+        )
+    )
+
+
+def heavy_hitters_mg(df: DataFrame, col: str, k: int = 30) -> DataFrame:
+    """Exact heavy hitters via a per-partition Misra–Gries sketch.
+
+    The sketch holds at most k counters; on overflow every counter is
+    decremented (the MG step), which preserves the guarantee that any
+    item with local count > n_p/(k+1) survives. Candidates are the
+    union of surviving keys — ≤ k rows per partition cross the shuffle
+    no matter how large the vocabulary. The exact recount then scans
+    the stream once more with a broadcast semi-join on the candidate
+    set, so the only full-data costs are two scans and one Arrow
+    crossing; no shuffle ever carries the tail."""
+    items = df.select(F.col(col).alias("_item"))
+
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for it in pdf["_item"]:
+                if it is None:
+                    continue
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < k:
+                    counters[it] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"_item": list(counters.keys())})
+
+    cand = (
+        items.mapInPandas(mg_partition, schema="_item string")
+        .distinct()
+        .select(F.col("_item"))
+    )
+    out = _exact_over_candidates(items, cand, k, "_item")
+    return out.select(
+        F.col("_item").alias(col), F.col("cnt"), F.col("threshold")
+    )
+
+
+def heavy_hitters_oracle_sql(item_sql: str, k: int, out_col: str) -> str:
+    """DuckDB replay shared by both variants: the exact definition the
+    two-pass schemes compute. ``item_sql`` is a query producing one
+    column named ``item``."""
+    return f"""
+WITH items AS ({item_sql}),
+tot AS (SELECT count(*) AS n FROM items)
+SELECT item AS {out_col},
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(n // {k + 1} AS BIGINT) AS threshold
+FROM items, tot
+GROUP BY item, n
+HAVING count(*) * {k + 1} > n
+"""

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_1_spark.operators import textops
+from hadoop_1_spark.operators import sketches, textops
 from hadoop_1_spark.registry import _load, register
 
 _SQL_PUNCT = textops.PUNCT_RE.replace("'", "''")
@@ -336,3 +336,34 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.winnow_fingerprints(
         _load(spark, sf_dir, "documents"), k=WIN_K, w=WIN_W
     )
+
+
+HH_K = 30
+_HH_ITEMS = f"SELECT unnest({_TOKS}) AS item FROM documents"
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=sketches.heavy_hitters_oracle_sql(_HH_ITEMS, k=HH_K, out_col="token"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens with count > n/(k+1), k=30) via
+    the JVM two-pass candidate scheme — one tail-sized shuffle, then
+    candidate-sized work only. See sketches.heavy_hitters."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(textops.ws_tokens(F.col("text"))).alias("token"))
+    return sketches.heavy_hitters(toks, "token", k=HH_K)
+
+
+@register(
+    "text_heavy_hitters_mg",
+    oracle=sketches.heavy_hitters_oracle_sql(_HH_ITEMS, k=HH_K, out_col="token"),
+)
+def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact heavy-hitter answer via the bounded-memory Misra–Gries
+    sketch (≤k candidate rows per partition cross the shuffle regardless
+    of vocabulary size) — the unique-heavy-key-space scale twin. See
+    sketches.heavy_hitters_mg."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(textops.ws_tokens(F.col("text"))).alias("token"))
+    return sketches.heavy_hitters_mg(toks, "token", k=HH_K)

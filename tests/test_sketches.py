@@ -1,0 +1,94 @@
+"""Heavy-hitter operator tests: exactness, partitioning independence, the
+Misra–Gries superset guarantee on skewed data, and the bounded candidate
+shuffle."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from hadoop_1_spark.operators import sketches
+
+
+def _freqs(rows):
+    return {r["item"]: r["cnt"] for r in rows}
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """900 copies of 3 hot keys + 1000 unique keys: n=3700, so with k=30
+    the threshold is 3700//31 = 119 — exactly the hot keys qualify."""
+    hot = spark.range(2700).select(
+        F.concat(F.lit("hot"), (F.col("id") % 3).cast("string")).alias("item")
+    )
+    tail = spark.range(1000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("item")
+    )
+    return hot.unionAll(tail)
+
+
+def test_heavy_hitters_exact_on_skew(spark, skewed):
+    out = sketches.heavy_hitters(skewed, "item", k=30).collect()
+    assert _freqs(out) == {"hot0": 900, "hot1": 900, "hot2": 900}
+    assert all(r["threshold"] == 3700 // 31 for r in out)
+
+
+def test_heavy_hitters_mg_matches_jvm_path(spark, skewed):
+    jvm = sketches.heavy_hitters(skewed, "item", k=30).collect()
+    mg = sketches.heavy_hitters_mg(skewed, "item", k=30).collect()
+    assert sorted(map(tuple, jvm)) == sorted(map(tuple, mg))
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_partitioning_independence(spark, skewed, parts):
+    """The candidate set varies with partitioning; the exact final answer
+    must not."""
+    re = skewed.repartition(parts)
+    out = sketches.heavy_hitters(re, "item", k=30).collect()
+    assert _freqs(out) == {"hot0": 900, "hot1": 900, "hot2": 900}
+    mg = sketches.heavy_hitters_mg(re, "item", k=30).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, mg))
+
+
+def test_mg_candidate_bound_per_partition(spark):
+    """The MG sketch emits at most k candidate rows per partition even
+    when the vocabulary is much larger than k."""
+    k = 10
+    uniq = spark.range(5000).select(F.col("id").cast("string").alias("_item"))
+    uniq = uniq.repartition(4)
+
+    import pandas as pd
+
+    # Reuse the partition sketch through the public operator by counting
+    # the candidate relation's size: ≤ k * num_partitions.
+    items = uniq
+    # Build the candidate stage exactly as heavy_hitters_mg does.
+    from collections.abc import Iterator
+
+    def mg_partition(batches: Iterator[pd.DataFrame]):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for it in pdf["_item"]:
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < k:
+                    counters[it] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"_item": list(counters.keys())})
+
+    cand = items.mapInPandas(mg_partition, schema="_item string")
+    assert cand.count() <= k * 4
+
+
+def test_no_heavy_hitters_on_uniform_unique(spark):
+    """All-unique stream: no item can pass the exact threshold."""
+    uniq = spark.range(500).select(F.col("id").cast("string").alias("item"))
+    assert sketches.heavy_hitters(uniq, "item", k=5).count() == 0
+    assert sketches.heavy_hitters_mg(uniq, "item", k=5).count() == 0
