@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_1_spark.operators import sketches, textops
+from hadoop_1_spark.operators import bpe, sketches, textops
 from hadoop_1_spark.registry import _load, register
 
 _SQL_PUNCT = textops.PUNCT_RE.replace("'", "''")
@@ -367,3 +367,17 @@ def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     toks = docs.select(F.explode(textops.ws_tokens(F.col("text"))).alias("token"))
     return sketches.heavy_hitters_mg(toks, "token", k=HH_K)
+
+
+BPE_ROUNDS = 8
+
+
+@register(
+    "text_bpe_merges",
+    oracle=bpe.bpe_oracle_sql(_TOKS, rounds=BPE_ROUNDS),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 8 BPE merges over the corpus: one corpus scan builds the
+    word-frequency vocab, then every merge round is vocab-sized (pair
+    count + broadcast argmax + literal replace). See bpe.bpe_merges."""
+    return bpe.bpe_merges(_load(spark, sf_dir, "documents"), rounds=BPE_ROUNDS)
