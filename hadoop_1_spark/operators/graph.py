@@ -1,0 +1,130 @@
+"""Iterative graph analytics: PageRank in exact integer fixed-point.
+
+Companion to the near-dup cluster resolver (operators/dedup.py
+``connected_components``): where CC propagates min-labels to a fixpoint,
+PageRank runs a fixed number of damped link-mass iterations — the other
+canonical "iterative join + aggregate" shape a data-curation engine
+needs (authority scoring of a link/citation/co-occurrence graph feeds
+corpus quality weighting, e.g. the original PageRank use and modern
+URL-authority corpus filters).
+
+Determinism contract: floating-point PageRank sums are order-dependent,
+so this implementation works in integer fixed-point — ranks are bigints
+in units of 1/SCALE, contributions use integer floor division
+(``rank div outdeg``; DuckDB ``//``), and the damping update is
+``base + (85 * sum) div 100`` — every operation exact and
+order-independent, so the DuckDB oracle replays it bit-for-bit with
+unrolled CTE rounds. (Floor-division fixed point loses < 1/SCALE per
+hop vs real arithmetic — irrelevant for ranking, essential for
+cross-engine hashing.)
+
+Scale shape: the edge relation (joined once with out-degrees) is
+persisted and re-read every round; each round is one edges⋈ranks join
+(ranks is node-sized — broadcast when it fits, co-partitioned hash join
+when not) plus one dst-keyed aggregation. Overflow bound: total rank
+mass is ~n_nodes * SCALE and the damped sum multiplies by 85 before
+dividing, so n_nodes * SCALE * 85 must stay < 2^63 — with SCALE=1e6
+that is ~10^11 nodes, far beyond any real graph's node count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_1_spark.operators.caching import persist_tracked
+
+SCALE = 1_000_000
+DAMP_NUM = 85  # damping factor 0.85 as an exact rational 85/100
+DAMP_DEN = 100
+
+
+def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Damped PageRank over a directed edge list (src, dst), ``iters``
+    rounds from a uniform start of SCALE per node.
+
+    The node set is taken from the SOURCE side (callers modelling
+    undirected graphs supply both edge directions, so every node has
+    out-degree ≥ 1 and no dangling-mass correction is needed; a node
+    with in-edges only would need the dangling redistribution term this
+    fixed-shape variant deliberately omits).
+
+    Returns (node, rank_fp, outdeg): rank in 1/SCALE units."""
+    deg = persist_tracked(
+        edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
+    )
+    ew = persist_tracked(edges.join(deg, "src"))
+    base = ((DAMP_DEN - DAMP_NUM) * SCALE) // DAMP_DEN  # 0.15 * SCALE exactly
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(SCALE).cast("bigint").alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["node"])
+            .select(F.col("dst"), F.expr("rank div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            deg.join(contrib, deg["src"] == contrib["dst"], "left")
+            .select(
+                F.col("src").alias("node"),
+                (
+                    F.lit(base).cast("bigint")
+                    + F.expr(f"({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN}")
+                ).cast("bigint").alias("rank"),
+            )
+        )
+    return (
+        ranks.join(deg, ranks["node"] == deg["src"])
+        .select("node", F.col("rank").alias("rank_fp"), "outdeg")
+    )
+
+
+def bipartite_edges(
+    df: DataFrame, a_col: str, b_col: str, a_tag: str = "p", b_tag: str = "s"
+) -> DataFrame:
+    """Undirected bipartite edge list from two key columns: distinct
+    (a, b) pairs emitted in both directions, nodes namespaced by tag
+    ('p:123' / 's:45') so the two key spaces never collide."""
+    pairs = (
+        df.select(
+            F.concat(F.lit(a_tag + ":"), F.col(a_col).cast("string")).alias("a"),
+            F.concat(F.lit(b_tag + ":"), F.col(b_col).cast("string")).alias("b"),
+        )
+        .where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .distinct()
+    )
+    return pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+
+
+def pagerank_oracle_sql(edges_sql: str, iters: int = 3, top: int | None = None) -> str:
+    """DuckDB replay: unrolled integer fixed-point rounds over an edge
+    CTE (columns src, dst)."""
+    base = ((DAMP_DEN - DAMP_NUM) * SCALE) // DAMP_DEN
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src)",
+        f"r0 AS (SELECT src AS node, CAST({SCALE} AS BIGINT) AS rank FROM deg)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, sum(r.rank // d.outdeg) AS s
+  FROM e JOIN r{i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT deg.src AS node,
+         CAST({base} + ({DAMP_NUM} * coalesce(c{i}.s, 0)) // {DAMP_DEN} AS BIGINT) AS rank
+  FROM deg LEFT JOIN c{i} ON deg.src = c{i}.node
+)"""
+        )
+    tail = f"""
+SELECT r.node, r.rank AS rank_fp, deg.outdeg
+FROM r{iters} r JOIN deg ON r.node = deg.src"""
+    if top is not None:
+        tail += f"\nORDER BY rank_fp DESC, node ASC LIMIT {top}"
+    return ",\n".join(parts) + tail

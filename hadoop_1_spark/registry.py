@@ -80,6 +80,7 @@ from hadoop_1_spark.queries import (  # noqa: E402,F401
     q_aggregate,
     q_dedup,
     q_fieldsel,
+    q_graph,
     q_gridmix,
     q_join,
     q_multimodal,
