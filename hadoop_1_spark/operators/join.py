@@ -184,3 +184,114 @@ def broadcast_hash_join(big: DataFrame, small: DataFrame, key, how: str = "inner
     """DistributedCache map-side hash join: ship the small table to every
     task, stream the big side with no shuffle (DistributedCache.java:77-83)."""
     return big.join(F.broadcast(small), on=key, how=how)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join prefilter (a hand-built runtime filter)
+# ---------------------------------------------------------------------------
+
+BLOOM_WORDS = 512  # filter size in 32-bit words (tunable per call)
+BLOOM_HASHES = 3
+_WORD_BITS = 32  # 32-bit words: an 8-hex-char word always fits a signed
+#                  long after conv(), so no sign-overflow edge at bit 63
+
+
+def _bloom_positions(key: Column, m_bits: int, h: int) -> list[Column]:
+    """h independent bit positions for a key, md5-derived (engine-portable
+    and partitioning-independent): position_i = first 15 hex chars of
+    md5(i ':' key) mod m_bits."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long") % F.lit(m_bits)
+        for i in range(h)
+    ]
+
+
+def bloom_prefilter_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    m_words: int = BLOOM_WORDS,
+    h: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Semi-join ``big`` to ``small`` on ``key`` with a bloom-filter
+    prefilter: EXACT output (a verifying broadcast semi-join runs after
+    the filter — bloom false positives never escape), but the big side
+    is cut down by the filter BEFORE the join, which is the point at
+    scale: when the small side is too large to broadcast, the verify
+    join must shuffle both sides, and the bloom prefilter shrinks the
+    big side's shuffle to ~selectivity + FP-rate of its rows for the
+    cost of broadcasting m_words*4 bytes. This is Spark's own runtime
+    row-level filtering (spark.sql.optimizer.runtime.bloomFilter.*)
+    made explicit and portable; the reference's analog is the
+    BloomMapFile membership test (io/BloomMapFile.java:79) applied
+    manually on the map side.
+
+    Build: one aggregation of the small side's h bit positions into
+    ≤ m_words (word_index, or-mask) rows, read to the driver (bounded:
+    the filter is summary state, 2 KB at the default size — the
+    DistributedCache discipline), then folded into the probe expression
+    as a hex-string literal. Probe: for each of h positions, test the
+    bit via substring + conv on the literal — all whole-stage-codegen'd
+    string/integer ops, no Python, no extra exchange on the big side.
+
+    The final semi-join uses the (unfiltered) small side, so the result
+    is exactly ``big ⋉ small`` regardless of m_words/h tuning."""
+    cond = bloom_condition(small, key, m_words, h)
+    prefiltered = big.where(F.col(key).isNotNull() & cond)
+    return prefiltered.join(
+        F.broadcast(small.select(key).distinct()), key, "left_semi"
+    )
+
+
+def bloom_condition(
+    small: DataFrame,
+    key: str,
+    m_words: int = BLOOM_WORDS,
+    h: int = BLOOM_HASHES,
+) -> Column:
+    """Build the bloom filter from ``small[key]`` and return the probe
+    predicate over a column of the same name — the reusable half of
+    bloom_prefilter_semi_join (exposed so tests can measure the
+    prefilter's selectivity and callers can push the predicate into
+    other plans)."""
+    m_bits = m_words * _WORD_BITS
+    pos = F.explode(F.array(*_bloom_positions(F.col(key), m_bits, h))).alias("_pos")
+    words = (
+        small.where(F.col(key).isNotNull())
+        .select(pos)
+        .select(
+            F.expr(f"_pos div {_WORD_BITS}").cast("int").alias("_w"),
+            # 2^(pos % 32) as exact integer arithmetic (pow of 2 is exact in
+            # double up to 2^31; the F.shiftleft wrapper only takes int shifts)
+            F.pow(F.lit(2.0), (F.col("_pos") % _WORD_BITS).cast("double"))
+            .cast("long")
+            .alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.expr("bit_or(_m)").alias("_mask"))
+        .collect()
+    )
+    filt = [0] * m_words
+    for r in words:
+        filt[r["_w"]] = r["_mask"]
+    # 8 hex chars per 32-bit word, fixed width, as ONE string literal
+    hexstr = "".join(format(w, "08x") for w in filt)
+    blit = F.lit(hexstr)
+    probes = []
+    for p in _bloom_positions(F.col(key), m_bits, h):
+        w = F.floor(p / _WORD_BITS).cast("int")
+        b = (p % _WORD_BITS).cast("double")
+        word = F.conv(blit.substr(w * 8 + 1, F.lit(8)), 16, 10).cast("long")
+        # bit test without column-shift support: word div 2^b is exact
+        # (power-of-two division only moves the exponent), then mod 2
+        probes.append(
+            F.floor(word / F.pow(F.lit(2.0), b)).cast("long") % 2 == 1
+        )
+    cond = probes[0]
+    for pr in probes[1:]:
+        cond = cond & pr
+    return cond

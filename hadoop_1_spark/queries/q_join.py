@@ -228,3 +228,33 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
     ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+""",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join lineitem to urgent orders through a hand-built bloom
+    prefilter (the manual runtime row-level filter): the big side is cut
+    by a broadcast 2 KB bit array before the exact verifying semi-join,
+    so bloom false positives never reach the output. Aggregated per
+    returnflag to keep the compared result compact. See
+    join.bloom_prefilter_semi_join."""
+    li = _load(spark, sf_dir, "lineitem")
+    urgent = _load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    filtered = J.bloom_prefilter_semi_join(li, urgent, "l_orderkey")
+    return filtered.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+    )
