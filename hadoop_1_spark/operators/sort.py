@@ -271,3 +271,57 @@ def grouped_sorted_apply(df, key_col: str, order_col: str, fn, schema: str):
         return fn(pdf.sort_values(order_col, kind="mergesort"))
 
     return df.groupBy(key_col).applyInPandas(apply, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) data layout
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16
+
+
+def zorder_sql(x: str, y: str, bits: int = ZORDER_BITS, div: str = "div") -> str:
+    """Morton-interleave arithmetic as engine-portable SQL text:
+    bit i of x lands at position 2i, bit i of y at 2i+1. Pure integer
+    multiply/divide/modulo (no shift operators — their syntax differs
+    between engines); ``div`` is the integer-division token ('div' for
+    Spark SQL, '//' for DuckDB). Inputs are first folded mod 2^bits so
+    arbitrary key ranges interleave on their low bits.
+
+    Z-ordering is the multi-dimensional clustering idiom (Morton 1966;
+    the Delta/Iceberg OPTIMIZE ZORDER layout): sorting by the interleaved
+    key places rows close in BOTH dimensions into the same file, so
+    min/max footer stats prune scans for predicates on either column —
+    where a plain sort clusters only its leading column."""
+    m = 1 << bits
+    xs = f"(({x}) % {m})"
+    ys = f"(({y}) % {m})"
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xs} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({ys} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_key(x: str, y: str, bits: int = ZORDER_BITS) -> Column:
+    """The Morton key as a Spark Column (bigint)."""
+    return F.expr(zorder_sql(x, y, bits, div="div")).cast("long")
+
+
+def write_zordered(
+    df: DataFrame, path: str, x: str, y: str, n_files: int, bits: int = ZORDER_BITS
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered by the Morton
+    key of (x, y): range-partition on the key (disjoint z-ranges per
+    file) and sort within each partition (monotone within the file, so
+    footer min/max stats are tight for BOTH source columns). The extra
+    key column is dropped before writing — layout is carried by row
+    order, not schema."""
+    keyed = df.withColumn("_z", zorder_key(x, y, bits))
+    (
+        keyed.repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -201,3 +201,70 @@ def secondary_sort_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_sorted_apply(
         ev, "user_id", "t", max_gap, "user_id long, n_events long, max_gap_us long"
     )
+
+
+ZBITS = 16
+ZBUCKET_DIV = 1 << (2 * ZBITS - 8)  # top 8 bits of the 32-bit z-key
+_ZMAX = (1 << ZBITS) - 1
+
+
+@register(
+    "layout_zorder",
+    oracle=f"""
+WITH b AS (
+  SELECT min(l_partkey) AS mn_pk, max(l_partkey) AS mx_pk,
+         min(l_suppkey) AS mn_sk, max(l_suppkey) AS mx_sk
+  FROM lineitem
+),
+s AS (
+  SELECT ((l_partkey - mn_pk) * {_ZMAX}) // greatest(mx_pk - mn_pk, 1) AS xs,
+         ((l_suppkey - mn_sk) * {_ZMAX}) // greatest(mx_sk - mn_sk, 1) AS ys,
+         l_partkey, l_suppkey
+  FROM lineitem, b
+),
+z AS (
+  SELECT {sort.zorder_sql("xs", "ys", 16, div="//")} // {ZBUCKET_DIV} AS zbucket,
+         l_partkey, l_suppkey
+  FROM s
+)
+SELECT CAST(zbucket AS BIGINT) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(l_partkey) AS BIGINT) AS min_pk, CAST(max(l_partkey) AS BIGINT) AS max_pk,
+       CAST(min(l_suppkey) AS BIGINT) AS min_sk, CAST(max(l_suppkey) AS BIGINT) AS max_sk
+FROM z GROUP BY zbucket
+""",
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-key clustering report: domain-normalize (l_partkey,
+    l_suppkey) to the full 16-bit range (the range-binning a real
+    OPTIMIZE ZORDER performs, here with exact integer arithmetic from a
+    1-row broadcast of the domain bounds), bucket by the z-key's top 8
+    bits, and report each bucket's row count and per-dimension min/max
+    envelope — the rectangle the bucket's file would cover, i.e. the
+    min/max footer stats a z-ordered write gives a scan planner in BOTH
+    dimensions. See sort.zorder_sql / write_zordered."""
+    li = _load(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_partkey").alias("mn_pk"),
+        F.max("l_partkey").alias("mx_pk"),
+        F.min("l_suppkey").alias("mn_sk"),
+        F.max("l_suppkey").alias("mx_sk"),
+    )
+    scaled = li.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"((l_partkey - mn_pk) * {_ZMAX}) div greatest(mx_pk - mn_pk, 1)").alias("xs"),
+        F.expr(f"((l_suppkey - mn_sk) * {_ZMAX}) div greatest(mx_sk - mn_sk, 1)").alias("ys"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    z = scaled.select(
+        (sort.zorder_key("xs", "ys", ZBITS) / ZBUCKET_DIV).cast("long").alias("zbucket"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    return z.groupBy("zbucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("l_partkey").cast("bigint").alias("min_pk"),
+        F.max("l_partkey").cast("bigint").alias("max_pk"),
+        F.min("l_suppkey").cast("bigint").alias("min_sk"),
+        F.max("l_suppkey").cast("bigint").alias("max_sk"),
+    )

@@ -128,3 +128,48 @@ def test_global_prefix_sum_rejects_non_integral(spark):
     df = spark.createDataFrame([(1, 0.5)], "k long, v double")
     with pytest.raises(ValueError):
         sortops.global_prefix_sum(df, "k", value_col="v")
+
+
+def test_zorder_key_hand_computed(spark):
+    """Morton interleave of (x=3, y=5) at 3 bits:
+    x bits 1,1 at positions 0,2; y bits 1,0,1 at positions 1,3,5 ->
+    1 + 2 + 4 + 0 + 32 = 39."""
+    from hadoop_1_spark.operators import sort as S
+
+    df = spark.createDataFrame([(3, 5)], "x long, y long")
+    out = df.select(S.zorder_key("x", "y", bits=3).alias("z")).collect()
+    assert out[0]["z"] == 39
+
+
+def test_write_zordered_layout(spark, tmp_path):
+    """Range-partitioned Morton write: per-file z-ranges are disjoint and
+    each file's (x, y) envelope is a bounded rectangle — unlike a plain
+    x-sort, whose files span the full y domain."""
+    import pyspark.sql.functions as F
+
+    from hadoop_1_spark.operators import sort as S
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), F.expr("id div 64").alias("y")
+    )
+    path = str(tmp_path / "zord")
+    S.write_zordered(df, path, "x", "y", n_files=8, bits=6)
+    back = spark.read.parquet(path).select(
+        "x", "y",
+        S.zorder_key("x", "y", bits=6).alias("z"),
+        F.input_file_name().alias("f"),
+    )
+    stats = back.groupBy("f").agg(
+        F.min("z").alias("zmin"), F.max("z").alias("zmax"),
+        (F.max("x") - F.min("x")).alias("xspan"),
+        (F.max("y") - F.min("y")).alias("yspan"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    assert sum(r["n"] for r in stats) == 4096
+    ordered = sorted(stats, key=lambda r: r["zmin"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["zmax"] <= b["zmin"]  # disjoint z-ranges across files
+    # bounded rectangles: a 512-key z-range covers ~32x16 cells; allow
+    # slack for sampled range boundaries but stay well under the full 64
+    assert max(r["xspan"] for r in stats) <= 48
+    assert max(r["yspan"] for r in stats) <= 48
