@@ -179,3 +179,110 @@ FROM items, tot
 GROUP BY item, n
 HAVING count(*) * {k + 1} > n
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+
+
+def cms_build(items: DataFrame, col: str, depth: int = CMS_DEPTH,
+              width: int = CMS_WIDTH) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of an item stream:
+    a (depth × width) counter grid where row d counts items hashing to
+    bucket md5(d ':' item) % width. Returns the grid as (d, bucket, cnt)
+    rows — at most depth*width rows no matter the stream size, built with
+    ONE aggregation whose shuffle carries bounded-cardinality keys (the
+    map-side partial aggregation collapses the stream to ≤ depth*width
+    rows per partition before the exchange).
+
+    Unlike a random-seeded CMS, the hash family is md5-derived, so the
+    grid — and therefore every estimate read from it — is fully
+    deterministic and replayable in the DuckDB oracle."""
+    rows = items.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).cast("int").alias("d"),
+                    (
+                        F.conv(
+                            F.substring(F.md5(F.concat(F.lit(f"{d}:"), F.col(col).cast("string"))), 1, 15),
+                            16, 10,
+                        ).cast("long") % width
+                    ).cast("int").alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("_h")
+    )
+    return rows.groupBy("_h.d", "_h.bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def cms_estimate(grid: DataFrame, probes: DataFrame, col: str,
+                 depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Point-estimate counts for probe items from a CMS grid: per item,
+    the MINIMUM of its depth bucket counters (missing bucket rows mean a
+    zero counter). Estimates are biased high: est ≥ true count always,
+    with overshoot ≤ stream_len * e/width at ~1-e^-depth confidence.
+
+    Shape: the probe side explodes to depth rows per item and joins the
+    (≤ depth*width row) grid — broadcast when the grid fits (it does at
+    the default 4×2048 = 8192 rows), then one min-aggregation per item."""
+    pr = probes.select(
+        F.col(col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).cast("int").alias("d"),
+                    (
+                        F.conv(
+                            F.substring(F.md5(F.concat(F.lit(f"{d}:"), F.col(col).cast("string"))), 1, 15),
+                            16, 10,
+                        ).cast("long") % width
+                    ).cast("int").alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("_h"),
+    )
+    joined = pr.join(
+        F.broadcast(grid),
+        (pr["_h.d"] == grid["d"]) & (pr["_h.bucket"] == grid["bucket"]),
+        "left",
+    )
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est_cnt")
+    )
+
+
+def cms_oracle_sql(item_sql: str, probe_sql: str, out_col: str,
+                   depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> str:
+    """DuckDB replay of cms_build + cms_estimate. ``item_sql`` yields one
+    column ``item``; ``probe_sql`` yields the distinct probe items as
+    ``item``."""
+    return f"""
+WITH items AS ({item_sql}),
+ds AS (SELECT unnest(range(0, {depth})) AS d),
+grid AS (
+  SELECT d,
+         CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(item AS VARCHAR)), 1, 15))::BIGINT % {width} AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM items, ds
+  GROUP BY 1, 2
+),
+probes AS ({probe_sql}),
+pr AS (
+  SELECT item, d,
+         CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(item AS VARCHAR)), 1, 15))::BIGINT % {width} AS INT) AS bucket
+  FROM probes, ds
+)
+SELECT pr.item AS {out_col},
+       CAST(min(coalesce(grid.cnt, 0)) AS BIGINT) AS est_cnt
+FROM pr LEFT JOIN grid ON pr.d = grid.d AND pr.bucket = grid.bucket
+GROUP BY pr.item
+"""

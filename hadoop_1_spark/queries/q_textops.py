@@ -381,3 +381,24 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-frequency vocab, then every merge round is vocab-sized (pair
     count + broadcast argmax + literal replace). See bpe.bpe_merges."""
     return bpe.bpe_merges(_load(spark, sf_dir, "documents"), rounds=BPE_ROUNDS)
+
+
+_CMS_PROBES = f"SELECT DISTINCT unnest({_TOKS}) AS item FROM documents"
+
+
+@register(
+    "sketch_cms_counts",
+    oracle=sketches.cms_oracle_sql(_HH_ITEMS, _CMS_PROBES, out_col="token"),
+)
+def sketch_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch estimates for every vocabulary token: the grid is
+    one bounded aggregation (≤ depth*width rows regardless of stream
+    size) and estimates are the min of each token's depth counters —
+    md5-hashed, so deterministic and oracle-replayable. Estimates are
+    biased high (est_cnt ≥ true count, property-tested). See
+    sketches.cms_build / cms_estimate."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(textops.ws_tokens(F.col("text"))).alias("token"))
+    grid = sketches.cms_build(toks, "token")
+    probes = toks.distinct()
+    return sketches.cms_estimate(grid, probes, "token")

@@ -92,3 +92,49 @@ def test_no_heavy_hitters_on_uniform_unique(spark):
     uniq = spark.range(500).select(F.col("id").cast("string").alias("item"))
     assert sketches.heavy_hitters(uniq, "item", k=5).count() == 0
     assert sketches.heavy_hitters_mg(uniq, "item", k=5).count() == 0
+
+
+def test_cms_overestimates_never_under(spark, skewed):
+    """CMS point estimates are biased high: est >= true for every item."""
+    grid = sketches.cms_build(skewed, "item", depth=3, width=64)
+    probes = skewed.distinct()
+    est = {
+        r["item"]: r["est_cnt"]
+        for r in sketches.cms_estimate(grid, probes, "item", depth=3, width=64).collect()
+    }
+    true = {
+        r["item"]: r["cnt"]
+        for r in skewed.groupBy("item").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert set(est) == set(true)
+    assert all(est[i] >= true[i] for i in true)
+
+
+def test_cms_exact_when_wide(spark):
+    """With width >> distinct items, collisions are unlikely and the
+    estimate is exact for this fixed md5 hash family (verified, not
+    probabilistic: this asserts the actual fixture behavior)."""
+    df = spark.range(300).select((F.col("id") % 10).cast("string").alias("item"))
+    grid = sketches.cms_build(df, "item", depth=4, width=4096)
+    est = {
+        r["item"]: r["est_cnt"]
+        for r in sketches.cms_estimate(grid, df.distinct(), "item", depth=4, width=4096).collect()
+    }
+    assert est == {str(i): 30 for i in range(10)}
+
+
+def test_cms_absent_probe_small(spark):
+    """A probe never seen in the stream estimates only collision mass —
+    0 with a wide grid."""
+    df = spark.range(100).select(F.lit("present").alias("item"))
+    probes = spark.createDataFrame([("absent",)], "item string")
+    grid = sketches.cms_build(df, "item", depth=4, width=4096)
+    out = sketches.cms_estimate(grid, probes, "item", depth=4, width=4096).collect()
+    assert out[0]["est_cnt"] == 0
+
+
+def test_cms_grid_bounded(spark):
+    """The grid never exceeds depth*width rows however large the stream."""
+    df = spark.range(20000).select(F.col("id").cast("string").alias("item"))
+    grid = sketches.cms_build(df, "item", depth=2, width=32)
+    assert grid.count() <= 2 * 32
