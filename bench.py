@@ -71,6 +71,12 @@ BENCH_QUERIES = [
     "dedup_incremental",       # batch-vs-snapshot directional dedup
     "corpus_budget_trim",      # quality rank + distributed prefix-sum trim
     "funnel_conversion",       # ordered-stage conversion funnel (1 shuffle)
+    "text_heavy_hitters",      # two-pass exact frequent items (JVM candidates)
+    "text_heavy_hitters_mg",   # Misra-Gries bounded-summary twin (Arrow seam)
+    "text_bpe_merges",         # BPE trainer: 1 corpus scan + vocab-sized rounds
+    "graph_pagerank",          # integer fixed-point damped PageRank (3 rounds)
+    "join_bloom_prefilter",    # manual runtime bloom filter + exact verify join
+    "layout_zorder",           # Morton clustering envelope report
 ]
 
 

@@ -44,3 +44,41 @@ def salted_aggregate(
     return stage1.groupBy(key).agg(
         *[s2(name).alias(name) for name, _, s2 in partials]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_n: int,
+    salt_src: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: replicate the small side ``salt_n`` times and
+    salt the big side deterministically, so a hot key's rows spread over
+    ``salt_n`` reducers instead of pinning one. Result is row-identical
+    to ``big.join(small, big_key == small_key, how)`` for inner/left
+    joins: each big row carries exactly one salt and meets exactly the
+    one replica with that salt.
+
+    This is the hand-rolled form of what AQE skew-join splitting does at
+    runtime (session.py enables it); it remains necessary when the skew
+    is in an AGGREGATION feeding the join, when AQE's size thresholds
+    miss the hot key, or on engines/stages where AQE cannot re-plan
+    (e.g. a skewed build inside a cached relation). Cost: small side
+    shuffles salt_n× its size; big side cost unchanged (the salt is a
+    narrow projection).
+
+    ``salt_src`` must be deterministic per row (a row fingerprint — the
+    salted_aggregate contract), never rand(): reruns and oracle checks
+    must see the same placement."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salts = F.explode(F.array(*[F.lit(i) for i in range(salt_n)])).alias("_salt")
+    small_rep = small.select(F.col("*"), salts)
+    big_salted = big.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_n)))
+    cond = (big_salted[big_key] == small_rep[small_key]) & (
+        big_salted["_salt"] == small_rep["_salt"]
+    )
+    return big_salted.join(small_rep, cond, how).drop("_salt")

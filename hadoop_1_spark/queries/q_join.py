@@ -258,3 +258,34 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+SELECT s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join of lineitem to supplier (each suppkey is a
+    hot key: ~6000 lineitem rows per supplier at sf0.1): the supplier
+    side is replicated 8x and the big side salted by a deterministic row
+    fingerprint, spreading each hot key over 8 reducers. Row-identical
+    to the plain join — the oracle is the unsalted SQL. See
+    skew.salted_join."""
+    from hadoop_1_spark.operators.skew import salted_join
+
+    li = _load(spark, sf_dir, "lineitem")
+    supp = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(
+        li, supp, "l_suppkey", "s_suppkey", 8,
+        salt_src=F.concat_ws(":", "l_orderkey", "l_linenumber"),
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+    )

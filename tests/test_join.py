@@ -104,3 +104,40 @@ def test_null_keys_never_merge(spark):
     assert override_rows == sorted(
         [("k", None, 30), (None, 1, None), (None, 2, None), (None, None, 10)], key=str
     )
+
+
+def test_salted_join_matches_plain_inner(spark):
+    import pyspark.sql.functions as F
+
+    from hadoop_1_spark.operators.skew import salted_join
+
+    big = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (3, "d")], "sk long, tag string")
+    got = salted_join(big, small, "k", "sk", 4, salt_src=F.col("v")).collect()
+    want = big.join(small, big["k"] == small["sk"]).collect()
+    assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in want)
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    import pyspark.sql.functions as F
+
+    from hadoop_1_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    small = spark.createDataFrame([(1, "x")], "sk long, tag string")
+    out = salted_join(big, small, "k", "sk", 3, salt_src=F.col("v"), how="left")
+    rows = {(r["k"], r["tag"]) for r in out.collect()}
+    assert rows == {(1, "x"), (2, None)}
+
+
+def test_salted_join_rejects_full_outer(spark):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from hadoop_1_spark.operators.skew import salted_join
+
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        salted_join(df, df, "k", "k", 2, salt_src=F.col("k"), how="full")

@@ -169,7 +169,11 @@ def test_write_zordered_layout(spark, tmp_path):
     ordered = sorted(stats, key=lambda r: r["zmin"])
     for a, b in zip(ordered, ordered[1:]):
         assert a["zmax"] <= b["zmin"]  # disjoint z-ranges across files
-    # bounded rectangles: a 512-key z-range covers ~32x16 cells; allow
-    # slack for sampled range boundaries but stay well under the full 64
-    assert max(r["xspan"] for r in stats) <= 48
-    assert max(r["yspan"] for r in stats) <= 48
+    # bounded rectangles ON AVERAGE: an aligned 512-key z-range covers a
+    # 32x16 cell block, but a file whose sampled range boundary crosses a
+    # major quadrant split can legitimately span the full domain in one
+    # dimension — so the locality claim is about the mean envelope, which
+    # must sit well under the full 64-cell span a plain x-sort would give
+    # every file in y.
+    assert sum(r["xspan"] for r in stats) / len(stats) <= 48
+    assert sum(r["yspan"] for r in stats) / len(stats) <= 48
