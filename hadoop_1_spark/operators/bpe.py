@@ -186,3 +186,30 @@ v{r} AS (
         for r in range(1, rounds + 1)
     ]
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def bpe_segment_oracle_sql(toks_expr: str, rounds: int = 8) -> str:
+    """DuckDB replay of bpe_merges + segment: learn the merges with the
+    same CTE chain, then apply them to every token occurrence as nested
+    literal replaces (scalar subqueries pull each round's pair; a
+    chr(2) sentinel no-ops a round that produced no merge, mirroring the
+    Spark side's shorter merge list)."""
+    d = "chr(1)"
+    head = bpe_oracle_sql(toks_expr, rounds)
+    # reuse the WITH chain of bpe_oracle_sql, drop its final UNION ALL of
+    # per-round SELECTs (the chain ends before the FIRST of them)
+    with_chain = head[: head.index("\nSELECT CAST(1 AS INT) AS rank")]
+    rep = f"regexp_replace(word, '(.)', {d} || '\\1' || {d}, 'g')"
+    for r in range(1, rounds + 1):
+        search = (
+            f"coalesce((SELECT {d} || lhs || {d} || {d} || rhs || {d} FROM t{r}), chr(2))"
+        )
+        repl = f"coalesce((SELECT {d} || lhs || rhs || {d} FROM t{r}), chr(2))"
+        rep = f"replace({rep}, {search}, {repl})"
+    return f"""{with_chain},
+toksrc AS (SELECT doc_id, unnest({toks_expr}) AS word FROM documents),
+applied AS (SELECT doc_id, word, {rep} AS s FROM toksrc)
+SELECT doc_id, word,
+       replace(substr(s, 2, length(s) - 2), {d} || {d}, ' ') AS seg
+FROM applied
+"""

@@ -402,3 +402,20 @@ def sketch_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = sketches.cms_build(toks, "token")
     probes = toks.distinct()
     return sketches.cms_estimate(grid, probes, "token")
+
+
+@register(
+    "text_bpe_segment",
+    oracle=bpe.bpe_segment_oracle_sql(_TOKS, rounds=BPE_ROUNDS),
+)
+def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer + tokenizer end-to-end: learn the 8 corpus merges, then
+    segment every token occurrence, emitting the subword split as a
+    space-joined string. One corpus scan to train (vocab-sized rounds),
+    one to segment. See bpe.segment."""
+    docs = _load(spark, sf_dir, "documents")
+    merges = bpe.bpe_merges(docs, rounds=BPE_ROUNDS)
+    seg = bpe.segment(docs, merges)
+    return seg.select(
+        "doc_id", "word", F.concat_ws(" ", F.col("symbols")).alias("seg")
+    )
