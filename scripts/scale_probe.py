@@ -34,6 +34,16 @@ QUERIES = [
     "funnel_conversion",
     "sim_quantized_topk",
     "sim_ivf_quantized_topk",
+    # round-5 continuation block
+    "text_heavy_hitters",
+    "text_heavy_hitters_mg",
+    "text_bpe_merges",
+    "text_bpe_segment",
+    "sketch_cms_counts",
+    "graph_pagerank",
+    "join_bloom_prefilter",
+    "join_salted_skew",
+    "layout_zorder",
 ]
 
 
