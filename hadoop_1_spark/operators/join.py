@@ -198,23 +198,26 @@ _WORD_BITS = 32  # 32-bit words: an 8-hex-char word always fits a signed
 
 def _bloom_positions(key: Column, m_bits: int, h: int) -> list[Column]:
     """h independent bit positions for a key, md5-derived (engine-portable
-    and partitioning-independent): position_i = first 15 hex chars of
-    md5(i ':' key) mod m_bits."""
-    return [
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 15),
-            16,
-            10,
-        ).cast("long") % F.lit(m_bits)
-        for i in range(h)
-    ]
+    and partitioning-independent). Each digest yields TWO positions (its
+    first and second 15-hex-char halves — the textops.hex_hash offset
+    idiom), so h probes cost ceil(h/2) md5 evaluations per row — the md5
+    is the dominant probe cost at scan speed."""
+    out: list[Column] = []
+    for i in range(h):
+        digest = F.md5(F.concat(F.lit(f"{i // 2}:"), key.cast("string")))
+        offset = 1 if i % 2 == 0 else 16
+        out.append(
+            F.conv(F.substring(digest, offset, 15), 16, 10).cast("long")
+            % F.lit(m_bits)
+        )
+    return out
 
 
 def bloom_prefilter_semi_join(
     big: DataFrame,
     small: DataFrame,
     key: str,
-    m_words: int = BLOOM_WORDS,
+    m_words: int | None = None,
     h: int = BLOOM_HASHES,
 ) -> DataFrame:
     """Semi-join ``big`` to ``small`` on ``key`` with a bloom-filter
@@ -232,11 +235,19 @@ def bloom_prefilter_semi_join(
 
     Build: one aggregation of the small side's h bit positions into
     ≤ m_words (word_index, or-mask) rows, read to the driver (bounded:
-    the filter is summary state, 2 KB at the default size — the
-    DistributedCache discipline), then folded into the probe expression
-    as a hex-string literal. Probe: for each of h positions, test the
-    bit via substring + conv on the literal — all whole-stage-codegen'd
-    string/integer ops, no Python, no extra exchange on the big side.
+    the filter is summary state — the DistributedCache discipline), then
+    folded into the probe as an ARRAY LITERAL indexed by element_at —
+    whole-stage-codegen'd, no Python, no extra exchange on the big side.
+    (A hex-string literal probed with substr+conv was 14x slower at
+    sf0.1 — non-literal substr on a large constant string defeats the
+    cheap path; element_at on a Literal array is an O(1) vector access.)
+
+    ``m_words=None`` (default) sizes the filter from the small side's
+    distinct key count at ~16 bits/key (FP rate ~0.5% at h=3), one cheap
+    count job on the SMALL side only, capped at 2^18 words (1 MB plan
+    literal). A fixed m_words that under-sizes the filter saturates it
+    into a pass-through — still exact, just useless (r5 bench caught
+    exactly that at 512 words vs 30k keys).
 
     The final semi-join uses the (unfiltered) small side, so the result
     is exactly ``big ⋉ small`` regardless of m_words/h tuning."""
@@ -250,14 +261,21 @@ def bloom_prefilter_semi_join(
 def bloom_condition(
     small: DataFrame,
     key: str,
-    m_words: int = BLOOM_WORDS,
+    m_words: int | None = None,
     h: int = BLOOM_HASHES,
 ) -> Column:
     """Build the bloom filter from ``small[key]`` and return the probe
     predicate over a column of the same name — the reusable half of
     bloom_prefilter_semi_join (exposed so tests can measure the
     prefilter's selectivity and callers can push the predicate into
-    other plans)."""
+    other plans). m_words=None auto-sizes from the distinct key count."""
+    if m_words is None:
+        n_keys = small.select(key).where(F.col(key).isNotNull()).distinct().count()
+        want_bits = max(BLOOM_WORDS * _WORD_BITS, 16 * max(n_keys, 1))
+        m_words = 1
+        while m_words * _WORD_BITS < want_bits:
+            m_words *= 2
+        m_words = min(m_words, 1 << 18)
     m_bits = m_words * _WORD_BITS
     pos = F.explode(F.array(*_bloom_positions(F.col(key), m_bits, h))).alias("_pos")
     words = (
@@ -278,14 +296,19 @@ def bloom_condition(
     filt = [0] * m_words
     for r in words:
         filt[r["_w"]] = r["_mask"]
-    # 8 hex chars per 32-bit word, fixed width, as ONE string literal
-    hexstr = "".join(format(w, "08x") for w in filt)
-    blit = F.lit(hexstr)
+    # the whole filter as ONE array literal (constant-folded in the plan,
+    # O(1) vector access per probe — never a string slice, which defeats
+    # the cheap constant path, measured 14x slower). Built by PARSING a
+    # SQL array(...) text rather than F.lit(list): py4j converts a Python
+    # list element-by-element (~8 s for 16k words); the parser takes the
+    # whole text in one call and ConstantFolding collapses it to the same
+    # Literal.
+    blit = F.expr("array(" + ",".join(f"{w}L" for w in filt) + ")")
     probes = []
     for p in _bloom_positions(F.col(key), m_bits, h):
         w = F.floor(p / _WORD_BITS).cast("int")
         b = (p % _WORD_BITS).cast("double")
-        word = F.conv(blit.substr(w * 8 + 1, F.lit(8)), 16, 10).cast("long")
+        word = F.element_at(blit, w + 1)
         # bit test without column-shift support: word div 2^b is exact
         # (power-of-two division only moves the exponent), then mod 2
         probes.append(
