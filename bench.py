@@ -74,8 +74,11 @@ BENCH_QUERIES = [
     "text_heavy_hitters",      # two-pass exact frequent items (JVM candidates)
     "text_heavy_hitters_mg",   # Misra-Gries bounded-summary twin (Arrow seam)
     "text_bpe_merges",         # BPE trainer: 1 corpus scan + vocab-sized rounds
+    "text_bpe_segment",        # trainer + tokenizer end-to-end (beats DuckDB)
     "graph_pagerank",          # integer fixed-point damped PageRank (3 rounds)
     "join_bloom_prefilter",    # manual runtime bloom filter + exact verify join
+    "join_salted_skew",        # hot-key-spreading salted join (row-identical)
+    "sketch_cms_counts",       # bounded count-min grid + vocab point estimates
     "layout_zorder",           # Morton clustering envelope report
 ]
 
