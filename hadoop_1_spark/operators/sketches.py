@@ -190,7 +190,7 @@ CMS_WIDTH = 2048
 
 
 def cms_build(items: DataFrame, col: str, depth: int = CMS_DEPTH,
-              width: int = CMS_WIDTH) -> DataFrame:
+              width: int = CMS_WIDTH, weight_col: str | None = None) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) of an item stream:
     a (depth × width) counter grid where row d counts items hashing to
     bucket md5(d ':' item) % width. Returns the grid as (d, bucket, cnt)
@@ -199,10 +199,17 @@ def cms_build(items: DataFrame, col: str, depth: int = CMS_DEPTH,
     map-side partial aggregation collapses the stream to ≤ depth*width
     rows per partition before the exchange).
 
+    ``weight_col`` lets a caller that ALREADY holds per-item counts (a
+    wordcount relation) fold them in without replaying the raw stream:
+    each row contributes weight instead of 1 — identical grid, and the
+    depth-way explode runs over vocab rows instead of every occurrence.
+
     Unlike a random-seeded CMS, the hash family is md5-derived, so the
     grid — and therefore every estimate read from it — is fully
     deterministic and replayable in the DuckDB oracle."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
     rows = items.select(
+        w.cast("bigint").alias("_w"),
         F.explode(
             F.array(*[
                 F.struct(
@@ -216,10 +223,10 @@ def cms_build(items: DataFrame, col: str, depth: int = CMS_DEPTH,
                 )
                 for d in range(depth)
             ])
-        ).alias("_h")
+        ).alias("_h"),
     )
     return rows.groupBy("_h.d", "_h.bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+        F.sum("_w").cast("bigint").alias("cnt")
     )
 
 

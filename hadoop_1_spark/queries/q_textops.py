@@ -397,11 +397,18 @@ def sketch_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-hashed, so deterministic and oracle-replayable. Estimates are
     biased high (est_cnt ≥ true count, property-tested). See
     sketches.cms_build / cms_estimate."""
+    from hadoop_1_spark.operators.caching import persist_tracked
+
     docs = _load(spark, sf_dir, "documents")
     toks = docs.select(F.explode(textops.ws_tokens(F.col("text"))).alias("token"))
-    grid = sketches.cms_build(toks, "token")
-    probes = toks.distinct()
-    return sketches.cms_estimate(grid, probes, "token")
+    # ONE corpus pass: the wordcount relation feeds both the weighted
+    # grid build (depth-way explode over vocab rows, not occurrences)
+    # and the probe set — the raw stream is never replayed
+    counts = persist_tracked(
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("w"))
+    )
+    grid = sketches.cms_build(counts, "token", weight_col="w")
+    return sketches.cms_estimate(grid, counts.select("token"), "token")
 
 
 @register(
