@@ -545,3 +545,52 @@ def test_incremental_exact_flags_match_python(spark, new_texts, snap_texts):
         assert r.keep == int(
             not (r.exact_snap or r.exact_batch or r.near_snap)
         )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning: classic invariants on random corpora
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6), min_size=1, max_size=20
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_bpe_counts_nonincreasing_and_roundtrip(spark, words):
+    """(a) Merge counts are non-increasing in rank: a merge can only
+    create pairs whose count is bounded by the merged pair's count, and
+    untouched pairs keep theirs. (b) Concatenating any word's learned
+    symbols reproduces the word exactly."""
+    from hadoop_1_spark.operators import bpe
+
+    df = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    merges = bpe.bpe_merges(df, rounds=5)
+    rows = sorted(merges.collect(), key=lambda r: r["rank"])
+    counts = [r["cnt"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    seg = bpe.segment(df, merges)
+    bad = seg.where(F.concat_ws("", F.col("symbols")) != F.col("word")).count()
+    assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# Z-order key: injectivity over the masked domain
+
+
+@given(st.integers(min_value=2, max_value=6))
+@settings(max_examples=5, deadline=None)
+def test_zorder_key_injective_on_grid(spark, bits):
+    """Morton interleave is a bijection on [0,2^bits)^2: the full grid
+    maps to 4^bits distinct keys covering exactly [0, 4^bits)."""
+    from hadoop_1_spark.operators import sort as S
+
+    n = 1 << bits
+    df = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), F.expr(f"id div {n}").alias("y")
+    )
+    keys = df.select(S.zorder_key("x", "y", bits=bits).alias("z"))
+    stats = keys.agg(
+        F.countDistinct("z").alias("d"), F.min("z").alias("mn"), F.max("z").alias("mx")
+    ).collect()[0]
+    assert (stats["d"], stats["mn"], stats["mx"]) == (n * n, 0, n * n - 1)
