@@ -293,3 +293,36 @@ SELECT pr.item AS {out_col},
 FROM pr LEFT JOIN grid ON pr.d = grid.d AND pr.bucket = grid.bucket
 GROUP BY pr.item
 """
+
+
+def cms_merge(*grids: DataFrame) -> DataFrame:
+    """Merge CMS grids built with the same (depth, width, hash family):
+    counter-wise sum — the mergeability that makes the sketch a
+    distributed/incremental summary (per-shard grids fold into a corpus
+    grid; a steady-state ingest adds each batch's grid to the parked
+    snapshot grid, the signature-store pattern)."""
+    out = grids[0]
+    for g in grids[1:]:
+        out = out.unionByName(g)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def cms_join_cardinality(grid_a: DataFrame, grid_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two CMS grids (the classic
+    inner-product estimator, Cormode & Muthukrishnan 2005 §4.2):
+    for each depth row, sum over buckets of cntA*cntB; report the MINIMUM
+    across depths. Biased high like point estimates (collisions only add
+    mass), exact when no bucket collides. All integer arithmetic over
+    two ≤ depth*width-row relations — a join-size planner that never
+    touches the data, the kind of estimate a 100 TB optimizer wants
+    before committing to a shuffle strategy.
+
+    Returns a single row (est_cardinality bigint)."""
+    a = grid_a.select("d", "bucket", F.col("cnt").alias("ca"))
+    b = grid_b.select("d", "bucket", F.col("cnt").alias("cb"))
+    per_depth = (
+        a.join(b, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    return per_depth.agg(F.min("ip").cast("bigint").alias("est_cardinality"))

@@ -426,3 +426,39 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.select(
         "doc_id", "word", F.concat_ws(" ", F.col("symbols")).alias("seg")
     )
+
+
+CMS_JC_WIDTH = 16384  # sized for ~15k distinct keys per side at sf0.01+
+
+
+@register(
+    "sketch_join_cardinality",
+    oracle=f"""
+WITH ds AS (SELECT unnest(range(0, {sketches.CMS_DEPTH})) AS d),
+ga AS (
+  SELECT d,
+         CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % {CMS_JC_WIDTH} AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS ca
+  FROM lineitem, ds GROUP BY 1, 2
+),
+gb AS (
+  SELECT d,
+         CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % {CMS_JC_WIDTH} AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS cb
+  FROM orders, ds GROUP BY 1, 2
+),
+ip AS (SELECT ga.d, sum(ca * cb) AS ip FROM ga JOIN gb ON ga.d = gb.d AND ga.bucket = gb.bucket GROUP BY 1)
+SELECT CAST(min(ip) AS BIGINT) AS est_cardinality FROM ip
+""",
+)
+def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation without touching the join: CMS grids of
+    lineitem.l_orderkey and orders.o_orderkey, inner-product estimator
+    (min over depths). The estimate upper-bounds the true lineitem⋈orders
+    cardinality and is exact integer arithmetic over two bounded grids.
+    See sketches.cms_join_cardinality."""
+    li = _load(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    od = _load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    ga = sketches.cms_build(li, "k", width=CMS_JC_WIDTH)
+    gb = sketches.cms_build(od, "k", width=CMS_JC_WIDTH)
+    return sketches.cms_join_cardinality(ga, gb)

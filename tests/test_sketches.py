@@ -138,3 +138,32 @@ def test_cms_grid_bounded(spark):
     df = spark.range(20000).select(F.col("id").cast("string").alias("item"))
     grid = sketches.cms_build(df, "item", depth=2, width=32)
     assert grid.count() <= 2 * 32
+
+
+def test_cms_merge_equals_whole(spark):
+    """Grid of the union == counter-wise merge of per-shard grids."""
+    a = spark.range(200).select((F.col("id") % 7).cast("string").alias("item"))
+    b = spark.range(300).select((F.col("id") % 5).cast("string").alias("item"))
+    whole = sketches.cms_build(a.unionAll(b), "item", depth=3, width=64)
+    merged = sketches.cms_merge(
+        sketches.cms_build(a, "item", depth=3, width=64),
+        sketches.cms_build(b, "item", depth=3, width=64),
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_cms_join_cardinality_bounds(spark):
+    """Inner-product estimate upper-bounds the true equi-join size and is
+    exact with a wide grid (no collisions for 10 keys)."""
+    a = spark.range(100).select((F.col("id") % 10).alias("k"))  # 10 each
+    b = spark.range(30).select((F.col("id") % 5).alias("k"))    # keys 0-4, 6 each
+    true = a.join(b, "k").count()  # 5 keys * 10 * 6 = 300
+    ga = sketches.cms_build(a, "k", depth=4, width=4096)
+    gb = sketches.cms_build(b, "k", depth=4, width=4096)
+    est = sketches.cms_join_cardinality(ga, gb).collect()[0]["est_cardinality"]
+    assert est == true == 300
+    # narrow grid: estimate may exceed but never undercuts
+    ga2 = sketches.cms_build(a, "k", depth=2, width=8)
+    gb2 = sketches.cms_build(b, "k", depth=2, width=8)
+    est2 = sketches.cms_join_cardinality(ga2, gb2).collect()[0]["est_cardinality"]
+    assert est2 >= true
