@@ -34,9 +34,10 @@ Two implementations of the candidate pass, same exact output:
   per partition regardless of vocabulary size. This is the shape for a
   100 TB corpus whose key space is unique-heavy (URLs, n-grams): the
   JVM path's (partition, item) aggregation would shuffle the whole tail,
-  the sketch never materializes it. Cost: the token stream crosses the
-  Arrow seam once (scan-shaped, no shuffle), and a second scan recounts
-  the ≤ k*num_partitions candidates exactly.
+  the sketch never materializes it. Cost: exactly TWO data passes — the
+  sketch pass (Arrow seam, scan-shaped, no shuffle; per-partition totals
+  ride along as sentinel rows so no separate count scan) and the exact
+  recount of the ≤ k*num_partitions candidates.
 """
 
 from __future__ import annotations
@@ -49,31 +50,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadoop_1_spark.operators.caching import persist_tracked
-
-
-def _exact_over_candidates(
-    items: DataFrame, cand: DataFrame, k: int, col: str
-) -> DataFrame:
-    """Exact recount of candidate items + the exact global threshold
-    filter ``cnt*(k+1) > n``. ``n`` comes from one scalar aggregate of
-    the item stream (count of all rows, not just candidates)."""
-    total = items.agg(F.count(F.lit(1)).alias("_n"))
-    exact = (
-        items.join(F.broadcast(cand), col, "left_semi")
-        .groupBy(col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    return (
-        exact.crossJoin(F.broadcast(total))
-        .where(F.col("cnt") * (k + 1) > F.col("_n"))
-        .select(
-            F.col(col),
-            F.col("cnt").cast("bigint").alias("cnt"),
-            # integer floor division on both engines (div / //), never the
-            # double-division path
-            F.expr(f"cast(_n as bigint) div {k + 1}").cast("bigint").alias("threshold"),
-        )
-    )
 
 
 def heavy_hitters(df: DataFrame, col: str, k: int = 30) -> DataFrame:
@@ -136,10 +112,12 @@ def heavy_hitters_mg(df: DataFrame, col: str, k: int = 30) -> DataFrame:
 
     def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
+        n_p = 0
         for pdf in batches:
             for it in pdf["_item"]:
                 if it is None:
                     continue
+                n_p += 1
                 if it in counters:
                     counters[it] += 1
                 elif len(counters) < k:
@@ -152,16 +130,34 @@ def heavy_hitters_mg(df: DataFrame, col: str, k: int = 30) -> DataFrame:
                             dead.append(key)
                     for key in dead:
                         del counters[key]
-        yield pd.DataFrame({"_item": list(counters.keys())})
+        # candidate rows carry _np=0; ONE sentinel row per partition
+        # (null item) carries the partition's total, so the global n
+        # falls out of the same single pass — no third corpus scan
+        yield pd.DataFrame(
+            {
+                "_item": list(counters.keys()) + [None],
+                "_np": [0] * len(counters) + [n_p],
+            }
+        )
 
-    cand = (
-        items.mapInPandas(mg_partition, schema="_item string")
-        .distinct()
-        .select(F.col("_item"))
+    summary = persist_tracked(
+        items.mapInPandas(mg_partition, schema="_item string, _np long")
     )
-    out = _exact_over_candidates(items, cand, k, "_item")
-    return out.select(
-        F.col("_item").alias(col), F.col("cnt"), F.col("threshold")
+    cand = summary.where(F.col("_item").isNotNull()).select("_item").distinct()
+    total = summary.agg(F.sum("_np").alias("_n"))
+    exact = (
+        items.join(F.broadcast(cand), "_item", "left_semi")
+        .groupBy("_item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * (k + 1) > F.col("_n"))
+        .select(
+            F.col("_item").alias(col),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.expr(f"cast(_n as bigint) div {k + 1}").cast("bigint").alias("threshold"),
+        )
     )
 
 
