@@ -275,7 +275,15 @@ def bloom_condition(
         m_words = 1
         while m_words * _WORD_BITS < want_bits:
             m_words *= 2
-        m_words = min(m_words, 1 << 18)
+        # Cap the literal at 2^16 words (2 Mbit, ~640 KB of parsed array
+        # text): beyond this the plan carries the array once per probe and
+        # parse/codegen cost grows super-linearly (measured 13x at the sf1
+        # probe with a 2^18-word literal). Past the cap the FP rate rises
+        # gracefully (~4.5% at 300k keys) instead — the filter stays
+        # selective, the plan stays cheap. A truly huge small side should
+        # use Spark's own runtime bloom (broadcast threshold permitting)
+        # or a pre-materialized filter relation.
+        m_words = min(m_words, 1 << 16)
     m_bits = m_words * _WORD_BITS
     pos = F.explode(F.array(*_bloom_positions(F.col(key), m_bits, h))).alias("_pos")
     words = (

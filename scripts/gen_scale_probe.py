@@ -78,6 +78,19 @@ def main() -> None:
         out_li = c if out_li is None else out_li.unionByName(c)
     out_li.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
 
+    # orders: replicated with the SAME disjoint o_orderkey shift as
+    # lineitem so the bloom/semi-join probes keep their match rate;
+    # supplier copied as-is (lineitem keeps original l_suppkey values)
+    od = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    out_od = None
+    for i in range(10):
+        c = od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 100_000_000))
+        out_od = c if out_od is None else out_od.unionByName(c)
+    out_od.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    spark.read.parquet("/root/testdata/sf0.1/supplier.parquet").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "supplier.parquet"))
+
     # events: 10x by disjoint user/event id ranges (10x the users, same
     # per-user history density — sessionization cost scales with keys)
     ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
