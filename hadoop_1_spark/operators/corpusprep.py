@@ -271,3 +271,53 @@ def mix_report(
         .cast("long")
         .alias("share_q6"),
     )
+
+
+def interleave_sources(
+    df: DataFrame, source_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic source-interleaved training order: assign every doc
+    a global position such that each source's documents are spread
+    evenly across the whole epoch (the data-ordering step of a
+    pretraining pipeline — no source forms a contiguous block, so the
+    loss curve never sees a distribution cliff).
+
+    Midpoint spacing in exact integers: a source with n_s docs places
+    its r-th doc (rank by id within source, 1-based) at key
+    ``(2r - 1) * N div (2 * n_s)`` — the r-th of n_s evenly spaced
+    midpoints of [0, N). The final position is the global rank over
+    (key, source, src_rank), a total order, computed by the distributed
+    ``sort.global_rank`` (range shuffle + broadcast offsets — never a
+    single-partition window).
+
+    Shape: one window shuffle on source for the per-source rank, a
+    broadcast of per-source counts and the corpus total, then the
+    global-rank range shuffle. All arithmetic bigint-exact, so the
+    ordering is identical in the oracle replay."""
+    from hadoop_1_spark.operators import sort as S
+
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    ranked = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.row_number().over(w).cast("bigint").alias("src_rank"),
+    )
+    counts = ranked.groupBy(source_col).agg(F.count(F.lit(1)).alias("_ns"))
+    total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    keyed = (
+        ranked.join(F.broadcast(counts), source_col)
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            source_col,
+            "src_rank",
+            F.expr("((2 * src_rank - 1) * _n) div (2 * _ns)")
+            .cast("bigint")
+            .alias("_key"),
+        )
+    )
+    out = S.global_rank(
+        keyed, F.col("_key"), F.col(source_col), F.col("src_rank"),
+        rank_col="position",
+    )
+    return out.select(id_col, source_col, "src_rank", F.col("position"))

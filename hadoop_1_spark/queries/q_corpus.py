@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_1_spark.operators import dedup, textops
+from hadoop_1_spark.operators import corpusprep, dedup, textops
 from hadoop_1_spark.registry import ORACLE, _load, register
 
 MIN_QUALITY = 0.5
@@ -409,3 +409,30 @@ def corpus_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.where(F.col("cum_tokens") <= TOKEN_BUDGET).select(
         "doc_id", F.round("quality", 6).alias("quality"), "n_tokens", "cum_tokens"
     )
+
+
+@register(
+    "corpus_interleave",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS src_rank
+  FROM documents
+),
+c AS (SELECT source, count(*) AS ns FROM r GROUP BY source),
+t AS (SELECT count(*) AS n FROM r),
+k AS (
+  SELECT r.doc_id, r.source, r.src_rank,
+         ((2 * r.src_rank - 1) * t.n) // (2 * c.ns) AS key
+  FROM r JOIN c USING (source), t
+)
+SELECT doc_id, source, src_rank,
+       CAST(row_number() OVER (ORDER BY key, source, src_rank) AS BIGINT) AS position
+FROM k
+""",
+)
+def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-interleaved training order: integer midpoint spacing per
+    source, global position via the distributed rank. See
+    corpusprep.interleave_sources."""
+    return corpusprep.interleave_sources(_load(spark, sf_dir, "documents"))

@@ -214,3 +214,34 @@ def test_mix_report_zero_token_corpus(spark):
     )
     rows = corpusprep.mix_report(df).collect()
     assert rows and all(r.n_tokens == 0 and r.share_q6 == 0 for r in rows)
+
+
+def test_interleave_even_spread(spark):
+    """Each source's docs are spread evenly: consecutive positions of the
+    same source never gap by more than ceil(N/n_s) + 1, and positions
+    are a permutation of 1..N."""
+    import pyspark.sql.functions as F
+
+    from hadoop_1_spark.operators import corpusprep
+
+    rows = [(i, "big") for i in range(60)] + [(100 + i, "small") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpusprep.interleave_sources(df).collect()
+    n = len(rows)
+    assert sorted(r["position"] for r in out) == list(range(1, n + 1))
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["position"])
+    for src, ps in by_src.items():
+        ps.sort()
+        ns = len(ps)
+        max_gap = max(b - a for a, b in zip(ps, ps[1:])) if ns > 1 else 0
+        assert max_gap <= -(-n // ns) + 1, (src, ps)
+
+
+def test_interleave_single_source_identity_order(spark):
+    from hadoop_1_spark.operators import corpusprep
+
+    df = spark.createDataFrame([(i, "s") for i in range(10)], "doc_id long, source string")
+    out = sorted(corpusprep.interleave_sources(df).collect(), key=lambda r: r["position"])
+    assert [r["doc_id"] for r in out] == list(range(10))
