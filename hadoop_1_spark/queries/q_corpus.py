@@ -436,3 +436,100 @@ def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     source, global position via the distributed rank. See
     corpusprep.interleave_sources."""
     return corpusprep.interleave_sources(_load(spark, sf_dir, "documents"))
+
+
+_GOPHER_STOP = "[" + ", ".join(f"'{w}'" for w in textops.STOPWORDS) + "]"
+
+
+@register(
+    "corpus_gopher_filter",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens_ws,
+         round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / greatest(len(toks), 1), 6) AS mean_token_len,
+         CAST(len(list_filter(toks, x -> list_contains({_GOPHER_STOP}, lower(x)))) AS BIGINT) AS stop_hits
+  FROM t
+),
+g AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)
+),
+c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+rep AS (
+  SELECT doc_id,
+         round(1 - count(*) / CAST(sum(c) AS DOUBLE), 9) AS dup_gram_frac,
+         round(max(c) / CAST(sum(c) AS DOUBLE), 9) AS top_gram_frac
+  FROM c GROUP BY doc_id
+),
+j AS (
+  SELECT base.*, coalesce(rep.dup_gram_frac, 0.0) AS dup_gram_frac,
+         coalesce(rep.top_gram_frac, 0.0) AS top_gram_frac
+  FROM base LEFT JOIN rep USING (doc_id)
+)
+SELECT doc_id, n_tokens_ws, mean_token_len, stop_hits, dup_gram_frac, top_gram_frac,
+       (n_tokens_ws BETWEEN 20 AND 100000) AS r_word_count,
+       (mean_token_len BETWEEN 3.0 AND 10.0) AS r_mean_len,
+       (stop_hits >= 2) AS r_stopwords,
+       (dup_gram_frac < 0.3) AS r_dup_grams,
+       (top_gram_frac < 0.2) AS r_top_gram,
+       ((n_tokens_ws BETWEEN 20 AND 100000) AND (mean_token_len BETWEEN 3.0 AND 10.0)
+        AND (stop_hits >= 2) AND (dup_gram_frac < 0.3) AND (top_gram_frac < 0.2)) AS keep
+FROM j
+""",
+)
+def corpus_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality filter (Rae et al. 2021 Appendix A
+    rules, thresholds adapted to this corpus's 10-100-token docs): word
+    count, mean token length, minimum stopword evidence, duplicate- and
+    top-bigram fractions, folded into per-rule flags and one keep bit.
+    ONE pass composition: the narrow per-doc stats project off the scan
+    and join the (doc,gram)-aggregated repetition branch on doc_id. All
+    flag comparisons run on the ROUNDED metric values both engines
+    output, so the booleans are hash-identical."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = textops.ws_tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in textops.STOPWORDS])
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens_ws"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("mean_token_len"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+        .cast("bigint")
+        .alias("stop_hits"),
+    )
+    rep = textops.repetition_stats(docs, n=2).select(
+        "doc_id", "dup_gram_frac", "top_gram_frac"
+    )
+    j = base.join(rep, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens_ws",
+        "mean_token_len",
+        "stop_hits",
+        F.coalesce("dup_gram_frac", F.lit(0.0)).alias("dup_gram_frac"),
+        F.coalesce("top_gram_frac", F.lit(0.0)).alias("top_gram_frac"),
+    )
+    r1 = F.col("n_tokens_ws").between(20, 100000)
+    r2 = F.col("mean_token_len").between(3.0, 10.0)
+    r3 = F.col("stop_hits") >= 2
+    r4 = F.col("dup_gram_frac") < 0.3
+    r5 = F.col("top_gram_frac") < 0.2
+    return j.select(
+        "*",
+        r1.alias("r_word_count"),
+        r2.alias("r_mean_len"),
+        r3.alias("r_stopwords"),
+        r4.alias("r_dup_grams"),
+        r5.alias("r_top_gram"),
+        (r1 & r2 & r3 & r4 & r5).alias("keep"),
+    )
