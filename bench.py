@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "join_salted_skew",        # hot-key-spreading salted join (row-identical)
     "sketch_cms_counts",       # bounded count-min grid + vocab point estimates
     "layout_zorder",           # Morton clustering envelope report
+    "sketch_join_cardinality", # CMS inner-product join-size estimate
+    "corpus_interleave",       # source-interleaved training order
+    "corpus_gopher_filter",    # composite Gopher-rules quality filter
 ]
 
 

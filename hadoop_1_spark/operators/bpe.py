@@ -213,3 +213,70 @@ SELECT doc_id, word,
        replace(substr(s, 2, length(s) - 2), {d} || {d}, ' ') AS seg
 FROM applied
 """
+
+
+def vocab_table(df: DataFrame, rounds: int = 8, text_col: str = "text") -> DataFrame:
+    """The tokenizer's vocabulary artifact: every base character symbol
+    (ordered ascending, ids 1..C) followed by the learned merges in rank
+    order (ids C+1..C+rounds). (symbol, token_id, kind, cnt): base rows
+    carry their corpus character frequency, merge rows the pair count at
+    merge time — the (vocab.json, merges.txt) pair of a BPE tokenizer as
+    one relation."""
+    merges = bpe_merges(df, rounds=rounds, text_col=text_col)
+    chars = (
+        df.select(F.explode(ws_tokens(F.col(text_col))).alias("word"))
+        .select(F.explode(F.split(F.regexp_replace("word", "(.)", "$1\n"), "\n")).alias("symbol"))
+        .where(F.col("symbol") != "")
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("symbol")
+    base = chars.select(
+        "symbol",
+        F.row_number().over(w).cast("int").alias("token_id"),
+        F.lit("char").alias("kind"),
+        "cnt",
+    )
+    n_chars = chars.agg(F.count(F.lit(1)).alias("_c"))
+    merged = merges.crossJoin(F.broadcast(n_chars)).select(
+        F.col("merged").alias("symbol"),
+        (F.col("rank") + F.col("_c")).cast("int").alias("token_id"),
+        F.lit("merge").alias("kind"),
+        "cnt",
+    )
+    return base.unionByName(merged)
+
+
+def vocab_oracle_sql(toks_expr: str, rounds: int = 8) -> str:
+    """DuckDB replay of vocab_table (reuses the merge-training chain)."""
+    head = bpe_oracle_sql(toks_expr, rounds)
+    with_chain = head[: head.index("\nSELECT CAST(1 AS INT) AS rank")]
+    merge_union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS rank, lhs, rhs, lhs || rhs AS merged, cnt FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"""{with_chain},
+chars AS (
+  SELECT symbol, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(string_split_regex(regexp_replace(word, '(.)', '\\1' || chr(10), 'g'), chr(10))) AS symbol
+    FROM (SELECT unnest({toks_expr}) AS word FROM documents)
+  )
+  WHERE symbol <> ''
+  GROUP BY symbol
+),
+base AS (
+  SELECT symbol, CAST(row_number() OVER (ORDER BY symbol) AS INT) AS token_id,
+         'char' AS kind, cnt
+  FROM chars
+),
+nc AS (SELECT count(*) AS c FROM chars),
+mg AS ({merge_union})
+SELECT symbol, token_id, kind, cnt FROM base
+UNION ALL
+SELECT mg.merged AS symbol, CAST(mg.rank + nc.c AS INT) AS token_id,
+       'merge' AS kind, mg.cnt
+FROM mg, nc
+"""

@@ -462,3 +462,15 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ga = sketches.cms_build(li, "k", width=CMS_JC_WIDTH)
     gb = sketches.cms_build(od, "k", width=CMS_JC_WIDTH)
     return sketches.cms_join_cardinality(ga, gb)
+
+
+@register(
+    "text_bpe_vocab",
+    oracle=bpe.vocab_oracle_sql(_TOKS, rounds=BPE_ROUNDS),
+)
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer's vocabulary artifact: base characters (ids by
+    symbol order, with corpus character frequencies) followed by the 8
+    learned merges in rank order — vocab.json + merges.txt as one
+    relation. See bpe.vocab_table."""
+    return bpe.vocab_table(_load(spark, sf_dir, "documents"), rounds=BPE_ROUNDS)

@@ -44,6 +44,9 @@ QUERIES = [
     "join_bloom_prefilter",
     "join_salted_skew",
     "layout_zorder",
+    "sketch_join_cardinality",
+    "corpus_interleave",
+    "corpus_gopher_filter",
 ]
 
 

@@ -64,3 +64,17 @@ def test_merge_counts_weighted_by_word_freq(spark):
     df = _docs(spark, ["xy xy xy", "xy xy z"])
     out = bpe.bpe_merges(df, rounds=1).collect()
     assert (out[0]["lhs"], out[0]["rhs"], out[0]["cnt"]) == ("x", "y", 5)
+
+
+def test_vocab_table_ids_and_kinds(spark):
+    df = _docs(spark, ["ab ab b"])
+    out = bpe.vocab_table(df, rounds=1).collect()
+    by_symbol = {r["symbol"]: r for r in out}
+    # base chars a, b get ids 1, 2 by symbol order; merge 'ab' id 3
+    assert (by_symbol["a"]["token_id"], by_symbol["a"]["kind"]) == (1, "char")
+    assert (by_symbol["b"]["token_id"], by_symbol["b"]["kind"]) == (2, "char")
+    assert (by_symbol["ab"]["token_id"], by_symbol["ab"]["kind"]) == (3, "merge")
+    # char counts: a appears 2x, b 3x; merge count = pair count 2
+    assert by_symbol["a"]["cnt"] == 2
+    assert by_symbol["b"]["cnt"] == 3
+    assert by_symbol["ab"]["cnt"] == 2
