@@ -431,23 +431,20 @@ def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 CMS_JC_WIDTH = 16384  # sized for ~15k distinct keys per side at sf0.01+
 
 
+def _jc_grid_sql(table: str, key: str) -> str:
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {d} AS d, {sketches.cms_bucket_sql(key, d, CMS_JC_WIDTH)} AS bucket FROM {table}"
+        for d in range(sketches.CMS_DEPTH)
+    )
+    return f"SELECT d, bucket, CAST(count(*) AS BIGINT) AS c FROM ({rows}) GROUP BY 1, 2"
+
+
 @register(
     "sketch_join_cardinality",
     oracle=f"""
-WITH ds AS (SELECT unnest(range(0, {sketches.CMS_DEPTH})) AS d),
-ga AS (
-  SELECT d,
-         CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % {CMS_JC_WIDTH} AS INT) AS bucket,
-         CAST(count(*) AS BIGINT) AS ca
-  FROM lineitem, ds GROUP BY 1, 2
-),
-gb AS (
-  SELECT d,
-         CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % {CMS_JC_WIDTH} AS INT) AS bucket,
-         CAST(count(*) AS BIGINT) AS cb
-  FROM orders, ds GROUP BY 1, 2
-),
-ip AS (SELECT ga.d, sum(ca * cb) AS ip FROM ga JOIN gb ON ga.d = gb.d AND ga.bucket = gb.bucket GROUP BY 1)
+WITH ga AS ({_jc_grid_sql("lineitem", "l_orderkey")}),
+gb AS ({_jc_grid_sql("orders", "o_orderkey")}),
+ip AS (SELECT ga.d, sum(ga.c * gb.c) AS ip FROM ga JOIN gb ON ga.d = gb.d AND ga.bucket = gb.bucket GROUP BY 1)
 SELECT CAST(min(ip) AS BIGINT) AS est_cardinality FROM ip
 """,
 )
