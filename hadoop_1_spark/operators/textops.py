@@ -543,3 +543,114 @@ def vocab_top(
             ).alias("cum_coverage"),
         )
     )
+
+
+def unigram_lm(train: DataFrame, text_col: str = "text") -> DataFrame:
+    """Reference unigram language model: lowercased whitespace-token
+    counts over a curated training slice — the model half of CCNet-style
+    perplexity filtering (Wenzek et al. 2019: score a crawl against an
+    LM trained on a trusted corpus; the reference engine's analog is the
+    tokenize+count pipeline, mapred/lib/TokenCountMapper.java:35).
+
+    Shape: one map-side-combined token-count shuffle; the result is
+    vocab-sized (bounded), so every consumer can broadcast it."""
+    toks = train.select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"))
+    return toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+
+def lm_score(
+    docs: DataFrame,
+    model: DataFrame,
+    perplexity_cap: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style LM quality scoring, integer-exact so the DuckDB oracle
+    replays it bit-for-bit (true perplexity needs ln(), which is not
+    correctly-rounded-guaranteed across engines — a float twin would be
+    un-oracleable, the same trade documented for the approx sketches).
+
+    Add-1-smoothed token probability p(t) = (c_t + 1) / D with
+    D = N + V + 1 (N train tokens, V train vocab, one OOV type). Two
+    per-doc scores, both exact bigint arithmetic:
+
+    - ``surprisal_bits`` = Σ (bitlen(D) - bitlen(c_t+1)): the floor-log2
+      cross-entropy surrogate (bitlen(x) = floor(log2 x)+1 via F.bin —
+      engine-portable, but coarse: ±1 bit per token).
+    - ``mean_invp_q6`` = (Σ (D*10^6) div (c_t+1)) div n: q6 fixed-point
+      arithmetic mean of 1/p(t) — the fine-grained rarity score. The
+      arithmetic mean stands in for perplexity's geometric mean: both are
+      monotone in token improbability, and the arithmetic form needs no
+      logs. ``keep`` = mean_invp_q6 <= perplexity_cap * 10^6, i.e. keep
+      documents whose mean inverse probability is below an
+      effective-vocabulary cap — CCNet's "keep the low-perplexity head".
+
+    Overflow bound: per-token inv ≤ D*10^6, so docs of L tokens need
+    L * D * 10^6 < 2^63 — e.g. D ≤ 9.2e9 at L = 1000. A 100 TB corpus
+    trains the model on a curated slice (Wikipedia-sized, D ~ 1e10
+    tokens): at that scale switch the q6 constant to q3 or score with
+    decimal(38,0); the operator keeps bigint for codegen speed.
+
+    Shape at 100 TB: the model is vocab-bounded → broadcast join against
+    the exploded token stream (no shuffle on the corpus side); the only
+    corpus-keyed exchange is the per-doc re-aggregation on ``id_col``.
+    OOV tokens are folded algebraically (n_oov * D*10^6) so the 1-row
+    totals relation joins AFTER the per-doc aggregation, never against
+    token rows."""
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    bitlen = lambda c: F.length(F.bin(c)).cast("long")  # noqa: E731
+
+    vocab = persist_tracked(model)
+    totals = vocab.agg(
+        (F.sum("c") + F.count(F.lit(1)) + 1).cast("bigint").alias("_d")
+    ).select(
+        "_d",
+        bitlen(F.col("_d")).alias("_dbits"),
+        (F.col("_d") * 1000000).alias("_oov_inv"),
+    )
+    scored_vocab = vocab.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.expr("(_d * 1000000) div (c + 1)").cast("bigint").alias("_inv"),
+        bitlen(F.col("c") + 1).alias("_cb"),
+    )
+    tok = docs.select(
+        F.col(id_col),
+        F.explode_outer(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    per = (
+        tok.join(F.broadcast(scored_vocab), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("token").cast("bigint").alias("n_tokens"),
+            F.count(
+                F.when(F.col("token").isNotNull() & F.col("_inv").isNull(), 1)
+            ).cast("bigint").alias("_n_oov"),
+            F.coalesce(F.sum("_inv"), F.lit(0)).cast("bigint").alias("_s_inv"),
+            F.coalesce(F.sum("_cb"), F.lit(0)).cast("bigint").alias("_s_cb"),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_sum_inv", F.col("_s_inv") + F.col("_n_oov") * F.col("_oov_inv")
+        )
+        .withColumn(
+            "mean_invp_q6",
+            F.expr("_sum_inv div greatest(n_tokens, CAST(1 AS BIGINT))").cast(
+                "bigint"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            (
+                F.col("n_tokens") * F.col("_dbits")
+                - (F.col("_s_cb") + F.col("_n_oov"))
+            ).cast("bigint").alias("surprisal_bits"),
+            "mean_invp_q6",
+            (F.col("mean_invp_q6") <= F.lit(perplexity_cap * 1000000)).alias(
+                "keep"
+            ),
+        )
+    )

@@ -471,3 +471,55 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned merges in rank order — vocab.json + merges.txt as one
     relation. See bpe.vocab_table."""
     return bpe.vocab_table(_load(spark, sf_dir, "documents"), rounds=BPE_ROUNDS)
+
+
+# Lowercased variant of the shared token contract (the LM trains and
+# scores case-folded).
+_TOKS_L = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')"
+
+
+@register(
+    "text_lm_score",
+    oracle=f"""
+WITH model AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest({_TOKS_L}) AS token FROM documents WHERE source = 'src0')
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c) + count(*) + 1 AS BIGINT) AS d,
+         CAST(length(bin(CAST(sum(c) + count(*) + 1 AS BIGINT))) AS BIGINT) AS dbits
+  FROM model
+),
+tok AS (SELECT doc_id, unnest({_TOKS_L}) AS token FROM documents),
+per AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((tot.d * 1000000) // (coalesce(m.c, 0) + 1)) AS BIGINT) AS s_inv,
+         CAST(sum(length(bin(coalesce(m.c, 0) + 1))) AS BIGINT) AS s_cb
+  FROM tok t LEFT JOIN model m USING (token) CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT dd.doc_id,
+       CAST(coalesce(per.n, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(per.n, 0) * tot.dbits - coalesce(per.s_cb, 0) AS BIGINT)
+         AS surprisal_bits,
+       CAST(coalesce(per.s_inv, 0) // greatest(coalesce(per.n, 0), 1) AS BIGINT)
+         AS mean_invp_q6,
+       (coalesce(per.s_inv, 0) // greatest(coalesce(per.n, 0), 1)) <= 40000000
+         AS keep
+FROM (SELECT doc_id FROM documents) dd
+LEFT JOIN per ON dd.doc_id = per.doc_id
+CROSS JOIN tot
+""",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (Wenzek et al. 2019): train a
+    unigram model on the curated src0 slice, score EVERY document's
+    tokens against it in exact bigint arithmetic (floor-log2 surprisal
+    bits + q6 mean inverse probability), keep the low-"perplexity" head
+    (mean 1/p under an effective-vocabulary cap of 40). See
+    textops.unigram_lm / textops.lm_score for the scale notes."""
+    docs = _load(spark, sf_dir, "documents")
+    model = textops.unigram_lm(docs.where(F.col("source") == "src0"))
+    return textops.lm_score(docs, model)

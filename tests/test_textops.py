@@ -167,3 +167,49 @@ def test_winnow_fingerprints_guarantee(spark):
     n_grams_1 = 9 - 3 + 1   # doc 1 has 9 tokens
     n_windows_1 = n_grams_1 - 4 + 1
     assert 1 <= len(fps[1]) <= n_windows_1
+
+
+def test_lm_score_hand_case(spark):
+    # train: "a a a b" -> c(a)=3, c(b)=1; N=4, V=2, D=7, dbits=3
+    train = spark.createDataFrame([(0, "a a a b")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            (1, "a a"),       # in-vocab, common
+            (2, "b zz"),      # one rare + one OOV
+            (3, ""),          # empty
+        ],
+        "doc_id long, text string",
+    )
+    model = textops.unigram_lm(train)
+    rows = {r["doc_id"]: r for r in textops.lm_score(docs, model).collect()}
+    # doc 1: per-token inv = (7*1e6) div 4 = 1750000; bits/token = 3 - bitlen(4)=3 -> 0
+    assert rows[1]["n_tokens"] == 2
+    assert rows[1]["mean_invp_q6"] == 1_750_000
+    assert rows[1]["surprisal_bits"] == 0
+    # doc 2: b -> (7e6) div 2 = 3500000, bits 3-2=1; zz OOV -> 7e6 div 1, bits 3-1=2
+    assert rows[2]["mean_invp_q6"] == (3_500_000 + 7_000_000) // 2
+    assert rows[2]["surprisal_bits"] == 3
+    # doc 3: empty -> zeros, kept
+    assert rows[3]["n_tokens"] == 0
+    assert rows[3]["surprisal_bits"] == 0
+    assert rows[3]["mean_invp_q6"] == 0
+    assert rows[3]["keep"]
+    # rarity ordering: OOV-heavy doc scores strictly worse than common doc
+    assert rows[2]["mean_invp_q6"] > rows[1]["mean_invp_q6"]
+
+
+def test_lm_score_oov_matches_smoothed_formula(spark):
+    # keep flag flips exactly at the cap: cap=1 effective vocab keeps only
+    # docs whose mean inverse probability is <= 1e6 (impossible when D>1:
+    # inv >= (D*1e6) div (c_max+1) > 1e6 unless one token dominates)
+    train = spark.createDataFrame([(0, "x x x x x x x x")], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "x x x")], "doc_id long, text string")
+    model = textops.unigram_lm(train)
+    out = textops.lm_score(docs, model, perplexity_cap=1).collect()[0]
+    # D = 8 + 1 + 1 = 10; inv = 10e6 div 9 = 1111111 > 1e6 -> dropped
+    assert out["mean_invp_q6"] == 1_111_111
+    assert not out["keep"]
+
+
+def test_lm_score_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "text_lm_score")
