@@ -321,3 +321,40 @@ def interleave_sources(
         rank_col="position",
     )
     return out.select(id_col, source_col, "src_rank", F.col("position"))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Dataset-versioning diff between two corpus snapshots: full outer
+    join on the key, md5 content fingerprints on the payload columns,
+    row status in {added, removed, changed, unchanged}. The audit step a
+    pipeline runs before re-training on a refreshed crawl — what changed
+    since the shards were last cut, and does the delta justify a re-run.
+
+    Scale: ONE key-keyed shuffle (the sort-merge full outer join); the
+    fingerprint is a narrow projection computed before the join, so the
+    exchange carries (key, 32-hex fp), never the payload. At 100 TB both
+    snapshots shuffle — unavoidable for a keyed diff — but bucketing both
+    snapshots on the key at write time turns this into a zero-exchange
+    zip (see sources.write_bucketed).
+
+    NULL semantics: a NULL payload column fingerprints as the empty
+    string via concat_ws (engine-portable; DuckDB's concat_ws agrees),
+    so NULL vs '' is NOT distinguished — document-content columns are
+    non-null by contract (TESTDATA.md)."""
+    fp = F.md5(F.concat_ws("\x1f", *payload_cols))
+    o = old.select(F.col(key_col), fp.alias("_fp_old"))
+    n = new.select(F.col(key_col), fp.alias("_fp_new"))
+    joined = o.join(n, key_col, "full_outer")
+    return joined.select(
+        key_col,
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

@@ -533,3 +533,55 @@ def corpus_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         r5.alias("r_top_gram"),
         (r1 & r2 & r3 & r4 & r5).alias("keep"),
     )
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+WITH o AS (
+  SELECT doc_id, md5(concat_ws(chr(31), text)) AS fp
+  FROM documents WHERE doc_id % 7 <> 0
+),
+n AS (
+  SELECT doc_id,
+         md5(concat_ws(chr(31),
+             CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END)) AS fp
+  FROM documents WHERE doc_id % 5 <> 0
+),
+d AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.fp IS NULL THEN 'added'
+              WHEN n.fp IS NULL THEN 'removed'
+              WHEN o.fp <> n.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM o FULL JOIN n ON o.doc_id = n.doc_id
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n,
+       min(doc_id) AS min_key, max(doc_id) AS max_key
+FROM d GROUP BY 1
+""",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning audit between two corpus snapshots (the "what
+    changed since the last shard cut" report). The snapshots are carved
+    deterministically from the documents table: the old snapshot lacks
+    every 7th document, the new one lacks every 5th and rewrites every
+    11th — exercising all four diff statuses. One keyed shuffle; see
+    corpusprep.snapshot_diff."""
+    docs = _load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0, F.upper(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return (
+        corpusprep.snapshot_diff(old, new)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("doc_id").alias("min_key"),
+            F.max("doc_id").alias("max_key"),
+        )
+    )

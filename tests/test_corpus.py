@@ -245,3 +245,35 @@ def test_interleave_single_source_identity_order(spark):
     df = spark.createDataFrame([(i, "s") for i in range(10)], "doc_id long, source string")
     out = sorted(corpusprep.interleave_sources(df).collect(), key=lambda r: r["position"])
     assert [r["doc_id"] for r in out] == list(range(10))
+
+
+def test_snapshot_diff_all_four_statuses(spark):
+    from hadoop_1_spark.operators import corpusprep
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpusprep.snapshot_diff(old, new).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_multicol_payload(spark):
+    from hadoop_1_spark.operators import corpusprep
+
+    old = spark.createDataFrame([(1, "a", "x")], "doc_id long, text string, lang string")
+    new = spark.createDataFrame([(1, "a", "y")], "doc_id long, text string, lang string")
+    # payload includes lang -> changed; payload text-only -> unchanged
+    both = corpusprep.snapshot_diff(old, new, payload_cols=("text", "lang")).collect()
+    assert both[0]["status"] == "changed"
+    text_only = corpusprep.snapshot_diff(old, new, payload_cols=("text",)).collect()
+    assert text_only[0]["status"] == "unchanged"
+
+
+def test_snapshot_diff_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "corpus_snapshot_diff")
