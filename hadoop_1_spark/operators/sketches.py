@@ -208,7 +208,8 @@ def cms_bucket_sql(item_expr: str, d: int, width: int) -> str:
 
 
 def cms_build(items: DataFrame, col: str, depth: int = CMS_DEPTH,
-              width: int = CMS_WIDTH, weight_col: str | None = None) -> DataFrame:
+              width: int = CMS_WIDTH, weight_col: str | None = None,
+              group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) of an item stream:
     a (depth × width) counter grid where row d counts items hashing to
     bucket md5(d ':' item) % width. Returns the grid as (d, bucket, cnt)
@@ -224,9 +225,15 @@ def cms_build(items: DataFrame, col: str, depth: int = CMS_DEPTH,
 
     Unlike a random-seeded CMS, the hash family is md5-derived, so the
     grid — and therefore every estimate read from it — is fully
-    deterministic and replayable in the DuckDB oracle."""
+    deterministic and replayable in the DuckDB oracle.
+
+    ``group_cols`` builds one grid PER group value in a single
+    aggregation (e.g. a side tag when sketching both inputs of a join in
+    one pass) — the output is keyed (*group_cols, d, bucket) and stays
+    bounded at groups * depth * width rows."""
     w = F.col(weight_col) if weight_col else F.lit(1)
     rows = items.select(
+        *group_cols,
         w.cast("bigint").alias("_w"),
         F.explode(
             F.array(*[
@@ -238,7 +245,7 @@ def cms_build(items: DataFrame, col: str, depth: int = CMS_DEPTH,
             ])
         ).alias("_h"),
     )
-    return rows.groupBy("_h.d", "_h.bucket").agg(
+    return rows.groupBy(*group_cols, "_h.d", "_h.bucket").agg(
         F.sum("_w").cast("bigint").alias("cnt")
     )
 

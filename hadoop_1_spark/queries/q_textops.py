@@ -453,12 +453,36 @@ def sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem.l_orderkey and orders.o_orderkey, inner-product estimator
     (min over depths). The estimate upper-bounds the true lineitem⋈orders
     cardinality and is exact integer arithmetic over two bounded grids.
-    See sketches.cms_join_cardinality."""
-    li = _load(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
-    od = _load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
-    ga = sketches.cms_build(li, "k", width=CMS_JC_WIDTH)
-    gb = sketches.cms_build(od, "k", width=CMS_JC_WIDTH)
-    return sketches.cms_join_cardinality(ga, gb)
+    See sketches.cms_join_cardinality.
+
+    Single-pass shape: both sides union into ONE tagged key-count
+    aggregation (the md5 family then hashes each DISTINCT key once via
+    the weight_col path, not every raw row — a 2.5x hash-work cut on
+    lineitem's 4-rows-per-order profile), and both grids come out of one
+    grouped aggregation whose persisted, bounded result feeds the
+    inner-product join — one corpus-scan job instead of two."""
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), F.lit(0).alias("side")
+    )
+    od = _load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.lit(1).alias("side")
+    )
+    keys = (
+        li.unionByName(od)
+        .groupBy("side", "k")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    grid = persist_tracked(
+        sketches.cms_build(
+            keys, "k", width=CMS_JC_WIDTH, weight_col="w", group_cols=("side",)
+        )
+    )
+    return sketches.cms_join_cardinality(
+        grid.where(F.col("side") == 0).drop("side"),
+        grid.where(F.col("side") == 1).drop("side"),
+    )
 
 
 @register(
