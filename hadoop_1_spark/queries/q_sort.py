@@ -268,3 +268,67 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").cast("bigint").alias("min_sk"),
         F.max("l_suppkey").cast("bigint").alias("max_sk"),
     )
+
+
+NPRUNE_BUCKETS = 16
+
+
+@register(
+    "layout_stats_prune",
+    oracle=f"""
+WITH b AS (SELECT min(l_orderkey) AS mn, max(l_orderkey) AS mx FROM lineitem),
+z AS (
+  SELECT ((l_orderkey - mn) * {NPRUNE_BUCKETS}) // (mx - mn + 1) AS bucket,
+         l_orderkey
+  FROM lineitem, b
+),
+m AS (
+  SELECT bucket, count(*) AS n_rows,
+         min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+  FROM z GROUP BY 1
+),
+w AS (SELECT mn + ((mx - mn) * 3) // 10 AS lo, mn + ((mx - mn) * 6) // 10 AS hi FROM b)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(min_key AS BIGINT) AS min_key, CAST(max_key AS BIGINT) AS max_key,
+       (max_key >= lo AND min_key <= hi) AS selected
+FROM m, w
+""",
+)
+def layout_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data-skipping planner view: bucket lineitem into 16
+    disjoint l_orderkey ranges (exact integer arithmetic from a 1-row
+    broadcast of the domain bounds — the envelopes a range-sorted write
+    gives each file), then evaluate a 30-60% domain-window predicate
+    against each envelope. ``selected`` marks the files a pruned read
+    would open — everything else is skipped before any scan starts. The
+    real write -> manifest -> pruned-scan round trip (same math over
+    actual parquet files) is sources/skipping.py, covered by
+    tests/test_sources.py."""
+    li = _load(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_orderkey").alias("mn"), F.max("l_orderkey").alias("mx")
+    )
+    z = li.crossJoin(F.broadcast(b)).select(
+        F.expr(
+            f"((l_orderkey - mn) * {NPRUNE_BUCKETS}) div (mx - mn + 1)"
+        ).alias("bucket"),
+        "l_orderkey",
+        "mn",
+        "mx",
+    )
+    m = z.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("l_orderkey").cast("bigint").alias("min_key"),
+        F.max("l_orderkey").cast("bigint").alias("max_key"),
+        F.first("mn").alias("mn"),
+        F.first("mx").alias("mx"),
+    )
+    lo = F.col("mn") + F.expr("((mx - mn) * 3) div 10")
+    hi = F.col("mn") + F.expr("((mx - mn) * 6) div 10")
+    return m.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_rows",
+        "min_key",
+        "max_key",
+        ((F.col("max_key") >= lo) & (F.col("min_key") <= hi)).alias("selected"),
+    )

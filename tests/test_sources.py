@@ -265,3 +265,51 @@ def test_write_bloom_map_lookup_and_bytes(spark, tmp_path):
         spark.read.parquet(with_bloom).where(F.col("key") == "k31415").collect()
     )
     assert [(r["key"], r["value"]) for r in got] == [("k31415", 94245)]
+
+
+def test_stats_prune_roundtrip(spark, tmp_path):
+    """write_range_sorted -> file_stats -> pruned_read: fewer files
+    opened, identical rows to the full-scan filter."""
+    from hadoop_1_spark.sources import skipping
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 100).alias("v")
+    )
+    path = str(tmp_path / "sorted")
+    skipping.write_range_sorted(df, path, "k", n_files=8)
+
+    stats = skipping.file_stats(spark, path, "k")
+    srows = stats.collect()
+    assert len(srows) == 8
+    assert sum(r["n_rows"] for r in srows) == 10_000
+    # range-sorted layout => disjoint envelopes
+    spans = sorted((r["min_v"], r["max_v"]) for r in srows)
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert b < c
+
+    got, n_files = skipping.pruned_read(spark, stats, "k", 2_000, 3_500)
+    assert n_files < 8  # pruning actually skipped files
+    expect = sorted(
+        (r["k"], r["v"])
+        for r in spark.read.parquet(path).where(F.col("k").between(2000, 3500)).collect()
+    )
+    assert sorted((r["k"], r["v"]) for r in got.collect()) == expect
+
+
+def test_stats_prune_empty_window(spark, tmp_path):
+    from hadoop_1_spark.sources import skipping
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    path = str(tmp_path / "sorted2")
+    skipping.write_range_sorted(df, path, "k", n_files=4)
+    stats = skipping.file_stats(spark, path, "k")
+    got, n_files = skipping.pruned_read(spark, stats, "k", 1_000, 2_000)
+    assert n_files == 0
+    assert got.count() == 0
+    assert got.schema == spark.read.parquet(path).schema
+
+
+def test_layout_stats_prune_matches_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "layout_stats_prune")
