@@ -289,3 +289,49 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
     )
+
+
+_PTOKS = (
+    "list_distinct(list_filter("
+    "string_split_regex(trim(lower(p_name || ' ' || p_type)), '\\s+'),"
+    " t -> t <> ''))"
+)
+
+
+@register(
+    "entity_match_parts",
+    oracle=f"""
+WITH tok AS (
+  SELECT p_brand AS blk, p_partkey AS id, unnest({_PTOKS}) AS token FROM part
+),
+sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS c
+  FROM tok a JOIN tok b ON a.blk = b.blk AND a.token = b.token AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id1, id2,
+       CAST((c * 1000000) // (s1.n + s2.n - c) AS BIGINT) AS jaccard_q6
+FROM inter
+JOIN sizes s1 ON inter.id1 = s1.id
+JOIN sizes s2 ON inter.id2 = s2.id
+WHERE (c * 1000000) // (s1.n + s2.n - c) >= 660000
+""",
+)
+def entity_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part dimension: block by brand, match
+    on the token set of name + type with exact q6 Jaccard >= 0.66 — the
+    master-data "same product, different row" report. Blocking bounds
+    candidate generation to in-brand pairs sharing a token; see
+    operators/linkage.py for the scale levers (block choice,
+    hot_token_cap)."""
+    from hadoop_1_spark.operators import linkage
+
+    part = _load(spark, sf_dir, "part")
+    return linkage.blocked_jaccard_match(
+        part,
+        id_col="p_partkey",
+        text=F.concat_ws(" ", F.col("p_name"), F.col("p_type")),
+        block_cols=("p_brand",),
+        min_jaccard_q6=660000,
+    )

@@ -141,3 +141,55 @@ def test_salted_join_rejects_full_outer(spark):
     df = spark.range(1).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         salted_join(df, df, "k", "k", 2, salt_src=F.col("k"), how="full")
+
+
+def test_blocked_jaccard_match_blocks_and_threshold(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.operators import linkage
+
+    recs = spark.createDataFrame(
+        [
+            (1, "acme inc", "east"),
+            (2, "acme incorporated", "east"),   # shares 'acme' only: 1/3
+            (3, "acme inc", "west"),            # identical text, other block
+            (4, "acme inc", "east"),            # exact dup of 1
+        ],
+        "id long, name string, region string",
+    )
+    got = {
+        (r["id1"], r["id2"]): r["jaccard_q6"]
+        for r in linkage.blocked_jaccard_match(
+            recs, "id", F.col("name"), ("region",), min_jaccard_q6=0
+        ).collect()
+    }
+    # cross-block pair (1,3)/(3,4) never compared
+    assert (1, 3) not in got and (3, 4) not in got
+    assert got[(1, 4)] == 1_000_000
+    assert got[(1, 2)] == got[(2, 4)] == 1_000_000 // 3
+    assert (1, 2) in got and (2, 4) in got and len(got) == 3
+
+
+def test_blocked_jaccard_hot_token_cap(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.operators import linkage
+
+    # 'common' appears in all 4 records -> dropped at cap 3; pairs then
+    # only form via the rarer tokens
+    recs = spark.createDataFrame(
+        [(i, f"common tok{i // 2}") for i in range(4)],
+        "id long, name string",
+    )
+    recs = recs.withColumn("blk", F.lit("b"))
+    capped = linkage.blocked_jaccard_match(
+        recs, "id", F.col("name"), ("blk",), min_jaccard_q6=0, hot_token_cap=3
+    ).collect()
+    got = {(r["id1"], r["id2"]) for r in capped}
+    assert got == {(0, 1), (2, 3)}  # only the tok0/tok1 co-members meet
+
+
+def test_entity_match_parts_matches_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "entity_match_parts")
