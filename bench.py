@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "sketch_join_cardinality", # CMS inner-product join-size estimate
     "corpus_interleave",       # source-interleaved training order
     "corpus_gopher_filter",    # composite Gopher-rules quality filter
+    "text_lm_score",           # CCNet-style integer-exact LM quality scoring
+    "corpus_snapshot_diff",    # dataset-versioning keyed fingerprint diff
+    "entity_match_parts",      # blocked record linkage (q6 Jaccard)
+    "layout_stats_prune",      # min/max envelope pruning planner view
 ]
 
 

@@ -324,3 +324,86 @@ def sample_quantiles(
             F.round(F.element_at("_v", idx), 6).alias(f"p{int(q * 100)}")
         )
     return vals.select(*cols)
+
+
+def kmv_set_estimates(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV set algebra (Beyer et al. 2007, §4): pairwise union and
+    intersection cardinality estimates between every two groups, read
+    off the groups' bottom-k hash sketches — no pass over the data
+    beyond the one distinct shuffle that builds the sketches.
+
+    For a pair (A, B): K(A∪B) = bottom-k of K(A) ∪ K(B), so
+    |A∪B| ≈ (k-1)/frac(h_(k)) on the merged set, and with
+    ρ = |{h ∈ bottom-k(merged): h ∈ K(A) ∩ K(B)}| / k,
+    |A∩B| ≈ ρ · |A∪B|. When the merged set has fewer than k hashes both
+    input sketches were complete, so union and intersection are EXACT.
+
+    Everything after the sketch build is bounded: groups·k rows, then
+    pairs·k — planner-scale relations no matter the data volume (the
+    same role the CMS join-cardinality estimator plays, with set
+    semantics instead of multiset). md5-deterministic end to end, so the
+    oracle checks the ESTIMATES themselves."""
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    h = df.select(
+        F.col(group_col).alias("_g"),
+        F.md5(F.col(value_col).cast("string")).alias("_h"),
+    ).distinct()
+    w = Window.partitionBy("_g").orderBy("_h")
+    topk = persist_tracked(
+        h.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= k).drop("_rk")
+    )
+    groups = topk.select("_g").distinct()
+    # bounded pair table (|groups|^2 rows) — the tiny labeled cross join
+    pairs = (
+        groups.select(F.col("_g").alias("g1"))
+        .crossJoin(groups.select(F.col("_g").alias("g2")))
+        .where(F.col("g1") < F.col("g2"))
+    )
+    e1 = topk.join(F.broadcast(pairs), topk["_g"] == pairs["g1"]).select(
+        "g1", "g2", "_h", F.lit(1).alias("_a"), F.lit(0).alias("_b")
+    )
+    e2 = topk.join(F.broadcast(pairs), topk["_g"] == pairs["g2"]).select(
+        "g1", "g2", "_h", F.lit(0).alias("_a"), F.lit(1).alias("_b")
+    )
+    merged = (
+        e1.unionByName(e2)
+        .groupBy("g1", "g2", "_h")
+        .agg(F.max("_a").alias("_ina"), F.max("_b").alias("_inb"))
+    )
+    wm = Window.partitionBy("g1", "g2").orderBy("_h")
+    frac = (
+        F.conv(F.substring("_h", 1, 13), 16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(float(16**13))
+    r = merged.withColumn("_rk", F.row_number().over(wm))
+    stats = r.groupBy("g1", "g2").agg(
+        F.count(F.lit(1)).alias("_total"),
+        F.max(F.when(F.col("_rk") == k, frac)).alias("_kth"),
+        F.sum(
+            F.when(
+                (F.col("_rk") <= k) & (F.col("_ina") == 1) & (F.col("_inb") == 1), 1
+            ).otherwise(0)
+        ).alias("_both"),
+    )
+    exact = F.col("_total") < k
+    union_est = F.when(exact, F.col("_total").cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) / F.col("_kth"), 6)
+    )
+    inter_est = F.when(exact, F.col("_both").cast("double")).otherwise(
+        F.round(
+            F.col("_both") * F.lit(float(k - 1)) / (F.lit(float(k)) * F.col("_kth")),
+            6,
+        )
+    )
+    return stats.select(
+        F.col("g1").alias("type_a"),
+        F.col("g2").alias("type_b"),
+        union_est.alias("union_est"),
+        inter_est.alias("inter_est"),
+        F.col("_both").cast("int").alias("n_common_hashes"),
+    )

@@ -351,3 +351,47 @@ def percentile_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.sample_quantiles(
         ev, "event_type", "value", "event_id", s=200, qs=(0.5, 0.95, 0.99)
     )
+
+
+@register(
+    "sketch_kmv_setops",
+    oracle=f"""
+WITH h AS (SELECT DISTINCT event_type AS g, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+tk AS (SELECT g, h FROM (
+         SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM h)
+       WHERE rk <= {KMV_K}),
+gs AS (SELECT DISTINCT g FROM tk),
+pairs AS (SELECT a.g AS g1, b.g AS g2 FROM gs a, gs b WHERE a.g < b.g),
+e AS (
+  SELECT p.g1, p.g2, t.h,
+         max(CASE WHEN t.g = p.g1 THEN 1 ELSE 0 END) AS ina,
+         max(CASE WHEN t.g = p.g2 THEN 1 ELSE 0 END) AS inb
+  FROM pairs p JOIN tk t ON t.g = p.g1 OR t.g = p.g2
+  GROUP BY 1, 2, 3
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rk FROM e),
+s AS (
+  SELECT g1, g2, count(*) AS total,
+         max(CASE WHEN rk = {KMV_K}
+             THEN (CAST(('0x' || substr(h, 1, 13))::BIGINT AS DOUBLE) + 1.0)
+                  / 4503599627370496.0 END) AS kth,
+         sum(CASE WHEN rk <= {KMV_K} AND ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS nb
+  FROM r GROUP BY 1, 2
+)
+SELECT g1 AS type_a, g2 AS type_b,
+       CASE WHEN total < {KMV_K} THEN CAST(total AS DOUBLE)
+            ELSE round({KMV_K - 1}.0 / kth, 6) END AS union_est,
+       CASE WHEN total < {KMV_K} THEN CAST(nb AS DOUBLE)
+            ELSE round(nb * {KMV_K - 1}.0 / ({KMV_K}.0 * kth), 6) END AS inter_est,
+       CAST(nb AS INT) AS n_common_hashes
+FROM s
+""",
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra between event-type audiences: pairwise union and
+    intersection (overlap) estimates of the user sets, read from the
+    bottom-k sketches alone — the audience-overlap planner that never
+    re-scans the data. Exact below k per pair, deterministic md5 family,
+    estimates themselves oracle-checked. See agg.kmv_set_estimates."""
+    ev = _load(spark, sf_dir, "events")
+    return agg.kmv_set_estimates(ev, "event_type", "user_id", k=KMV_K)

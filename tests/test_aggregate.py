@@ -95,3 +95,45 @@ def test_sample_quantiles_exact_when_group_fits_sample(spark):
     # n=100 <= s: sample is the whole group -> index quantiles of 0..99
     assert row.p50 == 49.0   # floor(99*0.5)=49
     assert row.p95 == 94.0   # floor(99*0.95)=94
+
+
+def test_kmv_setops_exact_below_k(spark):
+    rows = [("a", u) for u in range(10)] + [("b", u) for u in range(5, 15)]
+    df = spark.createDataFrame(rows, "g string, u long")
+    out = agg.kmv_set_estimates(df, "g", "u", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"]) == ("a", "b")
+    assert r["union_est"] == 15.0   # exact below k
+    assert r["inter_est"] == 5.0
+
+
+def test_kmv_setops_estimate_matches_python_replay(spark):
+    import hashlib
+
+    k = 8
+    a_vals = list(range(100))
+    b_vals = list(range(50, 150))
+    rows = [("a", u) for u in a_vals] + [("b", u) for u in b_vals]
+    df = spark.createDataFrame(rows, "g string, u long")
+    got = agg.kmv_set_estimates(df, "g", "u", k=k).collect()[0]
+
+    def bottomk(vals):
+        return sorted({hashlib.md5(str(v).encode()).hexdigest() for v in vals})[:k]
+
+    ka, kb = bottomk(a_vals), bottomk(b_vals)
+    merged = sorted(set(ka) | set(kb))
+    bot = merged[:k]
+    kth = (int(bot[k - 1][:13], 16) + 1.0) / 16**13
+    union_est = round((k - 1) / kth, 6)
+    nb = sum(1 for h in bot if h in set(ka) and h in set(kb))
+    inter_est = round(nb * (k - 1) / (k * kth), 6)
+    assert got["union_est"] == union_est
+    assert got["inter_est"] == inter_est
+    assert got["n_common_hashes"] == nb
+    # directional sanity: true union 150, true inter 50
+    assert 0 < got["inter_est"] < got["union_est"]
+
+
+def test_kmv_setops_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sketch_kmv_setops")
