@@ -91,6 +91,16 @@ def main() -> None:
         "overwrite"
     ).parquet(os.path.join(out, "supplier.parquet"))
 
+    # part: 10x by disjoint p_partkey, SAME 25 brands — blocks grow 10x,
+    # so the blocked-linkage probe honestly measures the quadratic
+    # in-block candidate growth (the finer-block-key lever at scale)
+    pt = spark.read.parquet("/root/testdata/sf0.1/part.parquet")
+    out_pt = None
+    for i in range(10):
+        c = pt.withColumn("p_partkey", F.col("p_partkey") + F.lit(i * 10_000_000))
+        out_pt = c if out_pt is None else out_pt.unionByName(c)
+    out_pt.write.mode("overwrite").parquet(os.path.join(out, "part.parquet"))
+
     # events: 10x by disjoint user/event id ranges (10x the users, same
     # per-user history density — sessionization cost scales with keys)
     ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")

@@ -47,6 +47,13 @@ QUERIES = [
     "sketch_join_cardinality",
     "corpus_interleave",
     "corpus_gopher_filter",
+    # round-5 third block
+    "text_lm_score",
+    "corpus_snapshot_diff",
+    "entity_match_parts",
+    "entity_match_parts_fine",
+    "layout_stats_prune",
+    "sketch_kmv_setops",
 ]
 
 

@@ -193,3 +193,9 @@ def test_entity_match_parts_matches_oracle(spark, duck):
     from tests.conftest import assert_query_matches_oracle
 
     assert_query_matches_oracle(spark, duck, "entity_match_parts")
+
+
+def test_entity_match_fine_matches_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "entity_match_parts_fine")
