@@ -602,8 +602,12 @@ def lm_score(
     bitlen = lambda c: F.length(F.bin(c)).cast("long")  # noqa: E731
 
     vocab = persist_tracked(model)
+    # coalesce: an EMPTY model (degenerate but legal) must yield D = 1,
+    # not NULL-poison every score (sum over zero rows is NULL)
     totals = vocab.agg(
-        (F.sum("c") + F.count(F.lit(1)) + 1).cast("bigint").alias("_d")
+        (F.coalesce(F.sum("c"), F.lit(0)) + F.count(F.lit(1)) + 1)
+        .cast("bigint")
+        .alias("_d")
     ).select(
         "_d",
         bitlen(F.col("_d")).alias("_dbits"),

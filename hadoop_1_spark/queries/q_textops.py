@@ -511,8 +511,8 @@ WITH model AS (
   GROUP BY 1
 ),
 tot AS (
-  SELECT CAST(sum(c) + count(*) + 1 AS BIGINT) AS d,
-         CAST(length(bin(CAST(sum(c) + count(*) + 1 AS BIGINT))) AS BIGINT) AS dbits
+  SELECT CAST(coalesce(sum(c), 0) + count(*) + 1 AS BIGINT) AS d,
+         CAST(length(bin(CAST(coalesce(sum(c), 0) + count(*) + 1 AS BIGINT))) AS BIGINT) AS dbits
   FROM model
 ),
 tok AS (SELECT doc_id, unnest({_TOKS_L}) AS token FROM documents),

@@ -594,3 +594,42 @@ def test_zorder_key_injective_on_grid(spark, bits):
         F.countDistinct("z").alias("d"), F.min("z").alias("mn"), F.max("z").alias("mx")
     ).collect()[0]
     assert (stats["d"], stats["mn"], stats["mx"]) == (n * n, 0, n * n - 1)
+
+
+# ---------------------------------------------------------------------------
+# LM scoring vs a direct Python replay of the smoothed-score arithmetic
+
+
+@given(
+    st.lists(st.text(alphabet="ab x", min_size=0, max_size=24), min_size=1, max_size=12),
+    st.lists(st.text(alphabet="abc x", min_size=0, max_size=24), min_size=1, max_size=12),
+)
+@settings(max_examples=6, deadline=None)
+def test_lm_score_matches_python_replay(spark, train_texts, doc_texts):
+    from hadoop_1_spark.operators import textops
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(doc_texts)], "doc_id long, text string"
+    )
+    model = textops.unigram_lm(train)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["surprisal_bits"], r["mean_invp_q6"])
+        for r in textops.lm_score(docs, model).collect()
+    }
+
+    # pure-Python replay of the add-1-smoothed integer arithmetic
+    counts: dict[str, int] = {}
+    for t in train_texts:
+        for tok in t.lower().split():
+            counts[tok] = counts.get(tok, 0) + 1
+    D = sum(counts.values()) + len(counts) + 1
+    dbits = D.bit_length()
+    for i, t in enumerate(doc_texts):
+        toks = t.lower().split()
+        bits = sum(dbits - (counts.get(tok, 0) + 1).bit_length() for tok in toks)
+        sinv = sum((D * 1_000_000) // (counts.get(tok, 0) + 1) for tok in toks)
+        mean = sinv // max(len(toks), 1)
+        assert got[i] == (len(toks), bits, mean), (i, t, got[i])
