@@ -585,3 +585,72 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_key"),
         )
     )
+
+
+def _refresh_plan_oracle() -> str:
+    # composes the already-verified text_lm_score oracle as a subquery —
+    # the corpus_clean composition idiom: check the composition, don't
+    # re-derive the stage
+    from hadoop_1_spark.registry import ORACLE
+
+    return f"""
+WITH o AS (
+  SELECT doc_id, md5(concat_ws(chr(31), text)) AS fp
+  FROM documents WHERE doc_id % 7 <> 0
+),
+n AS (
+  SELECT doc_id,
+         md5(concat_ws(chr(31),
+             CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END)) AS fp
+  FROM documents WHERE doc_id % 5 <> 0
+),
+d AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.fp IS NULL THEN 'added'
+              WHEN n.fp IS NULL THEN 'removed'
+              WHEN o.fp <> n.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM o FULL JOIN n ON o.doc_id = n.doc_id
+),
+lm AS ({ORACLE["text_lm_score"]})
+SELECT d.status, lm.keep,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(lm.n_tokens) AS BIGINT) AS n_tokens
+FROM d JOIN lm USING (doc_id)
+WHERE d.status <> 'removed'
+GROUP BY 1, 2
+"""
+
+
+@register("corpus_refresh_plan", oracle=_refresh_plan_oracle())
+def corpus_refresh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refresh decision artifact a pipeline produces before
+    re-cutting shards: for every document in the NEW snapshot, its diff
+    status (added/changed/unchanged vs the old snapshot) crossed with
+    the LM quality gate, with document and token counts per cell — "the
+    crawl refresh adds N docs / M tokens that pass the gate". Composes
+    two independently-verified stages (corpusprep.snapshot_diff +
+    textops.lm_score); the LM scores the documents table directly, which
+    equals scoring the new snapshot's text because the rewrite
+    (upper-casing) is erased by the scorer's case-folding — asserted in
+    tests. Scale: the diff's keyed shuffle + the scorer's broadcast
+    model join; the composition adds one doc_id-keyed join."""
+    docs = _load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0, F.upper(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    diff = corpusprep.snapshot_diff(old, new).where(F.col("status") != "removed")
+    model = textops.unigram_lm(docs.where(F.col("source") == "src0"))
+    scored = textops.lm_score(docs, model).select("doc_id", "n_tokens", "keep")
+    return (
+        diff.join(scored, "doc_id")
+        .groupBy("status", "keep")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -277,3 +277,21 @@ def test_snapshot_diff_multicol_payload(spark):
 
 def test_snapshot_diff_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "corpus_snapshot_diff")
+
+
+def test_refresh_plan_casefold_invariance_and_oracle(spark, duck):
+    # the composition claim: upper-casing (the snapshot rewrite) does not
+    # change LM scores, so scoring `documents` == scoring the new snapshot
+    from hadoop_1_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "a B c"), (2, "A b C")], "doc_id long, text string"
+    )
+    model = textops.unigram_lm(docs)
+    from pyspark.sql import functions as F
+
+    upper = docs.withColumn("text", F.upper(F.col("text")))
+    a = {r["doc_id"]: r["mean_invp_q6"] for r in textops.lm_score(docs, model).collect()}
+    b = {r["doc_id"]: r["mean_invp_q6"] for r in textops.lm_score(upper, model).collect()}
+    assert a == b
+    assert_query_matches_oracle(spark, duck, "corpus_refresh_plan")
