@@ -658,3 +658,117 @@ def lm_score(
             ),
         )
     )
+
+
+# Sentence-start sentinel for the bigram LM. A control character cannot
+# be produced by whitespace tokenization of normal text; the contract is
+# simply "corpus tokens never equal chr(2)".
+BIGRAM_BOS = "\x02"
+
+
+def _bigram_pairs(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
+    """(prev, tok) pairs per document from the token array directly —
+    no window, no extra shuffle: position i's predecessor is read out of
+    the same array (BOS sentinel at i=1). The slice(...) wrapper guards
+    the empty-token case: Spark's sequence(1, 0) is DESCENDING ([1, 0]),
+    so without it an empty document would emit two junk pair rows."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    pairs = F.expr(
+        "slice(transform(sequence(1, size(_toks)), i -> "
+        f"struct(if(i = 1, '{BIGRAM_BOS}', get(_toks, i - 2)) AS prev, "
+        "get(_toks, i - 1) AS tok)), "
+        "1, size(_toks))"
+    )
+    cols = [F.col(id_col)] if id_col else []
+    return (
+        df.withColumn("_toks", toks)
+        .select(*cols, F.explode_outer(pairs).alias("_p"))
+        .select(*cols, F.col("_p.prev").alias("prev"), F.col("_p.tok").alias("tok"))
+    )
+
+
+def lm_score_bigram(
+    docs: DataFrame,
+    train: DataFrame,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    perplexity_cap: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated bigram LM scoring — the closer-to-CCNet sibling of
+    lm_score, still exact bigint arithmetic end to end.
+
+    Token probability under the λ-mixture (λ = lam_num/lam_den):
+      p(t | prev) = λ·(c(prev,t)+1)/(c(prev)+V+1) + (1-λ)·(c(t)+1)/D
+    with D = N+V+1 (lm_score's smoothing) and BOS as position-1 context.
+    The per-token q6 inverse probability is the exact rational
+      inv = (lam_den·db·du·10^6) div (lam_num·nb·du + (lam_den-lam_num)·nu·db)
+    where nb = c(prev,t)+1, db = c(prev)+V+1, nu = c(t)+1, du = D — all
+    integers, so the oracle replays the MIXTURE bit-for-bit (a float λ
+    would immediately lose cross-engine exactness).
+
+    Overflow bound: lam_den·db·du·10^6 < 2^63 needs db·du < 9.2e11, i.e.
+    a training slice under ~1M tokens at these constants. Bigger curated
+    slices drop the q6 constant to q3 (adds 9.6e5 headroom per decade) or
+    move the product to decimal(38,0); the bigint form is kept for
+    whole-stage codegen.
+
+    Shape at scale: the bigram/context/unigram relations are vocab- and
+    bigram-bounded → broadcast joins against the (prev, tok) stream (at
+    web-scale bigram tables, swap the bigram join to a shuffle join on
+    (prev, tok) — the stream is already keyed by it); the 1-row totals
+    relation attaches via a broadcast NLJ (the layout_zorder bounds
+    idiom) because du sits inside each token's div, unlike lm_score's
+    algebraically-foldable OOV mass."""
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    # inner-explode semantics on the model side: an empty training doc
+    # must contribute NO rows (explode_outer's NULL row would otherwise
+    # pollute the vocab/context groups with a NULL entry)
+    tp = persist_tracked(
+        _bigram_pairs(train, text_col, None).where(F.col("tok").isNotNull())
+    )
+    uni = tp.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("_cu"))
+    totals = uni.agg(
+        (F.coalesce(F.sum("_cu"), F.lit(0)) + F.count(F.lit(1)) + 1)
+        .cast("bigint")
+        .alias("_du"),
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("_v1"),
+    )
+    big = tp.groupBy("prev", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cb")
+    )
+    ctx = tp.groupBy("prev").agg(F.count(F.lit(1)).cast("bigint").alias("_cc"))
+
+    dp = _bigram_pairs(docs, text_col, id_col)
+    j = (
+        dp.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(big), ["prev", "tok"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .join(F.broadcast(uni), "tok", "left")
+    )
+    lam2 = lam_den - lam_num
+    inv = F.expr(
+        f"""
+        ({lam_den} * (coalesce(_cc, CAST(0 AS BIGINT)) + _v1) * _du * 1000000) div
+        ({lam_num} * (coalesce(_cb, CAST(0 AS BIGINT)) + 1) * _du
+         + {lam2} * (coalesce(_cu, CAST(0 AS BIGINT)) + 1)
+                  * (coalesce(_cc, CAST(0 AS BIGINT)) + _v1))
+        """
+    )
+    per = j.groupBy(id_col).agg(
+        F.count("tok").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.sum(F.when(F.col("tok").isNotNull(), inv)), F.lit(0))
+        .cast("bigint")
+        .alias("_s_inv"),
+    )
+    return per.withColumn(
+        "mean_invp_q6",
+        F.expr("_s_inv div greatest(n_tokens, CAST(1 AS BIGINT))").cast("bigint"),
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        "mean_invp_q6",
+        (F.col("mean_invp_q6") <= F.lit(perplexity_cap * 1000000)).alias("keep"),
+    )

@@ -547,3 +547,61 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     model = textops.unigram_lm(docs.where(F.col("source") == "src0"))
     return textops.lm_score(docs, model)
+
+
+@register(
+    "text_lm_score_bigram",
+    oracle=f"""
+WITH tr AS (
+  SELECT {_TOKS_L} AS toks FROM documents WHERE source = 'src0'
+),
+tp AS (
+  SELECT CASE WHEN i = 1 THEN chr(2) ELSE toks[i - 1] END AS prev, toks[i] AS tok
+  FROM (SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM tr)
+),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM tp GROUP BY 1),
+tot AS (
+  SELECT CAST(coalesce(sum(cu), 0) + count(*) + 1 AS BIGINT) AS du,
+         CAST(count(*) + 1 AS BIGINT) AS v1
+  FROM uni
+),
+big AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS cb FROM tp GROUP BY 1, 2),
+ctx AS (SELECT prev, CAST(count(*) AS BIGINT) AS cc FROM tp GROUP BY 1),
+dp AS (
+  SELECT doc_id,
+         CASE WHEN i = 1 THEN chr(2) ELSE toks[i - 1] END AS prev, toks[i] AS tok
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+        FROM (SELECT doc_id, {_TOKS_L} AS toks FROM documents))
+),
+per AS (
+  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(
+           (10 * (coalesce(ctx.cc, 0) + tot.v1) * tot.du * 1000000) //
+           (7 * (coalesce(big.cb, 0) + 1) * tot.du
+            + 3 * (coalesce(uni.cu, 0) + 1) * (coalesce(ctx.cc, 0) + tot.v1))
+         ) AS BIGINT) AS s
+  FROM dp d CROSS JOIN tot
+  LEFT JOIN big ON d.prev = big.prev AND d.tok = big.tok
+  LEFT JOIN ctx ON d.prev = ctx.prev
+  LEFT JOIN uni ON d.tok = uni.tok
+  GROUP BY 1
+)
+SELECT dd.doc_id,
+       CAST(coalesce(per.n, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(per.s, 0) // greatest(coalesce(per.n, 0), 1) AS BIGINT)
+         AS mean_invp_q6,
+       (coalesce(per.s, 0) // greatest(coalesce(per.n, 0), 1)) <= 40000000
+         AS keep
+FROM (SELECT doc_id FROM documents) dd
+LEFT JOIN per ON dd.doc_id = per.doc_id
+""",
+)
+def text_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality scoring (λ = 0.7 bigram / 0.3
+    unigram, BOS context at position 1) — the closer-to-CCNet twin of
+    text_lm_score, with the λ-mixture computed as an exact integer
+    rational so the DuckDB oracle replays the estimates bit-for-bit.
+    Same curated src0 training slice and effective-vocab keep cap. See
+    textops.lm_score_bigram for the overflow bound and the scale notes."""
+    docs = _load(spark, sf_dir, "documents")
+    return textops.lm_score_bigram(docs, docs.where(F.col("source") == "src0"))

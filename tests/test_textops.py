@@ -213,3 +213,42 @@ def test_lm_score_oov_matches_smoothed_formula(spark):
 
 def test_lm_score_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "text_lm_score")
+
+
+def test_lm_bigram_hand_case(spark):
+    # train "a b": uni a:1 b:1 (N=2, V=2, du=5, v1=3);
+    # big (BOS,a):1 (a,b):1; ctx BOS:1 a:1
+    train = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "zz"), (3, "")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textops.lm_score_bigram(docs, train).collect()
+    }
+    # doc 1, both tokens: nb=2, db=4, nu=2, du=5 ->
+    # (10*4*5e6) // (7*2*5 + 3*2*4) = 200e6 // 94 = 2127659
+    assert rows[1]["n_tokens"] == 2
+    assert rows[1]["mean_invp_q6"] == 2_127_659
+    # doc 2 (OOV after BOS): nb=1, db=4, nu=1 -> 200e6 // 47 = 4255319
+    assert rows[2]["mean_invp_q6"] == 4_255_319
+    assert rows[2]["mean_invp_q6"] > rows[1]["mean_invp_q6"]
+    # empty doc: zeros, kept
+    assert rows[3]["n_tokens"] == 0 and rows[3]["mean_invp_q6"] == 0 and rows[3]["keep"]
+
+
+def test_lm_bigram_empty_train_doc_harmless(spark):
+    # an empty training document must not create a NULL vocab entry
+    train = spark.createDataFrame(
+        [(0, "a b"), (1, "")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with_empty = textops.lm_score_bigram(docs, train).collect()[0]
+    without = textops.lm_score_bigram(
+        docs, train.where("doc_id = 0")
+    ).collect()[0]
+    assert with_empty["mean_invp_q6"] == without["mean_invp_q6"]
+
+
+def test_lm_bigram_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "text_lm_score_bigram")
