@@ -86,7 +86,11 @@ BENCH_QUERIES = [
     "text_lm_score",           # CCNet-style integer-exact LM quality scoring
     "corpus_snapshot_diff",    # dataset-versioning keyed fingerprint diff
     "entity_match_parts",      # blocked record linkage (q6 Jaccard)
+    "entity_match_parts_fine", # composite-block scale-path twin
     "layout_stats_prune",      # min/max envelope pruning planner view
+    "sketch_kmv_setops",       # KMV union/intersection set algebra
+    "corpus_refresh_plan",     # snapshot diff x LM gate composition
+    "text_lm_score_bigram",    # interpolated bigram LM (exact integer mixture)
 ]
 
 

@@ -82,3 +82,44 @@ def salted_join(
         big_salted["_salt"] == small_rep["_salt"]
     )
     return big_salted.join(small_rep, cond, how).drop("_salt")
+
+
+def skew_key_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """The pre-shuffle skew diagnosis a planner wants before committing a
+    100 TB join/aggregation to a key: the top-N heaviest keys, each with
+    its exact row count, its q6 share of the table, and the salt factor
+    (ceil(count / target_rows_per_task)) that would spread it back to
+    task-sized slices — i.e. the input salted_join/salted_aggregate need.
+
+    One map-side-combined count shuffle (wordcount-shaped); the top-N
+    selection is orderBy().limit() (per-partition top-k + merge, the
+    vocab_top idiom — NEVER a window over the full key relation, which
+    can hold billions of distinct keys at 100 TB), so the only window
+    runs over the N selected rows. Shares are exact integer q6
+    ((cnt*10^6) div total) and the salt factor is an integer ceiling
+    div, so the report replays in the oracle; keys needing no salt
+    report salt_factor = 1."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    totals = counts.agg(F.sum("cnt").cast("bigint").alias("_total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc(key_col)).limit(top_n)
+    w = Window.orderBy(F.desc("cnt"), F.asc(key_col))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            F.col(key_col),
+            "cnt",
+            F.expr("(cnt * 1000000) div _total").cast("bigint").alias("share_q6"),
+            F.expr(f"(cnt + {target_rows_per_task - 1}) div {target_rows_per_task}")
+            .cast("int")
+            .alias("salt_factor"),
+        )
+    )

@@ -413,3 +413,28 @@ def history_job_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     attempts — avg (Java long division) / best durations, REDUCE
     shuffle/reduce phase averages, and the worst-10 "task:ms" list."""
     return pipelines.history_job_analysis(_attempt_log(spark, sf_dir))
+
+
+@register(
+    "skew_key_report",
+    oracle="""
+WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+top AS (SELECT * FROM c ORDER BY cnt DESC, event_type LIMIT 10),
+r AS (SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, event_type) AS INT) AS rank FROM top)
+SELECT rank, event_type, cnt,
+       CAST((cnt * 1000000) // total AS BIGINT) AS share_q6,
+       CAST((cnt + 4999) // 5000 AS INT) AS salt_factor
+FROM r, t
+""",
+)
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew diagnosis over the event stream: the heaviest
+    event types with exact q6 table shares and the integer salt factor
+    (5k-row target tasks) salted_aggregate/salted_join would need — the
+    planning report that decides between a plain, salted, or
+    AQE-skew-hinted shuffle before it runs. See skew.skew_key_report."""
+    from hadoop_1_spark.operators import skew
+
+    ev = _load(spark, sf_dir, "events")
+    return skew.skew_key_report(ev, "event_type", top_n=10, target_rows_per_task=5000)

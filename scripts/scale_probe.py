@@ -54,6 +54,8 @@ QUERIES = [
     "entity_match_parts_fine",
     "layout_stats_prune",
     "sketch_kmv_setops",
+    "text_lm_score_bigram",
+    "corpus_refresh_plan",
 ]
 
 

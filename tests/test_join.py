@@ -199,3 +199,21 @@ def test_entity_match_fine_matches_oracle(spark, duck):
     from tests.conftest import assert_query_matches_oracle
 
     assert_query_matches_oracle(spark, duck, "entity_match_parts_fine")
+
+
+def test_skew_key_report_exact_shares_and_salt(spark):
+    from hadoop_1_spark.operators import skew
+
+    rows = [("hot",)] * 70 + [("warm",)] * 25 + [("cold",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    got = {
+        r["k"]: r
+        for r in skew.skew_key_report(
+            df, "k", top_n=2, target_rows_per_task=30
+        ).collect()
+    }
+    assert set(got) == {"hot", "warm"}  # top-2 only
+    assert got["hot"]["rank"] == 1 and got["hot"]["cnt"] == 70
+    assert got["hot"]["share_q6"] == 700_000
+    assert got["hot"]["salt_factor"] == 3   # ceil(70/30)
+    assert got["warm"]["salt_factor"] == 1
