@@ -726,20 +726,24 @@ def lm_score_bigram(
     # inner-explode semantics on the model side: an empty training doc
     # must contribute NO rows (explode_outer's NULL row would otherwise
     # pollute the vocab/context groups with a NULL entry)
-    tp = persist_tracked(
-        _bigram_pairs(train, text_col, None).where(F.col("tok").isNotNull())
+    tp = _bigram_pairs(train, text_col, None).where(F.col("tok").isNotNull())
+    # ONE corpus-sized aggregation: the unigram and context relations are
+    # marginals of the bigram counts (c(t) = Σ_prev c(prev,t),
+    # c(prev) = Σ_t c(prev,t)), so they aggregate the BOUNDED persisted
+    # bigram relation, never the token stream again.
+    big = persist_tracked(
+        tp.groupBy("prev", "tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_cb")
+        )
     )
-    uni = tp.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("_cu"))
+    uni = big.groupBy("tok").agg(F.sum("_cb").cast("bigint").alias("_cu"))
     totals = uni.agg(
         (F.coalesce(F.sum("_cu"), F.lit(0)) + F.count(F.lit(1)) + 1)
         .cast("bigint")
         .alias("_du"),
         (F.count(F.lit(1)) + 1).cast("bigint").alias("_v1"),
     )
-    big = tp.groupBy("prev", "tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_cb")
-    )
-    ctx = tp.groupBy("prev").agg(F.count(F.lit(1)).cast("bigint").alias("_cc"))
+    ctx = big.groupBy("prev").agg(F.sum("_cb").cast("bigint").alias("_cc"))
 
     dp = _bigram_pairs(docs, text_col, id_col)
     j = (
