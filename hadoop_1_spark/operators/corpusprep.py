@@ -358,3 +358,50 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+def mix_temperature(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture weights (alpha = 0.5) per corpus
+    source — the multilingual-pretraining rebalancing rule (sampling
+    probability proportional to share^alpha upweights low-resource
+    sources; public practice from the multilingual-LM literature).
+
+    Exact arithmetic contract: shares are integer q6; the alpha=0.5
+    power is floor(sqrt(share_q6 * 10^6)) computed with IEEE-double
+    sqrt — the DOUBLE is fully determined by IEEE-754 (sqrt is a
+    correctly-rounded operation and every input here is < 2^53, so the
+    int->double conversion is exact), which makes the floor
+    engine-portable even in the boundary case where the rounded sqrt
+    lands on an integer; the contract is cross-engine determinism, not
+    number-theoretic isqrt. Normalized temperature shares are then an
+    exact integer division.
+
+    Shape: one token-count aggregation per group (map-side combined),
+    then every derivation runs on the groups-sized relation."""
+    toks = docs.select(
+        F.col(group_col), F.size(textops.ws_tokens(F.col(text_col))).alias("_n")
+    )
+    per = toks.groupBy(group_col).agg(F.sum("_n").cast("bigint").alias("n_tokens"))
+    totals = per.agg(F.sum("n_tokens").cast("bigint").alias("_total"))
+    shared = per.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "n_tokens",
+        F.expr("(n_tokens * 1000000) div _total").cast("bigint").alias("share_q6"),
+    )
+    weighted = shared.select(
+        "*",
+        F.floor(F.sqrt(F.col("share_q6") * F.lit(1000000)))
+        .cast("bigint")
+        .alias("_w"),
+    )
+    wtot = weighted.agg(F.sum("_w").cast("bigint").alias("_wtot"))
+    return weighted.crossJoin(F.broadcast(wtot)).select(
+        group_col,
+        "n_tokens",
+        "share_q6",
+        F.expr("(_w * 1000000) div _wtot").cast("bigint").alias("temp_share_q6"),
+    )

@@ -654,3 +654,34 @@ def corpus_refresh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "corpus_mix_temperature",
+    oracle=f"""
+WITH per AS (
+  SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per),
+s AS (
+  SELECT source, n_tokens,
+         CAST((n_tokens * 1000000) // total AS BIGINT) AS share_q6
+  FROM per, t
+),
+w AS (
+  SELECT *, CAST(floor(sqrt(CAST(share_q6 * 1000000 AS DOUBLE))) AS BIGINT) AS wgt
+  FROM s
+),
+wt AS (SELECT CAST(sum(wgt) AS BIGINT) AS wtot FROM w)
+SELECT source, n_tokens, share_q6,
+       CAST((wgt * 1000000) // wtot AS BIGINT) AS temp_share_q6
+FROM w, wt
+""",
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha = 0.5) sampling weights per source —
+    the multilingual rebalancing report: exact q6 token shares next to
+    the sqrt-tempered shares that upweight low-resource sources. See
+    corpusprep.mix_temperature for the IEEE-sqrt portability argument."""
+    return corpusprep.mix_temperature(_load(spark, sf_dir, "documents"))

@@ -605,3 +605,37 @@ def text_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     textops.lm_score_bigram for the overflow bound and the scale notes."""
     docs = _load(spark, sf_dir, "documents")
     return textops.lm_score_bigram(docs, docs.where(F.col("source") == "src0"))
+
+
+@register(
+    "text_bpe_fertility",
+    oracle=f"""
+WITH seg AS ({bpe.bpe_segment_oracle_sql(_TOKS, rounds=BPE_ROUNDS)}),
+j AS (
+  SELECT d.lang, len(string_split(seg.seg, ' ')) AS pieces
+  FROM seg JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(pieces) AS BIGINT) AS n_pieces,
+       CAST((sum(pieces) * 1000000) // count(*) AS BIGINT) AS fertility_q6
+FROM j GROUP BY 1
+""",
+)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-health report: BPE fertility (subword pieces per word,
+    exact q6) per language under the corpus-trained 8-merge tokenizer —
+    the standard multilingual tokenizer-equity metric (a language with
+    high fertility pays more sequence length per word). Composes the
+    verified trainer + segmenter; one doc_id join attaches languages."""
+    docs = _load(spark, sf_dir, "documents")
+    merges = bpe.bpe_merges(docs, rounds=BPE_ROUNDS)
+    seg = bpe.segment(docs, merges)
+    j = seg.join(docs.select("doc_id", "lang"), "doc_id")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.size("symbols")).cast("bigint").alias("n_pieces"),
+        F.expr("(sum(size(symbols)) * 1000000) div count(1)")
+        .cast("bigint")
+        .alias("fertility_q6"),
+    )

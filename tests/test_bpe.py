@@ -78,3 +78,22 @@ def test_vocab_table_ids_and_kinds(spark):
     assert by_symbol["a"]["cnt"] == 2
     assert by_symbol["b"]["cnt"] == 3
     assert by_symbol["ab"]["cnt"] == 2
+
+
+def test_bpe_fertility_matches_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "text_bpe_fertility")
+
+
+def test_bpe_fertility_bounds(spark):
+    # fertility >= 1 (a word is at least one piece) and pieces <= chars
+    from hadoop_1_spark import registry
+
+    rows = registry.QUERIES["text_bpe_fertility"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["fertility_q6"] >= 1_000_000
+        assert r["n_pieces"] >= r["n_words"]

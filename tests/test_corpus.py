@@ -295,3 +295,27 @@ def test_refresh_plan_casefold_invariance_and_oracle(spark, duck):
     b = {r["doc_id"]: r["mean_invp_q6"] for r in textops.lm_score(upper, model).collect()}
     assert a == b
     assert_query_matches_oracle(spark, duck, "corpus_refresh_plan")
+
+
+def test_mix_temperature_upweights_low_resource(spark):
+    from hadoop_1_spark.operators import corpusprep
+
+    rows = [(i, "w " * 90, "big") for i in range(10)] + [(100, "w " * 100, "small")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in corpusprep.mix_temperature(docs).collect()}
+    # raw shares: big 900/1000, small 100/1000
+    assert got["big"]["share_q6"] == 900_000
+    assert got["small"]["share_q6"] == 100_000
+    # alpha=0.5 tempering: weights sqrt(0.9):sqrt(0.1) ~ 0.948:0.316 ->
+    # small rises from 10% to ~25%
+    assert got["small"]["temp_share_q6"] > got["small"]["share_q6"]
+    assert got["big"]["temp_share_q6"] < got["big"]["share_q6"]
+    # exact replay of the integer arithmetic
+    import math
+    wb = math.floor(math.sqrt(900_000 * 1_000_000))
+    ws = math.floor(math.sqrt(100_000 * 1_000_000))
+    assert got["small"]["temp_share_q6"] == (ws * 1_000_000) // (wb + ws)
+
+
+def test_mix_temperature_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "corpus_mix_temperature")
