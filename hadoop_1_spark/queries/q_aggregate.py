@@ -395,3 +395,86 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates themselves oracle-checked. See agg.kmv_set_estimates."""
     ev = _load(spark, sf_dir, "events")
     return agg.kmv_set_estimates(ev, "event_type", "user_id", k=KMV_K)
+
+
+@register(
+    "validate_lineitem",
+    oracle="""
+WITH r AS (
+  SELECT CAST(count(*) AS BIGINT) AS rows,
+         CAST(count(CASE WHEN l_orderkey IS NOT NULL THEN 1 END) AS BIGINT) AS c0,
+         CAST(count(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 END) AS BIGINT) AS c1,
+         CAST(count(CASE WHEN l_extendedprice >= 0 THEN 1 END) AS BIGINT) AS c2,
+         CAST(count(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1 END) AS BIGINT) AS c3,
+         CAST(count(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 1 END) AS BIGINT) AS c4
+  FROM lineitem
+),
+u AS (
+  SELECT CAST(count(*) AS BIGINT) AS rows,
+         CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS d
+  FROM lineitem
+),
+fk AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS rows,
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS o
+)
+SELECT * FROM (
+  SELECT 'not_null(l_orderkey)' AS constraint,
+         CAST(CASE WHEN rows = 0 THEN 1000000 ELSE (c0 * 1000000) // rows END AS BIGINT) AS observed_q6,
+         (CASE WHEN rows = 0 THEN 1000000 ELSE (c0 * 1000000) // rows END) >= 1000000 AS passed FROM r
+  UNION ALL
+  SELECT 'range(l_quantity,1,50)',
+         CAST(CASE WHEN rows = 0 THEN 1000000 ELSE (c1 * 1000000) // rows END AS BIGINT),
+         (CASE WHEN rows = 0 THEN 1000000 ELSE (c1 * 1000000) // rows END) >= 1000000 FROM r
+  UNION ALL
+  SELECT 'nonneg(l_extendedprice)',
+         CAST(CASE WHEN rows = 0 THEN 1000000 ELSE (c2 * 1000000) // rows END AS BIGINT),
+         (CASE WHEN rows = 0 THEN 1000000 ELSE (c2 * 1000000) // rows END) >= 1000000 FROM r
+  UNION ALL
+  SELECT 'domain(l_returnflag)',
+         CAST(CASE WHEN rows = 0 THEN 1000000 ELSE (c3 * 1000000) // rows END AS BIGINT),
+         (CASE WHEN rows = 0 THEN 1000000 ELSE (c3 * 1000000) // rows END) >= 1000000 FROM r
+  UNION ALL
+  SELECT 'range(l_discount,0,0.1)',
+         CAST(CASE WHEN rows = 0 THEN 1000000 ELSE (c4 * 1000000) // rows END AS BIGINT),
+         (CASE WHEN rows = 0 THEN 1000000 ELSE (c4 * 1000000) // rows END) >= 950000 FROM r
+  UNION ALL
+  SELECT 'unique(l_orderkey,l_linenumber)',
+         CAST(CASE WHEN rows = 0 THEN 1000000 ELSE (d * 1000000) // rows END AS BIGINT),
+         (CASE WHEN rows = 0 THEN 1000000 ELSE (d * 1000000) // rows END) >= 1000000 FROM u
+  UNION ALL
+  SELECT 'fk(l_orderkey->o_orderkey)',
+         CAST(CASE WHEN rows = 0 THEN 1000000 ELSE ((rows - o) * 1000000) // rows END AS BIGINT),
+         (CASE WHEN rows = 0 THEN 1000000 ELSE ((rows - o) * 1000000) // rows END) >= 1000000 FROM fk
+)
+""",
+)
+def validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite over lineitem (the Deequ idea):
+    five row-local constraints folded into ONE scan, a composite-key
+    uniqueness check (one keyed shuffle), and l_orderkey referential
+    integrity into orders (anti-join) — a (constraint, observed_q6,
+    passed) report with exact integer fractions. The discount-range
+    check carries a 0.95 threshold to show non-unanimous gates. See
+    operators/validate.py."""
+    from hadoop_1_spark.operators import validate as V
+
+    li = _load(spark, sf_dir, "lineitem")
+    od = _load(spark, sf_dir, "orders")
+    checks = [
+        V.Check("not_null(l_orderkey)", F.col("l_orderkey").isNotNull()),
+        V.Check("range(l_quantity,1,50)", F.col("l_quantity").between(1, 50)),
+        V.Check("nonneg(l_extendedprice)", F.col("l_extendedprice") >= 0),
+        V.Check("domain(l_returnflag)", F.col("l_returnflag").isin("A", "N", "R")),
+        V.Check(
+            "range(l_discount,0,0.1)",
+            F.col("l_discount").between(0, 0.1),
+            min_pass_q6=950_000,
+        ),
+    ]
+    return (
+        V.run_checks(li, checks)
+        .unionByName(V.uniqueness_check(li, ("l_orderkey", "l_linenumber")))
+        .unionByName(V.referential_check(li, "l_orderkey", od, "o_orderkey"))
+    )

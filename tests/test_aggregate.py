@@ -137,3 +137,54 @@ def test_kmv_setops_estimate_matches_python_replay(spark):
 
 def test_kmv_setops_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "sketch_kmv_setops")
+
+
+def test_validation_checks_semantics(spark):
+    from hadoop_1_spark.operators import validate as V
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 60), (3, None)], "id long, v long"
+    )
+    got = {
+        r["constraint"]: r
+        for r in V.run_checks(
+            df,
+            [
+                V.Check("not_null(v)", F.col("v").isNotNull(), 1_000_000),
+                V.Check("range(v)", F.col("v").between(0, 50), 600_000),
+            ],
+        ).collect()
+    }
+    # 2/3 non-null -> 666666 q6, fails the 100% gate
+    assert got["not_null(v)"]["observed_q6"] == 666_666
+    assert not got["not_null(v)"]["passed"]
+    # 1/3 in range -> 333333, fails the 60% gate (NULL is not satisfied)
+    assert got["range(v)"]["observed_q6"] == 333_333
+    assert not got["range(v)"]["passed"]
+
+
+def test_validation_empty_input_vacuous_pass(spark):
+    from hadoop_1_spark.operators import validate as V
+
+    df = spark.createDataFrame([], "id long, v long")
+    rows = V.run_checks(df, [V.Check("nn", F.col("v").isNotNull())]).collect()
+    assert rows[0]["observed_q6"] == 1_000_000 and rows[0]["passed"]
+    u = V.uniqueness_check(df, ("id",)).collect()[0]
+    assert u["observed_q6"] == 1_000_000 and u["passed"]
+
+
+def test_validation_uniqueness_and_fk(spark):
+    from hadoop_1_spark.operators import validate as V
+
+    child = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 2), (9, 3)], "fk long, ln long"
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    u = V.uniqueness_check(child, ("fk", "ln")).collect()[0]
+    assert u["observed_q6"] == 750_000 and not u["passed"]  # 3 distinct / 4
+    f = V.referential_check(child, "fk", parent, "pk").collect()[0]
+    assert f["observed_q6"] == 750_000 and not f["passed"]  # 1 orphan / 4
+
+
+def test_validate_lineitem_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "validate_lineitem")
