@@ -91,6 +91,10 @@ BENCH_QUERIES = [
     "sketch_kmv_setops",       # KMV union/intersection set algebra
     "corpus_refresh_plan",     # snapshot diff x LM gate composition
     "text_lm_score_bigram",    # interpolated bigram LM (exact integer mixture)
+    "corpus_mix_temperature",  # alpha=0.5 tempered sampling shares
+    "text_bpe_fertility",      # subword pieces per word per language
+    "validate_lineitem",       # one-scan declarative data-quality suite
+    "skew_key_report",         # heavy-key diagnosis + salt factors
 ]
 
 

@@ -104,3 +104,72 @@ def referential_check(
     row = total.crossJoin(orphans)
     observed = F.expr("if(_rows = 0, 1000000, ((_rows - _o) * 1000000) div _rows)")
     return row.select(*_report(F.lit(name), observed, F.lit(1_000_000)))
+
+
+def profile_table(
+    df: DataFrame,
+    num_cols: tuple[str, ...] = (),
+    str_cols: tuple[str, ...] = (),
+    ts_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Column-profiling report (the Deequ/pandas-profiling artifact a
+    pipeline runs before trusting a new drop): long-form rows
+    (col_name, metric, value) covering completeness (q6), exact distinct
+    counts, numeric/timestamp min-max, and each string column's modal
+    value share (q6). Numeric values travel as DOUBLE; string metrics
+    ride a separate value_str column (NULL elsewhere) so one relation
+    carries the whole profile.
+
+    Shape: ONE aggregation pass computes every completeness/min/max and
+    all exact distincts (Catalyst expands multi-distinct into one
+    Expand + aggregation — still a single scan); each string column
+    adds one wordcount-shaped shuffle for its modal value. Timestamps
+    profile as epoch micros (exact integers < 2^53, so the DOUBLE
+    carriage is lossless and engine-portable)."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_rows")]
+    for c in (*num_cols, *str_cols, *ts_cols):
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_d_{c}"))
+    for c in num_cols:
+        aggs.append(F.min(F.col(c)).cast("double").alias(f"_mn_{c}"))
+        aggs.append(F.max(F.col(c)).cast("double").alias(f"_mx_{c}"))
+    for c in ts_cols:
+        aggs.append(F.min(F.unix_micros(F.col(c))).cast("double").alias(f"_mn_{c}"))
+        aggs.append(F.max(F.unix_micros(F.col(c))).cast("double").alias(f"_mx_{c}"))
+    row = df.agg(*aggs)
+
+    def rep(col: str, metric: str, num: Column, s: Column | None = None) -> DataFrame:
+        return row.select(
+            F.lit(col).alias("col_name"),
+            F.lit(metric).alias("metric"),
+            num.cast("double").alias("value_num"),
+            (s if s is not None else F.lit(None).cast("string")).alias("value_str"),
+        )
+
+    parts: list[DataFrame] = []
+    for c in (*num_cols, *str_cols, *ts_cols):
+        parts.append(
+            rep(c, "completeness_q6",
+                F.expr(f"if(_rows = 0, 1000000, (_nn_{c} * 1000000) div _rows)"))
+        )
+        parts.append(rep(c, "distinct", F.col(f"_d_{c}")))
+    for c in (*num_cols, *ts_cols):
+        parts.append(rep(c, "min", F.col(f"_mn_{c}")))
+        parts.append(rep(c, "max", F.col(f"_mx_{c}")))
+    for c in str_cols:
+        counts = df.groupBy(F.col(c)).agg(F.count(F.lit(1)).alias("_cnt"))
+        top = counts.orderBy(F.desc("_cnt"), F.asc(c)).limit(1)
+        parts.append(
+            top.crossJoin(F.broadcast(row.select("_rows"))).select(
+                F.lit(c).alias("col_name"),
+                F.lit("top_share_q6").alias("metric"),
+                F.expr("if(_rows = 0, 0, (_cnt * 1000000) div _rows)")
+                .cast("double")
+                .alias("value_num"),
+                F.col(c).cast("string").alias("value_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

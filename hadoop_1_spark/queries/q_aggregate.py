@@ -478,3 +478,61 @@ def validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(V.uniqueness_check(li, ("l_orderkey", "l_linenumber")))
         .unionByName(V.referential_check(li, "l_orderkey", od, "o_orderkey"))
     )
+
+
+def _profile_oracle() -> str:
+    num = ["event_id", "user_id", "value"]
+    ts = ["ts"]
+    s = ["event_type"]
+    sel = ["CAST(count(*) AS BIGINT) AS n_rows"]
+    for c in (*num, *s, *ts):
+        sel.append(f"CAST(count({c}) AS BIGINT) AS nn_{c}")
+        sel.append(f"CAST(count(DISTINCT {c}) AS BIGINT) AS d_{c}")
+    for c in num:
+        sel.append(f"CAST(min({c}) AS DOUBLE) AS mn_{c}")
+        sel.append(f"CAST(max({c}) AS DOUBLE) AS mx_{c}")
+    for c in ts:
+        sel.append(f"CAST(epoch_us(min({c})) AS DOUBLE) AS mn_{c}")
+        sel.append(f"CAST(epoch_us(max({c})) AS DOUBLE) AS mx_{c}")
+    unions = []
+    for c in (*num, *s, *ts):
+        unions.append(
+            f"SELECT '{c}' AS col_name, 'completeness_q6' AS metric, "
+            f"CAST(CASE WHEN n_rows = 0 THEN 1000000 ELSE (nn_{c} * 1000000) // n_rows END AS DOUBLE) AS value_num, "
+            f"CAST(NULL AS VARCHAR) AS value_str FROM r"
+        )
+        unions.append(
+            f"SELECT '{c}', 'distinct', CAST(d_{c} AS DOUBLE), NULL FROM r"
+        )
+    for c in (*num, *ts):
+        unions.append(f"SELECT '{c}', 'min', mn_{c}, NULL FROM r")
+        unions.append(f"SELECT '{c}', 'max', mx_{c}, NULL FROM r")
+    for c in s:
+        unions.append(
+            f"""SELECT '{c}', 'top_share_q6',
+            CAST(CASE WHEN r.n_rows = 0 THEN 0 ELSE (t.cnt * 1000000) // r.n_rows END AS DOUBLE),
+            t.{c}
+            FROM (SELECT {c}, CAST(count(*) AS BIGINT) AS cnt FROM events
+                  GROUP BY 1 ORDER BY cnt DESC, {c} LIMIT 1) t, r"""
+        )
+    body = "\nUNION ALL\n".join(unions)
+    return f"WITH r AS (SELECT {', '.join(sel)} FROM events)\n{body}"
+
+
+@register("profile_events", oracle=_profile_oracle())
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling report over the event stream: completeness and
+    exact distinct counts for every column in ONE scan (Catalyst's
+    Expand handles the multi-distinct), numeric/timestamp min-max
+    (timestamps as exact epoch micros), and the modal event_type with
+    its q6 share — the trust-a-new-drop artifact. See
+    validate.profile_table."""
+    from hadoop_1_spark.operators import validate as V
+
+    ev = _load(spark, sf_dir, "events")
+    return V.profile_table(
+        ev,
+        num_cols=("event_id", "user_id", "value"),
+        str_cols=("event_type",),
+        ts_cols=("ts",),
+    )

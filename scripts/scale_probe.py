@@ -56,6 +56,10 @@ QUERIES = [
     "sketch_kmv_setops",
     "text_lm_score_bigram",
     "corpus_refresh_plan",
+    "corpus_mix_temperature",
+    "text_bpe_fertility",
+    "validate_lineitem",
+    "skew_key_report",
 ]
 
 

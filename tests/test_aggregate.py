@@ -188,3 +188,25 @@ def test_validation_uniqueness_and_fk(spark):
 
 def test_validate_lineitem_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "validate_lineitem")
+
+
+def test_profile_table_semantics(spark):
+    from hadoop_1_spark.operators import validate as V
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (None, "b")], "v long, s string"
+    )
+    got = {
+        (r["col_name"], r["metric"]): r
+        for r in V.profile_table(df, num_cols=("v",), str_cols=("s",)).collect()
+    }
+    assert got[("v", "completeness_q6")]["value_num"] == 666666.0
+    assert got[("v", "distinct")]["value_num"] == 2.0
+    assert got[("v", "min")]["value_num"] == 1.0
+    assert got[("v", "max")]["value_num"] == 2.0
+    top = got[("s", "top_share_q6")]
+    assert top["value_str"] == "a" and top["value_num"] == 666666.0
+
+
+def test_profile_events_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "profile_events")
