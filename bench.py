@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "text_bpe_fertility",      # subword pieces per word per language
     "validate_lineitem",       # one-scan declarative data-quality suite
     "skew_key_report",         # heavy-key diagnosis + salt factors
+    "profile_events",          # one-pass column profiling report
 ]
 
 

@@ -60,6 +60,7 @@ QUERIES = [
     "text_bpe_fertility",
     "validate_lineitem",
     "skew_key_report",
+    "profile_events",
 ]
 
 

@@ -211,3 +211,78 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
         for f in fs
     ]
     assert any(f.endswith((".sst", ".zip", ".changelog")) for f in state_files), state_files
+
+
+def test_foreachbatch_incremental_dedup_ingest(spark, tmp_path):
+    """Streaming ingest contract: a file stream processed one batch at a
+    time through foreachBatch + incremental_dedup against the growing
+    kept-snapshot must END with exactly the set a sequential batch
+    replay of the same batches admits — the steady-state training-data
+    ingest loop (dedup.incremental_dedup's docstring), driven by
+    Structured Streaming instead of a driver for-loop."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.operators import dedup
+
+    batches = [
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        # 3 = exact dup of 1 (drop), 4 = fresh
+        [(3, "alpha beta gamma delta"), (4, "iota kappa lambda mu")],
+        # 5 = exact dup of 4 (drop), 6 = within-batch dup pair rep rule
+        [(5, "iota kappa lambda mu"), (6, "nu xi omicron pi"),
+         (7, "nu xi omicron pi")],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"b{i}"))
+        part = next(
+            p for p in os.listdir(tmp_path / f"b{i}") if p.endswith(".parquet")
+        )
+        dst = src / f"batch_{i}.parquet"
+        os.rename(tmp_path / f"b{i}" / part, dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    keep_base = str(tmp_path / "kept")
+
+    def snapshot():
+        try:
+            return spark.read.parquet(keep_base)
+        except Exception:
+            return spark.createDataFrame([], "doc_id long, text string")
+
+    def admit(batch_df, snap_df):
+        flags = dedup.incremental_dedup(batch_df, snap_df, k=2)
+        return batch_df.join(
+            flags.where(F.col("keep") == 1).select("doc_id"), "doc_id"
+        )
+
+    def handle(batch_df, epoch_id):
+        kept = admit(batch_df, snapshot())
+        kept.write.mode("append").parquet(keep_base)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(keep_base).collect())
+
+    # sequential batch replay of the identical loop
+    snap = spark.createDataFrame([], "doc_id long, text string")
+    for rows in batches:
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        snap = snap.unionByName(admit(b, snap)).localCheckpoint()
+    expect = sorted(r["doc_id"] for r in snap.collect())
+
+    assert got == expect
+    assert got == [1, 2, 4, 6]  # dups 3, 5, 7 rejected
