@@ -50,3 +50,17 @@ def random_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     """InputSampler.RandomSampler intent: Bernoulli sample (not oracle-
     checkable row-for-row; used for partition-boundary estimation)."""
     return df.sample(fraction=fraction, seed=seed)
+
+
+def universe_sample(df: DataFrame, key: Column, pct: int) -> DataFrame:
+    """Universe (coherent entity-level) sampling: keep every row whose
+    KEY hashes into the sampled pct% of the key universe — the BlinkDB/
+    Quickr-style trick for 100 TB exploration: because membership is a
+    pure function of the key, the SAME entities survive in every table,
+    so joins of samples equal samples of joins EXACTLY (Bernoulli
+    row-sampling destroys join pairs quadratically). md5-deterministic,
+    no RNG state, reproducible across engines and reruns; the filter is
+    a narrow predicate the scan absorbs."""
+    if not 0 <= pct <= 100:
+        raise ValueError(f"universe_sample: pct must be 0..100, got {pct}")
+    return df.filter(md5_mod(key, 100) < pct)

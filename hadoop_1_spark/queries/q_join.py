@@ -379,3 +379,40 @@ def entity_match_parts_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=("p_brand", "p_size"),
         min_jaccard_q6=660000,
     )
+
+
+_U = "('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 8))::BIGINT % 100 < 20"
+
+
+@register(
+    "sample_universe_join",
+    oracle=f"""
+WITH e AS (SELECT * FROM events WHERE {_U.format(k="user_id")}),
+c AS (SELECT * FROM customer WHERE {_U.format(k="c_custkey")})
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_joined,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM e JOIN c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+)
+def sample_universe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Universe sampling in action: events and customers sampled
+    COHERENTLY at 20% of the user-key universe, then joined — the
+    entity-coherence guarantee (joins of samples == samples of joins,
+    exactly) that row-level Bernoulli sampling cannot give; the test
+    suite pins that identity row-for-row. Reported as per-segment
+    joined counts. See sampling.universe_sample."""
+    from hadoop_1_spark.operators import sampling
+
+    ev = sampling.universe_sample(
+        _load(spark, sf_dir, "events"), F.col("user_id"), 20
+    )
+    cu = sampling.universe_sample(
+        _load(spark, sf_dir, "customer"), F.col("c_custkey"), 20
+    )
+    j = ev.join(cu, ev["user_id"] == cu["c_custkey"])
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_joined"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -179,3 +179,31 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         _load(spark, sf_dir, "events"), FUNNEL_STAGES,
         max_gap_seconds=FUNNEL_GAP_S,
     )
+
+
+@register(
+    "scd2_user_history",
+    oracle="""
+WITH c AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT user_id, value,
+         CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+         CAST(epoch_us(lead(ts) OVER w) AS BIGINT) AS valid_to_us,
+         lead(ts) OVER w IS NULL AS is_current,
+         CAST(row_number() OVER w AS INT) AS version
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT * FROM v
+""",
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history table from the purchase change stream: per user,
+    versioned [valid_from, valid_to) intervals with exclusive successor
+    bounds, is_current flags, and (ts, event_id)-total-ordered version
+    numbers — the warehouse dimension-history build. One keyed shuffle;
+    see temporal.scd2_history."""
+    ev = _load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    return temporal.scd2_history(
+        ev, "user_id", "ts", "event_id", payload_cols=("value",)
+    )

@@ -217,3 +217,47 @@ def test_skew_key_report_exact_shares_and_salt(spark):
     assert got["hot"]["share_q6"] == 700_000
     assert got["hot"]["salt_factor"] == 3   # ceil(70/30)
     assert got["warm"]["salt_factor"] == 1
+
+
+def test_universe_sampling_join_coherence(spark):
+    """The universe-sampling guarantee: joins of samples == samples of
+    joins, row for row (Bernoulli sampling cannot give this)."""
+    from hadoop_1_spark.operators import sampling
+    from hadoop_1_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    cu = load_table(spark, sf, "customer")
+    k = 30
+    s_ev = sampling.universe_sample(ev, F.col("user_id"), k)
+    s_cu = sampling.universe_sample(cu, F.col("c_custkey"), k)
+    join_of_samples = s_ev.join(cu, ev["user_id"] == cu["c_custkey"]).select(
+        "event_id", "c_custkey"
+    )
+    # full join filtered by the SAME key predicate == sample of the join
+    full = ev.join(cu, ev["user_id"] == cu["c_custkey"])
+    sample_of_join = sampling.universe_sample(
+        full, F.col("c_custkey"), k
+    ).select("event_id", "c_custkey")
+    a = sorted(map(tuple, join_of_samples.collect()))
+    b = sorted(map(tuple, sample_of_join.collect()))
+    assert a == b and len(a) > 0
+    # and sampling both sides changes nothing vs sampling one side
+    c = sorted(map(tuple, s_ev.join(s_cu, s_ev["user_id"] == s_cu["c_custkey"]).select("event_id", "c_custkey").collect()))
+    assert c == a
+
+
+def test_universe_sample_rejects_bad_pct(spark):
+    import pytest as _pytest
+
+    from hadoop_1_spark.operators import sampling
+
+    df = spark.range(5)
+    with _pytest.raises(ValueError):
+        sampling.universe_sample(df, F.col("id"), 101)
+
+
+def test_sample_universe_join_matches_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "sample_universe_join")

@@ -274,3 +274,39 @@ def test_funnel_stages_semantics(spark):
         df, ["signup", "view", "purchase"], key_col="user_id",
         max_gap_seconds=100).collect()}
     assert out == {1: 4, 2: 2, 3: 1}
+
+
+def test_scd2_intervals_chain(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.operators import temporal
+
+    rows = [
+        (1, 10, "2024-01-01 00:00:00", 5.0),
+        (1, 11, "2024-01-02 00:00:00", 6.0),
+        (1, 12, "2024-01-02 00:00:00", 7.0),  # same ts: event_id breaks tie
+        (2, 13, "2024-01-05 00:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["user_id"], r["version"]): r
+        for r in temporal.scd2_history(
+            df, "user_id", "ts", "event_id", payload_cols=("value",)
+        ).collect()
+    }
+    # intervals chain: each valid_to == successor's valid_from
+    assert got[(1, 1)]["valid_to_us"] == got[(1, 2)]["valid_from_us"]
+    assert got[(1, 2)]["valid_to_us"] == got[(1, 3)]["valid_from_us"]
+    # equal-ts versions ordered by the tiebreak
+    assert got[(1, 2)]["value"] == 6.0 and got[(1, 3)]["value"] == 7.0
+    # exactly one current row per key
+    assert got[(1, 3)]["is_current"] and got[(2, 1)]["is_current"]
+    assert not got[(1, 1)]["is_current"] and not got[(1, 2)]["is_current"]
+
+
+def test_scd2_matches_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "scd2_user_history")
