@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "validate_lineitem",       # one-scan declarative data-quality suite
     "skew_key_report",         # heavy-key diagnosis + salt factors
     "profile_events",          # one-pass column profiling report
+    "scd2_user_history",       # SCD2 versioned history build
+    "sample_universe_join",    # coherent key-universe sampling join
 ]
 
 

@@ -101,6 +101,15 @@ def main() -> None:
         out_pt = c if out_pt is None else out_pt.unionByName(c)
     out_pt.write.mode("overwrite").parquet(os.path.join(out, "part.parquet"))
 
+    # customer: replicated with the SAME c_custkey shift as events'
+    # user_id so user-keyed joins/samples keep their match rate at sf1
+    cu = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+    out_cu = None
+    for i in range(10):
+        c = cu.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * 10_000_000))
+        out_cu = c if out_cu is None else out_cu.unionByName(c)
+    out_cu.write.mode("overwrite").parquet(os.path.join(out, "customer.parquet"))
+
     # events: 10x by disjoint user/event id ranges (10x the users, same
     # per-user history density — sessionization cost scales with keys)
     ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")

@@ -61,6 +61,8 @@ QUERIES = [
     "validate_lineitem",
     "skew_key_report",
     "profile_events",
+    "scd2_user_history",
+    "sample_universe_join",
 ]
 
 
