@@ -753,3 +753,64 @@ def quantized_topk(
         )
     )
     return _topk(rer, k)
+
+
+def negative_mine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nbits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (public practice:
+    dense-retrieval training needs high-similarity NON-neighbors): per
+    query, the top-k most-cosine-similar corpus vectors whose LSH bucket
+    DIFFERS from the query's — similar enough to be hard, bucketed apart
+    so they are not the near-neighbor candidates lsh_ann_topk would
+    return. Same hyperplane family, same fixed-order float chains, so
+    the mined pairs replay exactly in the oracle.
+
+    Shape: the query side broadcasts (query sets are small by
+    definition); the bucket-inequality join is the broadcast
+    nested-loop over the corpus scan — the same single-corpus-pass
+    shape as the brute-force baseline, with the top-k window per query.
+    At larger query sets, swap to the multi-probe form: equi-join on
+    each of the query's non-own buckets."""
+    signs = hyperplane_signs(nbits, seed=seed)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
+            bucket_expr(F.col(vec_col), signs).alias("qb"),
+        )
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        project_udf(signs)(F.col(vec_col)).alias("_p"),
+    ).select(
+        "neighbor_id",
+        "cv",
+        F.col("_p.nrm").alias("cn"),
+        bucket_from_sums(F.col("_p.sums"), 0, nbits).alias("cb"),
+    )
+    scored = q.join(
+        c, (q["qb"] != c["cb"]) & (q["query_id"] != c["neighbor_id"])
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("cb").alias("neg_bucket"),
+        _cosine(q["qv"], c["cv"], q["qn"], c["cn"]).alias("cosine"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

@@ -361,3 +361,44 @@ def sim_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantized_topk(
         emb, emb.where("vec_id < 10"), k=K, rerank=RERANK, cell_col="label"
     )
+
+
+def _negatives_oracle() -> str:
+    signs = similarity.hyperplane_signs(NBITS)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, {_NRM} AS qn, {_bucket_sql("embedding", signs)} AS qb
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, {_NRM} AS cn, {_bucket_sql("embedding", signs)} AS cb
+  FROM embeddings
+),
+p AS (
+  SELECT query_id, neighbor_id, cb AS neg_bucket, qv, cv, qn, cn
+  FROM q JOIN c ON qb <> cb AND query_id <> neighbor_id
+),
+sc AS (
+  SELECT query_id, neighbor_id, neg_bucket,
+         round(({sql_dot_chain("qv", "cv", 64)}) / (qn * cn), 9) AS cosine
+  FROM p
+),
+r AS (
+  SELECT query_id, neighbor_id, neg_bucket, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM sc
+)
+SELECT query_id, neighbor_id, neg_bucket, cosine, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= {K}
+"""
+
+
+@register("sim_hard_negatives", oracle=_negatives_oracle())
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query (vec_id < 10), the
+    top-5 most-similar corpus vectors bucketed APART from the query by
+    the shared hyperplane family — high-similarity non-neighbors, the
+    training pairs dense-retrieval fine-tuning wants. See
+    similarity.negative_mine_topk."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.negative_mine_topk(emb, emb.where("vec_id < 10"), k=K, nbits=NBITS)

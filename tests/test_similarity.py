@@ -306,3 +306,36 @@ def test_ivf_quantized_subset_of_cell(spark):
     labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
     for r in out.collect():
         assert labels[r["query_id"]] == labels[r["neighbor_id"]]
+
+
+def test_hard_negatives_bucketed_apart(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.operators import similarity
+    from hadoop_1_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where("vec_id < 5")
+    negs = similarity.negative_mine_topk(emb, queries, k=3).collect()
+    assert negs
+    # every mined negative's bucket differs from its query's bucket
+    signs = similarity.hyperplane_signs(4)
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", similarity.bucket_expr(F.col("embedding"), signs).alias("b")
+        ).collect()
+    }
+    per_q: dict[int, int] = {}
+    for r in negs:
+        assert buckets[r["neighbor_id"]] == r["neg_bucket"]
+        assert buckets[r["neighbor_id"]] != buckets[r["query_id"]]
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert all(v == 3 for v in per_q.values())
+
+
+def test_hard_negatives_match_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "sim_hard_negatives")
