@@ -407,3 +407,31 @@ def kmv_set_estimates(
         inter_est.alias("inter_est"),
         F.col("_both").cast("int").alias("n_common_hashes"),
     )
+
+
+def merge_aggregate_snapshots(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    key_cols: tuple[str, ...],
+    sum_cols: tuple[str, ...],
+) -> DataFrame:
+    """Incremental materialized-view maintenance for re-aggregatable
+    (commutative-monoid) aggregates: fold a delta batch's partial
+    aggregate into the parked snapshot with one union + re-sum — the
+    refresh never touches the base data again (the cms_merge /
+    signature-store parking pattern applied to plain aggregates).
+
+    Correctness contract: merge(agg(A), agg(B)) == agg(A ∪ B) for sums
+    and counts — the registered query's oracle IS the full recompute,
+    so the identity itself is what gets hash-checked every round.
+
+    Scale: the shuffle carries only the two aggregate relations (keys x
+    partial sums), never base rows; at 100 TB the snapshot stays
+    key-bounded and each refresh costs one delta scan + a key-sized
+    merge."""
+    merged = snapshot.select(*key_cols, *sum_cols).unionByName(
+        delta.select(*key_cols, *sum_cols)
+    )
+    return merged.groupBy(*key_cols).agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in sum_cols]
+    )

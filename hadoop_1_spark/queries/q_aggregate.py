@@ -536,3 +536,36 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         str_cols=("event_type",),
         ts_cols=("ts",),
     )
+
+
+@register(
+    "mv_wordcount_merge",
+    # the oracle is the FULL RECOMPUTE — checking the merge identity
+    # agg(A) ⊕ agg(B) == agg(A ∪ B), not a replay of the merge plan
+    oracle="""
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token
+      FROM documents)
+GROUP BY 1
+""",
+)
+def mv_wordcount_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: a parked wordcount
+    snapshot (docs with doc_id % 3 <> 0) merged with the delta batch's
+    partial aggregate (doc_id % 3 = 0) — checked against the FULL
+    recompute as the oracle, so the monoid-merge identity is what the
+    driver hash-verifies. See agg.merge_aggregate_snapshots."""
+    from hadoop_1_spark.operators import textops
+
+    docs = _load(spark, sf_dir, "documents")
+
+    def wc(df):
+        return (
+            df.select(F.explode(textops.ws_tokens(F.col("text"))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+
+    snap = wc(docs.where(F.col("doc_id") % 3 != 0))
+    delta = wc(docs.where(F.col("doc_id") % 3 == 0))
+    return agg.merge_aggregate_snapshots(snap, delta, ("token",), ("cnt",))

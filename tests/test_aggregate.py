@@ -210,3 +210,19 @@ def test_profile_table_semantics(spark):
 
 def test_profile_events_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "profile_events")
+
+
+def test_mv_merge_identity_and_disjoint_keys(spark):
+    from hadoop_1_spark.operators import aggregate as A
+
+    snap = spark.createDataFrame([("a", 3), ("b", 1)], "k string, n long")
+    delta = spark.createDataFrame([("a", 2), ("c", 7)], "k string, n long")
+    got = {
+        r["k"]: r["n"]
+        for r in A.merge_aggregate_snapshots(snap, delta, ("k",), ("n",)).collect()
+    }
+    assert got == {"a": 5, "b": 1, "c": 7}
+
+
+def test_mv_wordcount_merge_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "mv_wordcount_merge")
