@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "profile_events",          # one-pass column profiling report
     "scd2_user_history",       # SCD2 versioned history build
     "sample_universe_join",    # coherent key-universe sampling join
+    "sim_hard_negatives",      # contrastive out-of-bucket negative mining
+    "mv_wordcount_merge",      # monoid-merge incremental view refresh
 ]
 
 

@@ -569,3 +569,103 @@ def mv_wordcount_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = wc(docs.where(F.col("doc_id") % 3 != 0))
     delta = wc(docs.where(F.col("doc_id") % 3 == 0))
     return agg.merge_aggregate_snapshots(snap, delta, ("token",), ("cnt",))
+
+
+@register(
+    "pivot_returnflag_status",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_F,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_O,
+       CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_F,
+       CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_O
+FROM lineitem GROUP BY 1
+""",
+)
+def pivot_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: quantities and counts by return flag, spread
+    across the line-status domain with Spark's native pivot operator
+    (explicit value list — no discovery scan) and decimal-exact sums so
+    both engines aggregate identical values regardless of partial-agg
+    order. Pivot compiles to ONE hash aggregation with conditional
+    aggregates — a single shuffle, same cost as the flat groupBy."""
+    li = _load(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F_qty").cast("double").alias("qty_F"),
+        F.col("O_qty").cast("double").alias("qty_O"),
+        F.col("F_n").cast("bigint").alias("n_F"),
+        F.col("O_n").cast("bigint").alias("n_O"),
+    )
+
+
+@register(
+    "anomaly_zscore_events",
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000) AS BIGINT) AS vq
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(vq AS HUGEINT)) AS HUGEINT) AS sm,
+         CAST(sum(CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT)) AS HUGEINT) AS sq
+  FROM q GROUP BY 1
+)
+SELECT q.event_type,
+       CAST(s.n AS BIGINT) AS n,
+       CAST(count(CASE WHEN (CAST(q.vq AS HUGEINT) * s.n - s.sm)
+                            * (CAST(q.vq AS HUGEINT) * s.n - s.sm)
+                            > 9 * (s.n * s.sq - s.sm * s.sm)
+                        AND CAST(q.vq AS HUGEINT) * s.n > s.sm
+                  THEN 1 END) AS BIGINT) AS n_outliers,
+       CAST(max(CASE WHEN (CAST(q.vq AS HUGEINT) * s.n - s.sm)
+                          * (CAST(q.vq AS HUGEINT) * s.n - s.sm)
+                          > 9 * (s.n * s.sq - s.sm * s.sm)
+                      AND CAST(q.vq AS HUGEINT) * s.n > s.sm
+                 THEN q.vq END) AS BIGINT) AS max_outlier_vq6
+FROM q JOIN s USING (event_type)
+GROUP BY 1, s.n
+""",
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact z-score anomaly detection per event type: flag values more
+    than 3 population standard deviations ABOVE the mean — with the
+    z > 3 test algebraically cleared of divisions and square roots:
+    (vq·n − S)² > 9(nQ − S²) over q6-quantized values, all integer
+    arithmetic in decimal(38,0)/HUGEINT, so the outlier SET (not a
+    float approximation of it) is what the oracle hash-checks.
+
+    Shape: one stats aggregation per type + a broadcast join back over
+    the stream — two passes, no window; the quantization floor(v·10^6)
+    is a deterministic double op on both engines."""
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("vq"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = ev.groupBy("event_type").agg(
+        d(F.count(F.lit(1))).alias("n"),
+        d(F.sum("vq")).alias("sm"),
+        F.sum(d(F.col("vq")) * d(F.col("vq"))).cast("decimal(38,0)").alias("sq"),
+    )
+    j = ev.join(F.broadcast(s), "event_type")
+    dev = d(F.col("vq")) * F.col("n") - F.col("sm")
+    is_out = (dev * dev > F.lit(9) * (F.col("n") * F.col("sq") - F.col("sm") * F.col("sm"))) & (
+        d(F.col("vq")) * F.col("n") > F.col("sm")
+    )
+    return j.groupBy("event_type").agg(
+        F.first("n").cast("bigint").alias("n"),
+        F.count(F.when(is_out, 1)).cast("bigint").alias("n_outliers"),
+        F.max(F.when(is_out, F.col("vq"))).cast("bigint").alias("max_outlier_vq6"),
+    )

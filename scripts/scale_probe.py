@@ -63,6 +63,8 @@ QUERIES = [
     "profile_events",
     "scd2_user_history",
     "sample_universe_join",
+    "sim_hard_negatives",
+    "mv_wordcount_merge",
 ]
 
 

@@ -226,3 +226,45 @@ def test_mv_merge_identity_and_disjoint_keys(spark):
 
 def test_mv_wordcount_merge_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "mv_wordcount_merge")
+
+
+def test_pivot_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "pivot_returnflag_status")
+
+
+def test_anomaly_zscore_exact_set(spark):
+    from hadoop_1_spark import registry
+
+    # hand corpus: one type, 100 small values plus a huge outlier (note a
+    # single outlier among n points is bounded at z = (n-1)/sqrt(n), so n
+    # must exceed ~11 for z=3 to be reachable at all);
+    # replicate the cleared inequality in exact Python integers
+    vals = [float(v % 9 + 1) for v in range(100)] + [2000.0]
+    vq = [int(v * 1_000_000) for v in vals]
+    n, S = len(vq), sum(vq)
+    Q = sum(x * x for x in vq)
+    expected = [x for x in vq if (x * n - S) ** 2 > 9 * (n * Q - S * S) and x * n > S]
+
+    df = spark.createDataFrame([("t", v) for v in vals], "event_type string, value double")
+    from pyspark.sql import functions as F
+
+    ev = df.select(
+        "event_type", F.floor(F.col("value") * 1000000).cast("bigint").alias("vq")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = ev.groupBy("event_type").agg(
+        d(F.count(F.lit(1))).alias("n"),
+        d(F.sum("vq")).alias("sm"),
+        F.sum(d(F.col("vq")) * d(F.col("vq"))).cast("decimal(38,0)").alias("sq"),
+    )
+    j = ev.join(F.broadcast(s), "event_type")
+    dev = d(F.col("vq")) * F.col("n") - F.col("sm")
+    is_out = (dev * dev > F.lit(9) * (F.col("n") * F.col("sq") - F.col("sm") * F.col("sm"))) & (
+        d(F.col("vq")) * F.col("n") > F.col("sm")
+    )
+    got = sorted(r["vq"] for r in j.where(is_out).collect())
+    assert got == sorted(expected) == [2_000_000_000]  # z ~ 9.9 here
+
+
+def test_anomaly_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "anomaly_zscore_events")
