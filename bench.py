@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "sample_universe_join",    # coherent key-universe sampling join
     "sim_hard_negatives",      # contrastive out-of-bucket negative mining
     "mv_wordcount_merge",      # monoid-merge incremental view refresh
+    "pivot_returnflag_status", # native PIVOT, decimal-exact
+    "anomaly_zscore_events",   # division-free exact z>3 outlier set
 ]
 
 

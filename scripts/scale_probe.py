@@ -65,6 +65,8 @@ QUERIES = [
     "sample_universe_join",
     "sim_hard_negatives",
     "mv_wordcount_merge",
+    "pivot_returnflag_status",
+    "anomaly_zscore_events",
 ]
 
 
