@@ -669,3 +669,31 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(is_out, 1)).cast("bigint").alias("n_outliers"),
         F.max(F.when(is_out, F.col("vq"))).cast("bigint").alias("max_outlier_vq6"),
     )
+
+
+# ONE SQL text, TWO engines: this exact string is both the Spark input
+# (spark.sql over registered views) and the DuckDB oracle — the raw-SQL
+# user surface demonstrated end to end (TPC-H Q1 shape, decimal-exact
+# aggregation so partial-agg order cannot split the engines).
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_pricing_summary", oracle=_SQL_PRICING)
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL interface surface: registered temp views + spark.sql
+    running the IDENTICAL text the DuckDB oracle runs — a user who
+    writes plain ANSI SQL against this engine gets hash-identical
+    results (load_tables registers every TESTDATA table as a view)."""
+    from hadoop_1_spark import session
+
+    session.load_tables(spark, sf_dir, "lineitem")
+    return spark.sql(_SQL_PRICING)

@@ -268,3 +268,13 @@ def test_anomaly_zscore_exact_set(spark):
 
 def test_anomaly_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "anomaly_zscore_events")
+
+
+def test_sql_surface_identical_text_both_engines(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sql_pricing_summary")
+    # the registered view surface is complete: every TESTDATA table
+    from hadoop_1_spark import session
+
+    session.load_tables(spark, "/root/testdata/sf0.001")
+    got = spark.sql("SELECT count(*) AS n FROM nation").collect()[0]["n"]
+    assert got == 25
