@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "mv_wordcount_merge",      # monoid-merge incremental view refresh
     "pivot_returnflag_status", # native PIVOT, decimal-exact
     "anomaly_zscore_events",   # division-free exact z>3 outlier set
+    "sql_pricing_summary",     # raw-SQL surface: identical text both engines
 ]
 
 

@@ -51,6 +51,8 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     """Compile row-level checks into ONE aggregation: each check becomes
     a conditional count; observed_q6 = (satisfied * 10^6) div rows.
     Empty input: every check reports observed_q6 = 10^6 (vacuous pass)."""
+    if not checks:
+        raise ValueError("run_checks: the checks list is empty")
     aggs = [F.count(F.lit(1)).alias("_rows")] + [
         F.count(F.when(c.predicate, 1)).alias(f"_c{i}")
         for i, c in enumerate(checks)
@@ -126,6 +128,8 @@ def profile_table(
     adds one wordcount-shaped shuffle for its modal value. Timestamps
     profile as epoch micros (exact integers < 2^53, so the DOUBLE
     carriage is lossless and engine-portable)."""
+    if not (num_cols or str_cols or ts_cols):
+        raise ValueError("profile_table: no columns declared")
     aggs: list[Column] = [F.count(F.lit(1)).alias("_rows")]
     for c in (*num_cols, *str_cols, *ts_cols):
         aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))

@@ -674,13 +674,18 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ONE SQL text, TWO engines: this exact string is both the Spark input
 # (spark.sql over registered views) and the DuckDB oracle — the raw-SQL
 # user surface demonstrated end to end (TPC-H Q1 shape, decimal-exact
-# aggregation so partial-agg order cannot split the engines).
+# aggregation so partial-agg order cannot split the engines). The
+# scale-8 product sum ships as a DECIMAL(38,8) STRING, not DOUBLE: the
+# decimal->double cast double-rounds in DuckDB (int128 then /10^8) vs
+# Spark's correctly-rounded cast — a measured 1-ulp divergence at sf0.1
+# (5045798393.0123 vs ...0123005), the agg_sums_by_flag workaround.
 _SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8))
+            AS VARCHAR(48)) AS sum_disc_price,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus

@@ -67,6 +67,7 @@ QUERIES = [
     "mv_wordcount_merge",
     "pivot_returnflag_status",
     "anomaly_zscore_events",
+    "sql_pricing_summary",
 ]
 
 

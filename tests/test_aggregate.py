@@ -278,3 +278,15 @@ def test_sql_surface_identical_text_both_engines(spark, duck):
     session.load_tables(spark, "/root/testdata/sf0.001")
     got = spark.sql("SELECT count(*) AS n FROM nation").collect()[0]["n"]
     assert got == 25
+
+
+def test_validation_rejects_empty_specs(spark):
+    import pytest as _pytest
+
+    from hadoop_1_spark.operators import validate as V
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError):
+        V.run_checks(df, [])
+    with _pytest.raises(ValueError):
+        V.profile_table(df)
