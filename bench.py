@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "pivot_returnflag_status", # native PIVOT, decimal-exact
     "anomaly_zscore_events",   # division-free exact z>3 outlier set
     "sql_pricing_summary",     # raw-SQL surface: identical text both engines
+    "anomaly_cusum_events",    # window-form CUSUM drift detector (exact)
 ]
 
 

@@ -207,3 +207,89 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.scd2_history(
         ev, "user_id", "ts", "event_id", payload_cols=("value",)
     )
+
+
+CUSUM_TARGET_Q6 = 50_000_000   # target mean (q6): values drift-test vs 50.0
+CUSUM_H_Q6 = 2_000_000_000     # alert threshold h (q6): 2000 value-units
+
+
+@register(
+    "anomaly_cusum_events",
+    oracle=f"""
+WITH q AS (
+  SELECT event_type, event_id, ts,
+         CAST(floor(value * 1000000) AS BIGINT) - {CUSUM_TARGET_Q6} AS dq
+  FROM events
+),
+c AS (
+  SELECT event_type, event_id, ts,
+         sum(dq) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS csum
+  FROM q
+),
+s AS (
+  SELECT event_type, event_id,
+         CAST(csum - least(min(csum) OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING), 0)
+              AS BIGINT) AS cusum_q6
+  FROM c
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(cusum_q6) AS BIGINT) AS max_cusum_q6,
+       CAST(count(CASE WHEN cusum_q6 > {CUSUM_H_Q6} THEN 1 END) AS BIGINT)
+         AS n_alerts,
+       CAST(min(CASE WHEN cusum_q6 > {CUSUM_H_Q6} THEN event_id END) AS BIGINT)
+         AS first_alert_event
+FROM s GROUP BY 1
+""",
+)
+def anomaly_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per event type (Page 1954, the
+    classic sequential change detector): S_i = max(0, S_{i-1} + (x_i -
+    target)) alerts when the stream's mean drifts above the target. The
+    sequential recurrence is cleared to window arithmetic — S_i =
+    prefix_i - min(0, min prefix so far) — so the detector runs as ONE
+    keyed shuffle with two cumulative windows over q6-quantized
+    integers, and the alert SET replays exactly in the oracle. Per-type
+    summary: max statistic, alert count, first alerting event."""
+    ev = _load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    dq = (
+        F.floor(F.col("value") * 1000000).cast("bigint")
+        - F.lit(CUSUM_TARGET_Q6)
+    ).alias("dq")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    q = ev.select("event_type", "event_id", "ts", dq)
+    # the running min shares the SAME event-time order as the prefix sum
+    c = q.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.sum("dq").over(w).alias("csum"),
+    ).withColumn(
+        "cmin",
+        F.min("csum").over(
+            Window.partitionBy("event_type")
+            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    s = c.select(
+        "event_type",
+        "event_id",
+        (F.col("csum") - F.least(F.col("cmin"), F.lit(0))).alias("cusum_q6"),
+    )
+    alert = F.col("cusum_q6") > CUSUM_H_Q6
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("cusum_q6").cast("bigint").alias("max_cusum_q6"),
+        F.count(F.when(alert, 1)).cast("bigint").alias("n_alerts"),
+        F.min(F.when(alert, F.col("event_id"))).cast("bigint").alias("first_alert_event"),
+    )

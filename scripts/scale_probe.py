@@ -68,6 +68,7 @@ QUERIES = [
     "pivot_returnflag_status",
     "anomaly_zscore_events",
     "sql_pricing_summary",
+    "anomaly_cusum_events",
 ]
 
 

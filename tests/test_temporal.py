@@ -310,3 +310,45 @@ def test_scd2_matches_oracle(spark, duck):
     from tests.conftest import assert_query_matches_oracle
 
     assert_query_matches_oracle(spark, duck, "scd2_user_history")
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    """The window form S_i = prefix_i - min(0, min prefix) must equal the
+    textbook sequential recurrence S_i = max(0, S_{i-1} + d_i)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    vals = [50.0, 52.0, 49.0, 80.0, 85.0, 90.0, 40.0, 95.0]
+    target_q6 = 50_000_000
+    dq = [int(v * 1_000_000) - target_q6 for v in vals]
+    s, expect = 0, []
+    for d in dq:
+        s = max(0, s + d)
+        expect.append(s)
+
+    df = spark.createDataFrame(
+        [("t", i, float(v)) for i, v in enumerate(vals)],
+        "event_type string, event_id long, value double",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = (F.floor(F.col("value") * 1000000).cast("bigint") - target_q6).alias("dq")
+    c = df.select("event_type", "event_id", d).select(
+        "event_type", "event_id", F.sum("dq").over(w).alias("csum")
+    ).withColumn("cmin", F.min("csum").over(w))
+    got = [
+        r["s"]
+        for r in c.select(
+            "event_id", (F.col("csum") - F.least("cmin", F.lit(0))).alias("s")
+        ).orderBy("event_id").collect()
+    ]
+    assert got == expect
+
+
+def test_cusum_matches_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "anomaly_cusum_events")
