@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "anomaly_zscore_events",   # division-free exact z>3 outlier set
     "sql_pricing_summary",     # raw-SQL surface: identical text both engines
     "anomaly_cusum_events",    # window-form CUSUM drift detector (exact)
+    "cohort_retention",        # epoch-week cohort retention matrix
+    "path_transitions",        # clickstream Markov edge counts
 ]
 
 

@@ -293,3 +293,84 @@ def anomaly_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(alert, 1)).cast("bigint").alias("n_alerts"),
         F.min(F.when(alert, F.col("event_id"))).cast("bigint").alias("first_alert_event"),
     )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(min(ts)) / (CAST(604800 AS BIGINT) * 1000000)) AS BIGINT) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+a AS (
+  SELECT DISTINCT e.user_id, s.cohort_week,
+         CAST(floor(epoch_us(e.ts) / (CAST(604800 AS BIGINT) * 1000000)) AS BIGINT)
+           - s.cohort_week AS week_offset
+  FROM events e JOIN s USING (user_id)
+)
+SELECT cohort_week, week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a WHERE week_offset >= 0
+GROUP BY 1, 2
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-signup epoch week,
+    counted as active in each subsequent week offset — the standard
+    product-analytics artifact. Exact integer epoch-week arithmetic
+    (floor over epoch micros), one user-keyed shuffle for the cohort
+    assignment plus the distinct (the broadcast of the cohort relation
+    is AQE's call at scale)."""
+    ev = _load(spark, sf_dir, "events")
+    week = lambda c: F.floor(F.unix_micros(c) / F.lit(604800 * 1000000)).cast("bigint")  # noqa: E731
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(week(F.min("ts")).alias("cohort_week"))
+    )
+    a = (
+        ev.join(s, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (week(F.col("ts")) - F.col("cohort_week")).alias("week_offset"),
+        )
+        .where(F.col("week_offset") >= 0)
+        .distinct()
+    )
+    return a.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+@register(
+    "path_transitions",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM o WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: event-type transition counts from each
+    user's (ts, event_id)-ordered stream — the Markov-chain edge counts
+    behind funnel/journey tooling. One keyed shuffle (the per-user
+    window), then a wordcount-shaped pair count."""
+    from pyspark.sql.window import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    o = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    return o.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )

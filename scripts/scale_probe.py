@@ -69,6 +69,8 @@ QUERIES = [
     "anomaly_zscore_events",
     "sql_pricing_summary",
     "anomaly_cusum_events",
+    "cohort_retention",
+    "path_transitions",
 ]
 
 

@@ -352,3 +352,27 @@ def test_cusum_matches_oracle(spark, duck):
     from tests.conftest import assert_query_matches_oracle
 
     assert_query_matches_oracle(spark, duck, "anomaly_cusum_events")
+
+
+def test_cohort_and_transitions_match_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "cohort_retention")
+    assert_query_matches_oracle(spark, duck, "path_transitions")
+
+
+def test_path_transitions_hand_case(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),
+        (2, 4, "a"), (2, 5, "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    o = df.select(
+        F.col("event_type").alias("f"), F.lead("event_type").over(w).alias("t")
+    ).where(F.col("t").isNotNull())
+    got = {(r["f"], r["t"]): r["n"] for r in o.groupBy("f", "t").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {("a", "b"): 2, ("b", "a"): 1}  # no cross-user edge 3->4
