@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "anomaly_cusum_events",    # window-form CUSUM drift detector (exact)
     "cohort_retention",        # epoch-week cohort retention matrix
     "path_transitions",        # clickstream Markov edge counts
+    "resample_locf_daily",     # gap-filled calendar + carry-forward
 ]
 
 

@@ -374,3 +374,74 @@ def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+@register(
+    "resample_locf_daily",
+    oracle="""
+WITH d AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+         ts, event_id, value
+  FROM events
+),
+eod AS (
+  SELECT user_id, day, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, day
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM d) WHERE rn = 1
+),
+span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+cal AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span),
+j AS (
+  SELECT c.user_id, c.day, e.value, e.value IS NOT NULL AS observed
+  FROM cal c LEFT JOIN eod e ON c.user_id = e.user_id AND c.day = e.day
+)
+SELECT user_id, day,
+       last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+                                            ROWS UNBOUNDED PRECEDING) AS value,
+       observed
+FROM j
+""",
+)
+def resample_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time-series resampling: every user gets a COMPLETE
+    daily calendar between their first and last event day (integer
+    epoch-day buckets), carrying the last end-of-day observation
+    forward through unobserved days (LOCF) — the regularization step
+    before any rolling-window or forecasting math. Shape: one keyed
+    shuffle feeds the end-of-day pick, the per-user span, the calendar
+    explode (sequence — no generator UDF), and the carry-forward
+    window; carried values are verbatim copies, so no float arithmetic
+    enters the gap fill."""
+    from pyspark.sql.window import Window
+
+    ev = _load(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86400000000)).cast("bigint")
+    d = ev.select("user_id", day.alias("day"), "ts", "event_id", "value")
+    w_last = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    eod = (
+        d.withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    span = d.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select(
+        "user_id", F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    j = cal.join(eod, ["user_id", "day"], "left").select(
+        "user_id", "day", "value", F.col("value").isNotNull().alias("observed")
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.last("value", ignorenulls=True).over(w_fill).alias("value"),
+        "observed",
+    )

@@ -71,6 +71,7 @@ QUERIES = [
     "anomaly_cusum_events",
     "cohort_retention",
     "path_transitions",
+    "resample_locf_daily",
 ]
 
 

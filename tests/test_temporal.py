@@ -376,3 +376,32 @@ def test_path_transitions_hand_case(spark):
     ).where(F.col("t").isNotNull())
     got = {(r["f"], r["t"]): r["n"] for r in o.groupBy("f", "t").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == {("a", "b"): 2, ("b", "a"): 1}  # no cross-user edge 3->4
+
+
+def test_locf_fills_gaps_verbatim(spark):
+    from pyspark.sql import functions as F
+    from hadoop_1_spark import registry  # noqa: F401  (query shape exercised via oracle test)
+
+    # direct semantics: day 0 observed 1.5, day 2 observed 2.5 -> day 1
+    # carries 1.5 verbatim, calendar is complete
+    from pyspark.sql.window import Window
+
+    rows = [(1, 0, 1.5, True), (1, 2, 2.5, True)]
+    eod = spark.createDataFrame(rows, "user_id long, day long, value double, observed boolean")
+    span = eod.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    j = cal.join(eod.select("user_id", "day", "value"), ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    got = {
+        r["day"]: (r["v"], r["value"] is not None)
+        for r in j.select(
+            "day", "value", F.last("value", ignorenulls=True).over(w).alias("v")
+        ).collect()
+    }
+    assert got == {0: (1.5, True), 1: (1.5, False), 2: (2.5, True)}
+
+
+def test_resample_locf_matches_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "resample_locf_daily")
