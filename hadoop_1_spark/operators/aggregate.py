@@ -435,3 +435,79 @@ def merge_aggregate_snapshots(
     return merged.groupBy(*key_cols).agg(
         *[F.sum(c).cast("bigint").alias(c) for c in sum_cols]
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count sketch per group
+    (Flajolet et al. 2007), built so every step replays in portable SQL
+    — the register-exact sibling of kmv_distinct, closing the sketch
+    family triple (KMV / CMS / HLL). The reference's UniqValueCount
+    (mapred/lib/aggregate/UniqValueCount.java:30) answers the same
+    question with an unbounded in-memory set; HLL answers it with
+    2^p registers.
+
+    Portability contract (why this is oracle-checkable when stock HLL
+    implementations are not):
+    - hash = md5 hex (identical in Spark and DuckDB), register index =
+      top ``p`` bits, rank input ``w`` = the NEXT 40 bits only;
+    - rho(w) = 41 - bitlength(w) (bitlength via the engines' shared
+      ``bin()`` string length; w = 0 -> rho = 41);
+    - the harmonic denominator sum(2^-M_j) is kept EXACT as the integer
+      S = sum_j 2^(41 - M_j) (absent registers contribute 2^41): with
+      m = 256 registers, S <= 256 * 2^41 = 2^49 < 2^53, so the bigint
+      is exact, its double cast is exact, and the one double division
+      in the estimate is IEEE-identical across engines.
+
+    The raw estimate alpha_m * m^2 * 2^41 / S is emitted uncorrected,
+    plus the zero-register count and a ``small_range`` flag: the
+    standard linear-counting correction needs ln(), which is libm- and
+    engine-specific, so it is a documented consumer-side step (the same
+    honesty rule as uniq_count_approx's rows-only check).
+
+    Scale: ONE aggregation on (group, register) — partial aggregation
+    bounds map-side state at m rows per group, and the shuffle carries
+    at most m rows per group per partition regardless of cardinality —
+    then an m-bounded per-group fold. This is the 100 TB shape: no
+    distinct materialization, no tail shuffle (contrast kmv_distinct's
+    distinct-hash shuffle, which carries every unique value once)."""
+    if p != 8:
+        raise ValueError("portable hll_distinct is pinned to p=8 (256 registers)")
+    m = 1 << p
+    h = F.md5(F.col(value_col).cast("string"))
+    idx = F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint")
+    w = F.conv(F.substring(h, 3, 10), 16, 10).cast("bigint")
+    rho = F.when(w == 0, F.lit(41)).otherwise(F.lit(41) - F.length(F.bin(w)))
+    regs = (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.col(group_col), idx.alias("_idx"), rho.alias("_rho"))
+        .groupBy(group_col, "_idx")
+        .agg(F.max("_rho").alias("_m"))
+    )
+    sk = regs.groupBy(group_col).agg(
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 41 - _m)"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << 41)
+        )
+        .cast("bigint")
+        .alias("sum_inv"),
+        (F.lit(m) - F.count(F.lit(1))).cast("int").alias("v_zero"),
+    )
+    # alpha_m for m >= 128 (Flajolet et al. §4); the literal expression is
+    # evaluated once here and written verbatim in the oracle SQL — IEEE
+    # double ops in a fixed order are engine-identical.
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    est = F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(1 << 41)) / F.col(
+        "sum_inv"
+    ).cast("double")
+    return sk.select(
+        group_col,
+        F.round(est, 6).alias("hll_est"),
+        "sum_inv",
+        "v_zero",
+        ((est <= F.lit(2.5 * m)) & (F.col("v_zero") > 0)).alias("small_range"),
+    )

@@ -702,3 +702,40 @@ def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     session.load_tables(spark, sf_dir, "lineitem")
     return spark.sql(_SQL_PRICING)
+
+
+@register(
+    "uniq_count_hll",
+    oracle="""
+WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+           FROM events WHERE user_id IS NOT NULL),
+b AS (SELECT event_type, ('0x' || substr(h, 1, 2))::BIGINT AS idx,
+             ('0x' || substr(h, 3, 10))::BIGINT AS w FROM h),
+r AS (SELECT event_type, idx,
+             max(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS m
+      FROM b GROUP BY 1, 2),
+s AS (SELECT event_type,
+             CAST(sum(1::BIGINT << (41 - m))
+                  + (256 - count(*)) * (1::BIGINT << 41) AS BIGINT) AS sum_inv,
+             CAST(256 - count(*) AS INT) AS v_zero
+      FROM r GROUP BY 1)
+SELECT event_type,
+       round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 2199023255552.0
+             / CAST(sum_inv AS DOUBLE), 6) AS hll_est,
+       sum_inv, v_zero,
+       ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 2199023255552.0
+             / CAST(sum_inv AS DOUBLE) <= 2.5 * 256.0
+        AND v_zero > 0) AS small_range
+FROM s
+""",
+)
+def uniq_count_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-HLL distinct users per event type — the register-exact
+    approximate twin of UniqValueCount that, unlike uniq_count_approx
+    (engine-specific registers, rows-only check), the driver
+    hash-checks REGISTER-FOR-REGISTER: md5 top-8-bit indexing, 40-bit
+    rho, and an exact-integer harmonic denominator replay identically
+    in both engines. Exact twin: uniq_count_capped; bottom-k sibling:
+    uniq_count_kmv."""
+    ev = _load(spark, sf_dir, "events")
+    return agg.hll_distinct(ev, "event_type", "user_id", p=8)

@@ -290,3 +290,41 @@ def test_validation_rejects_empty_specs(spark):
         V.run_checks(df, [])
     with _pytest.raises(ValueError):
         V.profile_table(df)
+
+
+def test_hll_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "uniq_count_hll")
+
+
+def test_hll_exact_register_replay(spark):
+    """Register-for-register parity with an independent Python HLL built
+    from hashlib: same md5 slicing, same rho, same integer denominator."""
+    import hashlib
+
+    vals = [f"user-{i}" for i in range(400)] * 3  # duplicates must not matter
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v string")
+    got = agg.hll_distinct(df, "g", "v").collect()[0]
+
+    regs = {}
+    for v in set(vals):
+        h = hashlib.md5(v.encode()).hexdigest()
+        idx = int(h[:2], 16)
+        w = int(h[2:12], 16)
+        rho = 41 if w == 0 else 41 - w.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    s = sum(1 << (41 - m) for m in regs.values()) + (256 - len(regs)) * (1 << 41)
+    assert got.sum_inv == s
+    assert got.v_zero == 256 - len(regs)
+    est = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * float(1 << 41) / float(s)
+    assert got.hll_est == round(est, 6)
+    # 400 distinct with 256 registers: raw estimate within 25%
+    assert abs(got.hll_est - 400) / 400 < 0.25
+
+
+def test_hll_partitioning_independent(spark):
+    df = spark.createDataFrame(
+        [("g", f"u{i % 97}") for i in range(1000)], "g string, v string"
+    )
+    a = agg.hll_distinct(df.repartition(1), "g", "v").collect()
+    b = agg.hll_distinct(df.repartition(13), "g", "v").collect()
+    assert a == b
