@@ -143,3 +143,133 @@ FROM r{iters} r JOIN deg ON r.node = deg.src"""
     if top is not None:
         tail += f"\nORDER BY rank_fp DESC, node ASC LIMIT {top}"
     return ",\n".join(parts) + tail
+
+
+def cooccurrence_edges(
+    df: DataFrame, group_col: str, item_col: str, mod: int | None = None
+) -> DataFrame:
+    """Undirected edge list (u, v), u < v, of items co-occurring within a
+    group — one distinct self-join on the group key (single shuffle; the
+    self-join reuses one exchange). ``mod`` keeps only groups with
+    ``group % mod == 0``: a deterministic, SQL-replayable group sample
+    that bounds edge count linearly at any scale (the knob a 100 TB run
+    turns instead of enumerating every group's quadratic pair set)."""
+    base = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    ).where(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
+    if mod is not None:
+        base = base.where(F.col("_g") % mod == 0)
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(b, (F.col("a._g") == F.col("b._g")) & (F.col("a._i") < F.col("b._i")))
+        .select(F.col("a._i").alias("u"), F.col("b._i").alias("v"))
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Exact triangle census of an undirected graph given as distinct
+    (u, v), u < v edges: one summary row (nodes, edges, wedges,
+    triangles, global_clustering).
+
+    Algorithm (compact-forward / degree orientation, Latapy 2008): each
+    edge is oriented from its lower- to its higher-(degree, id) endpoint,
+    so every out-neighborhood has size O(sqrt(E)) and the wedge join
+    materializes sum(outdeg^2) rows — bounded, unlike the naive
+    id-ordered enumeration whose wedge count is dominated by the hottest
+    node's full degree. Each triangle has exactly one node with two
+    out-edges under a total-order orientation, so the count is exact and
+    orientation-free — which is why the oracle can replay it with the
+    SIMPLER id-ordered join (a<b<c) and still match: triangle counts are
+    invariants of the graph, not the algorithm.
+
+    Shuffles: degree agg, two orientation joins (deg is node-sized -
+    broadcast), the wedge self-join on src, and the closing-edge probe
+    join on (u, v). The oriented relation is persisted: three branches
+    read it (wedge left, wedge right, closing probe).
+
+    global_clustering = 3 * triangles / wedges (round 6): one double
+    division, deterministic; wedges = sum deg*(deg-1)/2 exact."""
+    e = persist_tracked(edges.select("u", "v"))
+    deg = persist_tracked(
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    # orient: src = endpoint with smaller (deg, id); ties impossible since
+    # (d, n) is a total order over distinct node ids
+    oriented = (
+        e.join(F.broadcast(deg.select(F.col("n"), F.col("d").alias("du"))), e["u"] == F.col("n"))
+        .drop("n")
+        .join(F.broadcast(deg.select(F.col("n"), F.col("d").alias("dv"))), e["v"] == F.col("n"))
+        .drop("n")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t"),
+                         F.col("du").alias("ds"), F.col("dv").alias("dt")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("s"), F.col("u").alias("t"),
+                         F.col("dv").alias("ds"), F.col("du").alias("dt"))
+            )
+            .alias("o")
+        )
+        .select("o.s", "o.t", "o.dt")
+    )
+    od = persist_tracked(oriented)
+    x = od.select(F.col("s"), F.col("t").alias("b"), F.col("dt").alias("db"))
+    y = od.select(F.col("s"), F.col("t").alias("c"), F.col("dt").alias("dc"))
+    wedges2 = (
+        x.join(y, "s")
+        .where(
+            (F.col("db") < F.col("dc"))
+            | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+        )
+        .select(F.col("b").alias("s"), F.col("c").alias("t"))
+    )
+    tri = (
+        wedges2.join(od.select("s", "t"), ["s", "t"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    # wedge join above enumerates ORIENTED wedges (the triangle probe);
+    # the clustering denominator is the classic undirected wedge count
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nodes"),
+        F.expr("cast(sum(d * (d - 1)) div 2 as bigint)").alias("wedges"),
+    )
+    ecnt = e.agg(F.count(F.lit(1)).cast("bigint").alias("edges"))
+    # three one-row aggregates folded with crossJoins — fully lazy, no
+    # driver-side actions
+    return (
+        stats.crossJoin(ecnt)
+        .crossJoin(tri)
+        .select(
+            "nodes",
+            "edges",
+            "wedges",
+            "triangles",
+            F.round(
+                F.lit(3.0) * F.col("triangles").cast("double")
+                / F.col("wedges").cast("double"),
+                6,
+            ).alias("global_clustering"),
+        )
+    )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Degree distribution of an undirected (u, v) edge list: one row
+    per distinct degree value (degree, n_nodes) — the O(max-degree)-row
+    observability summary (power-law checks, hub detection) computed
+    with two key-bounded aggregations."""
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))

@@ -44,3 +44,63 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph.bipartite_edges(li, "l_partkey", "l_suppkey")
     pr = graph.pagerank(edges, iters=PR_ITERS)
     return pr.orderBy(F.desc("rank_fp"), F.asc("node")).limit(PR_TOP)
+
+
+TRI_MOD = 4
+
+_TRI_EDGES_SQL = f"""
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % {TRI_MOD} = 0 AND a.l_partkey IS NOT NULL
+    AND b.l_partkey IS NOT NULL
+"""
+
+
+@register(
+    "graph_triangles",
+    oracle=f"""
+WITH e AS ({_TRI_EDGES_SQL}),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+tri AS (SELECT CAST(count(*) AS BIGINT) AS triangles
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+st AS (SELECT CAST(count(*) AS BIGINT) AS nodes,
+              CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS wedges FROM deg),
+ec AS (SELECT CAST(count(*) AS BIGINT) AS edges FROM e)
+SELECT nodes, edges, wedges, triangles,
+       round(3.0 * CAST(triangles AS DOUBLE) / CAST(wedges AS DOUBLE), 6)
+         AS global_clustering
+FROM st, ec, tri
+""",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the part co-occurrence graph (parts
+    sharing an order, orders sampled deterministically by key mod 4):
+    nodes/edges/wedges/triangles plus the global clustering coefficient.
+    Spark counts via the degree-oriented compact-forward join (bounded
+    out-neighborhoods); the oracle replays the invariant count with the
+    naive id-ordered join — algorithm-independent agreement."""
+    li = _load(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey", mod=TRI_MOD)
+    return graph.triangle_stats(edges)
+
+
+@register(
+    "graph_degree_stats",
+    oracle=f"""
+WITH e AS ({_TRI_EDGES_SQL}),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1
+""",
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the same co-occurrence graph: one row per
+    distinct degree value — the power-law / hub-skew observability view
+    (two key-bounded aggregations, output O(max degree))."""
+    li = _load(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey", mod=TRI_MOD)
+    return graph.degree_histogram(edges)

@@ -4,6 +4,7 @@ the regular-graph invariant."""
 from __future__ import annotations
 
 from hadoop_1_spark.operators import graph
+from tests.conftest import assert_query_matches_oracle
 
 
 def _edges(spark, pairs):
@@ -52,3 +53,32 @@ def test_ranks_bounded_below_by_base(spark):
     out = graph.pagerank(_edges(spark, pairs), iters=3).collect()
     base = ((graph.DAMP_DEN - graph.DAMP_NUM) * graph.SCALE) // graph.DAMP_DEN
     assert all(r["rank_fp"] >= base for r in out)
+
+
+def test_triangles_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "graph_triangles")
+
+
+def test_degree_stats_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "graph_degree_stats")
+
+
+def test_triangle_stats_hand_graph(spark):
+    """K4 plus a pendant edge: 4 triangles, 15 wedges (hand-counted:
+    degrees 3,3,3,4,1 -> 3+3+3+6+0)."""
+    from hadoop_1_spark.operators import graph
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    row = graph.triangle_stats(df).collect()[0]
+    assert (row.nodes, row.edges, row.wedges, row.triangles) == (5, 7, 15, 4)
+    assert row.global_clustering == round(12.0 / 15.0, 6)
+
+
+def test_triangle_stats_triangle_free(spark):
+    """Bipartite (star) graph: zero triangles."""
+    from hadoop_1_spark.operators import graph
+
+    df = spark.createDataFrame([(1, 10), (2, 10), (3, 10)], "u bigint, v bigint")
+    row = graph.triangle_stats(df).collect()[0]
+    assert row.triangles == 0 and row.wedges == 3
