@@ -332,3 +332,46 @@ def scd2_history(
         nxt.isNull().alias("is_current"),
         F.row_number().over(w).cast("int").alias("version"),
     )
+
+
+def interval_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    tie_cols: list[str],
+) -> DataFrame:
+    """Sweep-line concurrency over CLOSED intervals [start, end]: emits
+    every boundary event (+1 at start, -1 past end) tagged with the
+    exact number of intervals open after it — the "max concurrent
+    sessions / peak load" primitive.
+
+    Classic sweep: boundaries sort by (t, delta DESC, tie_cols) — the
+    delta-descending tie puts starts before ends at equal t, which is
+    precisely the closed-interval overlap rule (a session ending at t
+    and one starting at t ARE concurrent) — and a running sum of deltas
+    over that total order is the concurrency. The running sum is
+    sort.global_prefix_sum, i.e. a RANGE-SHUFFLED distributed scan: no
+    single-partition window anywhere, so the timeline can be 100 TB of
+    boundaries and still scan in parallel (the two-pass offset scheme
+    carries one row per partition).
+
+    ``tie_cols`` must make (t, delta, *tie_cols) a total order — the
+    scan's determinism contract. Integral microsecond timestamps in,
+    exact bigint concurrency out."""
+    from hadoop_1_spark.operators import sort as sortops
+
+    starts = intervals.select(
+        F.col(start_col).alias("t_us"), F.lit(1).cast("long").alias("delta"),
+        *[F.col(c) for c in tie_cols],
+    )
+    ends = intervals.select(
+        F.col(end_col).alias("t_us"), F.lit(-1).cast("long").alias("delta"),
+        *[F.col(c) for c in tie_cols],
+    )
+    bounds = starts.unionByName(ends)
+    order = [F.col("t_us").asc(), F.col("delta").desc()] + [
+        F.col(c).asc() for c in tie_cols
+    ]
+    return sortops.global_prefix_sum(
+        bounds, *order, value_col="delta", out_col="concurrency"
+    )

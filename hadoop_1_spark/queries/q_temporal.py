@@ -445,3 +445,72 @@ def resample_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value", ignorenulls=True).over(w_fill).alias("value"),
         "observed",
     )
+
+
+CONC_TOP = 10
+
+
+@register(
+    "events_concurrency",
+    oracle=f"""
+WITH e AS (SELECT user_id, ts, event_id FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > CAST({SESSION_GAP_S} AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS new_mark
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         sum(new_mark) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM m
+),
+iv AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+              min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+       FROM s GROUP BY 1, 2),
+b AS (
+  SELECT start_us AS t_us, CAST(1 AS BIGINT) AS delta, user_id, session_seq FROM iv
+  UNION ALL
+  SELECT end_us, CAST(-1 AS BIGINT), user_id, session_seq FROM iv
+),
+c AS (
+  SELECT t_us, delta, user_id, session_seq,
+         sum(delta) OVER (ORDER BY t_us, delta DESC, user_id, session_seq
+                          ROWS UNBOUNDED PRECEDING) AS concurrency
+  FROM b
+)
+SELECT t_us, CAST(delta AS BIGINT) AS delta, user_id,
+       session_seq, CAST(concurrency AS BIGINT) AS concurrency
+FROM c
+ORDER BY concurrency DESC, t_us ASC, user_id ASC, session_seq ASC, delta DESC
+LIMIT {CONC_TOP}
+""",
+)
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-concurrency analysis: sessionize the event stream (the
+    sessionize_events gap rule), sweep the session intervals, and
+    report the top-10 highest-concurrency boundary moments with a
+    fully tie-broken order. The oracle replays the sweep with a global
+    SQL window; Spark runs it as the distributed two-pass scan
+    (interval_concurrency -> global_prefix_sum), so agreement checks
+    the scan against the window semantics it replaces."""
+    ev = _load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    ev = ev.where(F.col("user_id").isNotNull())
+    s = temporal.sessionize(
+        ev, key_col="user_id", ts_col="ts",
+        gap_seconds=SESSION_GAP_S, tie_cols=["event_id"],
+    )
+    iv = s.groupBy("user_id", "session_seq").agg(
+        F.min(_us("ts")).alias("start_us"), F.max(_us("ts")).alias("end_us")
+    )
+    conc = temporal.interval_concurrency(
+        iv, "start_us", "end_us", tie_cols=["user_id", "session_seq"]
+    )
+    return conc.orderBy(
+        F.desc("concurrency"), F.asc("t_us"), F.asc("user_id"),
+        F.asc("session_seq"), F.desc("delta"),
+    ).limit(CONC_TOP)

@@ -405,3 +405,27 @@ def test_resample_locf_matches_oracle(spark, duck):
     from tests.conftest import assert_query_matches_oracle
 
     assert_query_matches_oracle(spark, duck, "resample_locf_daily")
+
+
+def test_events_concurrency_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "events_concurrency")
+
+
+def test_interval_concurrency_hand(spark):
+    """Three intervals: [0,10], [5,15], [10,20] — closed-interval rule
+    means all three are open at t=10 (the [0,10] end counts, the [10,20]
+    start counts)."""
+    from hadoop_1_spark.operators import temporal
+
+    iv = spark.createDataFrame(
+        [(0, 10, "a"), (5, 15, "b"), (10, 20, "c")],
+        "s bigint, e bigint, id string",
+    )
+    out = temporal.interval_concurrency(iv, "s", "e", tie_cols=["id"]).collect()
+    got = {(r.t_us, r.delta, r.id): r.concurrency for r in out}
+    assert got[(0, 1, "a")] == 1
+    assert got[(5, 1, "b")] == 2
+    assert got[(10, 1, "c")] == 3   # start sorts before the equal-t end
+    assert got[(10, -1, "a")] == 2
+    assert got[(15, -1, "b")] == 1
+    assert got[(20, -1, "c")] == 0
