@@ -375,3 +375,82 @@ def interval_concurrency(
     return sortops.global_prefix_sum(
         bounds, *order, value_col="delta", out_col="concurrency"
     )
+
+
+def journey_attribution(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    channel_col: str,
+    is_conversion: Column,
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution over journeys.
+
+    A journey is the run of events between conversions for one key: each
+    row's journey id is the EXCLUSIVE running count of prior conversions
+    in (ts, tie) order, so every conversion closes journey j = (number of
+    conversions before it) and the non-conversion rows of journey j are
+    exactly its touchpoints. Credit is a COUNT — whole-conversion credit
+    to the journey's first and to its last touchpoint (the two exact
+    attribution models; fractional multi-touch splits are deliberately
+    out: 1/n credits cannot be summed exactly across engines).
+    Conversions with an empty journey credit the '(direct)' channel.
+
+    One shuffle on the key: the journey window, the touch-rank windows,
+    and the per-journey rollup all share the (key, ts, tie) sort. The
+    per-channel rollup is a channel-bounded aggregation; nothing global.
+
+    Returns (channel, first_touch, last_touch) with zero-filled counts."""
+    w = Window.partitionBy("_k").orderBy(F.col("_ts").asc(), F.col("_tie").asc())
+    wprior = w.rowsBetween(Window.unboundedPreceding, -1)
+    conv = F.when(is_conversion, F.lit(1)).otherwise(F.lit(0))
+    rows = df.select(
+        F.col(key_col).alias("_k"), F.col(ts_col).alias("_ts"),
+        F.col(tie_col).alias("_tie"), F.col(channel_col).alias("_ch"),
+        conv.alias("_conv"),
+    ).withColumn("_journey", F.coalesce(F.sum("_conv").over(wprior), F.lit(0)))
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    rows = persist_tracked(rows)
+    conversions = rows.where(F.col("_conv") == 1).select("_k", "_journey")
+    touches = rows.where(F.col("_conv") == 0)
+    wj = Window.partitionBy("_k", "_journey").orderBy(
+        F.col("_ts").asc(), F.col("_tie").asc()
+    )
+    wjd = Window.partitionBy("_k", "_journey").orderBy(
+        F.col("_ts").desc(), F.col("_tie").desc()
+    )
+    ranked = touches.select(
+        "_k", "_journey", "_ch",
+        F.row_number().over(wj).alias("_rn"),
+        F.row_number().over(wjd).alias("_rnd"),
+    )
+    firsts = ranked.where(F.col("_rn") == 1).select(
+        "_k", "_journey", F.col("_ch").alias("_first_ch")
+    )
+    lasts = ranked.where(F.col("_rnd") == 1).select(
+        "_k", "_journey", F.col("_ch").alias("_last_ch")
+    )
+    attributed = (
+        conversions.join(firsts, ["_k", "_journey"], "left")
+        .join(lasts, ["_k", "_journey"], "left")
+        .select(
+            F.coalesce(F.col("_first_ch"), F.lit("(direct)")).alias("_fc"),
+            F.coalesce(F.col("_last_ch"), F.lit("(direct)")).alias("_lc"),
+        )
+    )
+    f = attributed.groupBy(F.col("_fc").alias("channel")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("first_touch")
+    )
+    l = attributed.groupBy(F.col("_lc").alias("channel")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("last_touch")
+    )
+    return (
+        f.join(l, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("first_touch", F.lit(0)).cast("bigint").alias("first_touch"),
+            F.coalesce("last_touch", F.lit(0)).cast("bigint").alias("last_touch"),
+        )
+    )

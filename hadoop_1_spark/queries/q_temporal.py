@@ -514,3 +514,61 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("concurrency"), F.asc("t_us"), F.asc("user_id"),
         F.asc("session_seq"), F.desc("delta"),
     ).limit(CONC_TOP)
+
+
+@register(
+    "attribution_first_last",
+    oracle="""
+WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+j AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS journey
+  FROM e
+),
+convs AS (SELECT user_id, journey FROM j WHERE conv = 1),
+touch AS (
+  SELECT user_id, journey, event_type,
+         row_number() OVER (PARTITION BY user_id, journey
+                            ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, journey
+                            ORDER BY ts DESC, event_id DESC) AS rnd
+  FROM j WHERE conv = 0
+),
+attributed AS (
+  SELECT coalesce(f.event_type, '(direct)') AS fc,
+         coalesce(l.event_type, '(direct)') AS lc
+  FROM convs c
+  LEFT JOIN (SELECT user_id, journey, event_type FROM touch WHERE rn = 1) f
+    USING (user_id, journey)
+  LEFT JOIN (SELECT user_id, journey, event_type FROM touch WHERE rnd = 1) l
+    USING (user_id, journey)
+),
+fct AS (SELECT fc AS channel, CAST(count(*) AS BIGINT) AS first_touch
+        FROM attributed GROUP BY 1),
+lct AS (SELECT lc AS channel, CAST(count(*) AS BIGINT) AS last_touch
+        FROM attributed GROUP BY 1)
+SELECT coalesce(fct.channel, lct.channel) AS channel,
+       CAST(coalesce(first_touch, 0) AS BIGINT) AS first_touch,
+       CAST(coalesce(last_touch, 0) AS BIGINT) AS last_touch
+FROM fct FULL OUTER JOIN lct ON fct.channel = lct.channel
+""",
+)
+def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-attribution rollup: every purchase credits the first
+    and the last touchpoint of its journey (the events since the user's
+    previous purchase); empty journeys credit '(direct)'. Exact
+    whole-count credit in both models — the deterministic subset of
+    multi-touch attribution (fractional splits can't hash-match across
+    engines). One user-keyed shuffle feeds journey numbering, touch
+    ranking, and the rollup."""
+    ev = _load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    return temporal.journey_attribution(
+        ev, key_col="user_id", ts_col="ts", tie_col="event_id",
+        channel_col="event_type",
+        is_conversion=F.col("event_type") == "purchase",
+    )

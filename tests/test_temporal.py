@@ -429,3 +429,26 @@ def test_interval_concurrency_hand(spark):
     assert got[(10, -1, "a")] == 2
     assert got[(15, -1, "b")] == 1
     assert got[(20, -1, "c")] == 0
+
+
+def test_attribution_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "attribution_first_last")
+
+
+def test_journey_attribution_hand(spark):
+    """One user: view, click, BUY, BUY, view  ->  journey0 first=view
+    last=click; journey1 empty -> (direct); trailing view never counted."""
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.operators import temporal
+
+    rows = [
+        (1, 10, 1, "view"), (1, 20, 2, "click"), (1, 30, 3, "buy"),
+        (1, 40, 4, "buy"), (1, 50, 5, "view"),
+    ]
+    df = spark.createDataFrame(rows, "u bigint, t bigint, id bigint, ch string")
+    out = temporal.journey_attribution(
+        df, "u", "t", "id", "ch", F.col("ch") == "buy"
+    ).collect()
+    got = {r.channel: (r.first_touch, r.last_touch) for r in out}
+    assert got == {"view": (1, 0), "click": (0, 1), "(direct)": (1, 1)}
