@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_1_spark.operators import dedup
+from hadoop_1_spark.operators import dedup, linkage
 from hadoop_1_spark.registry import _load, register
 
 _TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
@@ -453,4 +453,37 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_overlap_pairs(
         _load(spark, sf_dir, "documents"), k=3, w=4,
         min_shared=WINNOW_MIN_SHARED,
+    )
+
+
+FUZZY_DIST = 5
+FUZZY_PREFIX = 40
+
+
+@register(
+    "dedup_fuzzy_titles",
+    oracle=f"""
+WITH d AS (SELECT doc_id, substr(text, 1, {FUZZY_PREFIX}) AS t,
+                  split_part(text, ' ', 1) AS blk
+           FROM documents WHERE text IS NOT NULL)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.t, b.t) AS INT) AS dist
+FROM d a JOIN d b
+  ON a.blk = b.blk AND a.doc_id < b.doc_id
+ AND abs(length(a.t) - length(b.t)) <= {FUZZY_DIST}
+WHERE levenshtein(a.t, b.t) <= {FUZZY_DIST}
+""",
+)
+def dedup_fuzzy_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant near-dup pairs on document title prefixes (first 40
+    chars), blocked by leading token, exact Levenshtein <= 5 — the
+    character-level member of the dedup family (shingle/minhash misses
+    single-character edits inside words; edit distance is built for
+    them). Fixed-width comparator + length-difference lower-bound
+    prefilter keep per-pair cost bounded."""
+    docs = _load(spark, sf_dir, "documents")
+    return linkage.blocked_levenshtein_pairs(
+        docs, "doc_id", F.col("text"),
+        block=F.split_part(F.col("text"), F.lit(" "), F.lit(1)),
+        max_dist=FUZZY_DIST, prefix_len=FUZZY_PREFIX,
     )

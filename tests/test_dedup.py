@@ -241,3 +241,26 @@ def test_winnow_overlap_pairs(spark):
     df2 = spark.createDataFrame(rows + boiler, "doc_id long, text string")
     capped = dedup.winnow_overlap_pairs(df2, min_shared=2, fp_cap=5).collect()
     assert capped == []  # every fp of the clique exceeds the cap
+
+
+def test_fuzzy_titles_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "dedup_fuzzy_titles")
+
+
+def test_blocked_levenshtein_hand(spark):
+    """kitten/sitting distance 3 found in-block; cross-block pair never
+    compared; length prefilter drops the hopeless pair."""
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.operators import linkage
+
+    rows = [
+        (1, "kitten extras", "k"), (2, "sitting extras", "k"),
+        (3, "kitten extras", "x"),             # same text, other block
+        (4, "kitten extras padpadpadpad", "k"),  # len diff 12 > max_dist
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string, blk string")
+    out = linkage.blocked_levenshtein_pairs(
+        df, "id", F.col("t"), block=F.col("blk"), max_dist=3, prefix_len=40
+    ).collect()
+    assert [(r.id_a, r.id_b, r.dist) for r in out] == [(1, 2, 3)]
