@@ -814,3 +814,56 @@ def negative_mine_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    nbits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN graph construction: every vector's top-k most-similar
+    in-bucket neighbors, as directed edges (query_id, neighbor_id,
+    cosine, rank) — the input relation for SemDeDup-style semantic
+    clustering and graph-based diversity sampling.
+
+    Unlike the query-serving ANN paths (lsh_ann_topk broadcasts a small
+    query set), EVERY vector is a query here, so nothing is broadcast:
+    the (id, vec, norm, bucket) relation is computed once — one Arrow
+    pass for norm + hyperplane sums — persisted, and self-joined on the
+    bucket key. One co-partitioning shuffle; in-bucket pair count is
+    sum(|bucket|^2), bounded by the hash family exactly as in the LSH
+    dedup path (raise nbits to shrink buckets as the corpus grows — the
+    2^nbits knob is the scale lever). Per-query top-k is a
+    WindowGroupLimit-pruned rank, never a global sort."""
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    signs = hyperplane_signs(nbits, seed=seed)
+    base = persist_tracked(
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            project_udf(signs)(F.col(vec_col)).alias("_p"),
+        ).select(
+            "_id", "_v",
+            F.col("_p.nrm").alias("_n"),
+            bucket_from_sums(F.col("_p.sums"), 0, nbits).alias("_b"),
+        )
+    )
+    a = base.select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("qv"),
+        F.col("_n").alias("qn"), F.col("_b").alias("qb"),
+    )
+    b = base.select(
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"),
+        F.col("_n").alias("cn"), F.col("_b").alias("cb"),
+    )
+    scored = a.join(
+        b, (a["qb"] == b["cb"]) & (a["query_id"] != b["neighbor_id"])
+    ).select(
+        "query_id", "neighbor_id",
+        _cosine(a["qv"], b["cv"], a["qn"], b["cn"]).alias("cosine"),
+    )
+    return _topk(scored, k)

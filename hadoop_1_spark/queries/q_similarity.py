@@ -402,3 +402,37 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.negative_mine_topk."""
     emb = _load(spark, sf_dir, "embeddings")
     return similarity.negative_mine_topk(emb, emb.where("vec_id < 10"), k=K, nbits=NBITS)
+
+
+KNN_K = 3
+
+
+def _knn_oracle() -> str:
+    signs = similarity.hyperplane_signs(NBITS)
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding AS ev, {_NRM} AS nrm,
+         {_bucket_sql("embedding", signs)} AS bkt
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         a.ev AS qv, b.ev AS cv, a.nrm AS qn, b.nrm AS cn
+  FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+),
+{_COSINE_CTES}
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= {KNN_K}
+"""
+
+
+@register("sim_knn_graph", oracle=_knn_oracle())
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs k-NN graph (k=3) within LSH buckets over the whole
+    embedding table — the SemDeDup/diversity-sampling input relation.
+    The self-join shape (persisted bucketed relation, co-partitioning
+    shuffle, no broadcast) is the 100 TB-corpus construction path;
+    agreement with the windowed SQL replay checks bucket assignment,
+    the fixed-order cosine fold, and the tie-broken rank cut."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(emb, k=KNN_K, nbits=NBITS)

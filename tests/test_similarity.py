@@ -339,3 +339,23 @@ def test_hard_negatives_match_oracle(spark, duck):
     from tests.conftest import assert_query_matches_oracle
 
     assert_query_matches_oracle(spark, duck, "sim_hard_negatives")
+
+
+def test_knn_graph_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sim_knn_graph")
+
+
+def test_knn_graph_symmetric_in_bucket(spark):
+    """Within a bucket, if b is a's nearest neighbor and the bucket has
+    exactly 2 vectors, each lists the other with identical cosine."""
+    from hadoop_1_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
+    out = similarity.knn_graph(emb, k=1, nbits=6).collect()
+    sims = {(r.query_id, r.neighbor_id): r.cosine for r in out}
+    for (a, b), c in sims.items():
+        if (b, a) in sims and sims[(b, a)] == c:
+            break
+    else:
+        # with 50 vectors in 64 buckets, at least one mutual pair exists
+        raise AssertionError("no mutual nearest pair found")
