@@ -107,6 +107,12 @@ BENCH_QUERIES = [
     "cohort_retention",        # epoch-week cohort retention matrix
     "path_transitions",        # clickstream Markov edge counts
     "resample_locf_daily",     # gap-filled calendar + carry-forward
+    "graph_triangles",         # degree-oriented exact triangle census
+    "sim_knn_graph",           # bucketed all-corpus k-NN graph build
+    "dedup_fuzzy_titles",      # blocked Levenshtein typo-dup pairs
+    "events_concurrency",      # sweep-line peak concurrency (two-pass scan)
+    "uniq_count_hll",          # portable register-exact HLL sketch
+    "attribution_first_last",  # journey-based conversion attribution
 ]
 
 

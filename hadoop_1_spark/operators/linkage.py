@@ -128,7 +128,16 @@ def blocked_levenshtein_pairs(
         F.substring(text, 1, prefix_len).alias("_t"),
         block.alias("_blk"),
     )
-    a = base.select(
+    # Catalyst pushes the distance predicate into the join condition, so
+    # ALL of the quadratic comparator work executes inside the join stage
+    # — whose task count is the probe side's partitioning (one task for a
+    # single-file scan). Splitting the probe side to full parallelism
+    # before the join is what spreads the O(prefix_len^2)-per-pair cost;
+    # a post-join repartition would be too late, and AQE's byte-based
+    # coalescing cannot see row COST, only row bytes (measured at sf0.1:
+    # 11.7 s single-task vs ~1.5 s spread).
+    n_spread = records.sparkSession.sparkContext.defaultParallelism
+    a = base.repartition(n_spread).select(
         F.col("_id").alias("id_a"), F.col("_t").alias("_ta"), "_blk"
     )
     b = base.select(
