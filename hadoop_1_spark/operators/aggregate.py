@@ -511,3 +511,62 @@ def hll_distinct(
         "v_zero",
         ((est <= F.lit(2.5 * m)) & (F.col("v_zero") > 0)).alias("small_range"),
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    group_col: str,
+    x: Column,
+    y_q6: Column,
+) -> DataFrame:
+    """Per-group ordinary-least-squares slope in EXACT scaled-integer
+    arithmetic — the trend/drift observability primitive (metric slope
+    per segment, data-freshness decay) with none of float OLS's
+    order-dependence.
+
+    Inputs: integer regressor ``x`` (e.g. epoch days) and micro-scaled
+    integer response ``y_q6`` (value * 10^6). All five sufficient
+    statistics (n, Sx, Sy, Sxy, Sxx) accumulate as DECIMAL(38,0) —
+    commutative, overflow-checked, engine-identical — and the slope
+    ships as ``slope_q6 = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)`` in
+    TRUNCATE-TOWARD-ZERO integer division — Spark's decimal ``div``
+    truncates, and the oracle divides as HUGEINT (int128), which also
+    truncates; DECIMAL ``//`` in DuckDB ROUNDS and must not be used. The numerator and
+    denominator are also emitted as decimal strings: consumers needing
+    more precision re-divide exactly.
+
+    One partial-aggregated shuffle on the group key; five sums per
+    group — the classic sufficient-statistics shape that scales to any
+    row count. Groups with a degenerate x (all equal -> den = 0) emit
+    NULL slope."""
+    d38 = "decimal(38,0)"
+    rows = df.select(
+        F.col(group_col),
+        x.cast("bigint").alias("_x"),
+        y_q6.cast("bigint").alias("_y"),
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    s = rows.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("_x").cast(d38)).cast(d38).alias("_sx"),
+        F.sum(F.col("_y").cast(d38)).cast(d38).alias("_sy"),
+        F.sum((F.col("_x").cast(d38) * F.col("_y").cast(d38)).cast(d38))
+        .cast(d38).alias("_sxy"),
+        F.sum((F.col("_x").cast(d38) * F.col("_x").cast(d38)).cast(d38))
+        .cast(d38).alias("_sxx"),
+    )
+    num = (F.col("n").cast(d38) * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(d38)
+    den = (F.col("n").cast(d38) * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(d38)
+    tz_div = F.when(den == 0, F.lit(None).cast("bigint")).otherwise(
+        F.expr("_num div _den").cast("bigint")
+    )
+    return (
+        s.withColumn("_num", num)
+        .withColumn("_den", den)
+        .select(
+            group_col,
+            "n",
+            F.col("_num").cast("string").alias("num"),
+            F.col("_den").cast("string").alias("den"),
+            tz_div.alias("slope_q6"),
+        )
+    )

@@ -739,3 +739,51 @@ def uniq_count_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniq_count_kmv."""
     ev = _load(spark, sf_dir, "events")
     return agg.hll_distinct(ev, "event_type", "user_id", p=8)
+
+
+@register(
+    "regression_trend_events",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS x,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+  FROM e GROUP BY 1
+),
+r AS (
+  SELECT event_type, n,
+         CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS num,
+         CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS den
+  FROM s
+)
+SELECT event_type, n,
+       CAST(num AS VARCHAR) AS num, CAST(den AS VARCHAR) AS den,
+       CASE WHEN den = 0 THEN NULL
+            ELSE CAST(CAST(num AS HUGEINT) // CAST(den AS HUGEINT) AS BIGINT)
+            END AS slope_q6
+FROM r
+""",
+)
+def regression_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS value trend (micro-units per day) in exact
+    scaled-integer arithmetic: epoch-day regressor, value scaled to q6,
+    DECIMAL(38,0) sufficient statistics, truncate-toward-zero slope
+    division (Spark decimal div truncates; the oracle divides as
+    HUGEINT, which truncates too — DECIMAL // in DuckDB rounds and is
+    avoided). num/den ship as exact decimal strings."""
+    ev = _load(spark, sf_dir, "events")
+    return agg.linear_trend(
+        ev.where(F.col("ts").isNotNull() & F.col("value").isNotNull()),
+        "event_type",
+        x=F.expr("unix_micros(ts) div 86400000000"),
+        y_q6=(F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint"),
+    )

@@ -328,3 +328,28 @@ def test_hll_partitioning_independent(spark):
     a = agg.hll_distinct(df.repartition(1), "g", "v").collect()
     b = agg.hll_distinct(df.repartition(13), "g", "v").collect()
     assert a == b
+
+
+def test_regression_trend_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "regression_trend_events")
+
+
+def test_linear_trend_hand(spark):
+    """Perfect line y = 2x + 1 (q6-scaled): slope exactly 2_000_000;
+    negative slope truncates toward zero; degenerate x -> NULL."""
+    from hadoop_1_spark.operators import aggregate as agg
+
+    rows = (
+        [("up", x, (2 * x + 1) * 1_000_000) for x in range(5)]
+        # y = -x * 10^6 / 3: slope -333333.33 -> truncates to -333333
+        + [("down", x, -x * 1_000_000 // 3) for x in range(4)]
+        + [("flat_x", 7, 1_000_000), ("flat_x", 7, 2_000_000)]
+    )
+    df = spark.createDataFrame(rows, "g string, x bigint, y bigint")
+    got = {
+        r.g: r.slope_q6
+        for r in agg.linear_trend(df, "g", F.col("x"), F.col("y")).collect()
+    }
+    assert got["up"] == 2_000_000
+    assert got["down"] == -333333   # toward zero, not -333334
+    assert got["flat_x"] is None
