@@ -871,3 +871,42 @@ def connected_components(
         )
     _track(labels)
     return labels.select(F.col("v"), F.col("l").alias("cluster"))
+
+
+def survivorship(
+    clusters: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    quality: Column,
+) -> DataFrame:
+    """Master-data survivorship: collapse each near-dup cluster to its
+    canonical record — the step after cluster resolution that actually
+    DEDUPS (connected_components labels; this elects). The survivor is
+    the member maximizing (quality, then lowest id) — a total order, so
+    the election is deterministic and partitioning-independent.
+
+    Input: ``clusters`` as (v, cluster) from connected_components;
+    ``records`` carries the quality signal. Returns one row per cluster:
+    (cluster, survivor_id, n_members, kept_q, dropped_q) where kept_q /
+    dropped_q are the survivor's and the discarded members' total
+    quality mass (bigint — the audit numbers a curation run reports).
+
+    One key-bounded shuffle on the cluster label; the rank is
+    WindowGroupLimit-pruned. Cluster sizes are near-dup group sizes —
+    bounded by the dedup threshold, not corpus size."""
+    from pyspark.sql import Window
+
+    m = clusters.join(
+        records.select(F.col(id_col).alias("v"), quality.cast("bigint").alias("_q")),
+        "v",
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("_q"), F.asc("v"))
+    ranked = m.withColumn("_rn", F.row_number().over(w))
+    return ranked.groupBy("cluster").agg(
+        F.max(F.when(F.col("_rn") == 1, F.col("v"))).alias("survivor_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max(F.when(F.col("_rn") == 1, F.col("_q"))).cast("bigint").alias("kept_q"),
+        F.sum(F.when(F.col("_rn") > 1, F.col("_q")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("dropped_q"),
+    )

@@ -487,3 +487,34 @@ def dedup_fuzzy_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
         block=F.split_part(F.col("text"), F.lit(" "), F.lit(1)),
         max_dist=FUZZY_DIST, prefix_len=FUZZY_PREFIX,
     )
+
+
+def _survivorship_oracle() -> str:
+    return f"""
+WITH cl AS ({_clusters_oracle()}),
+m AS (
+  SELECT cl.cluster, cl.doc_id AS v, CAST(d.n_chars AS BIGINT) AS q,
+         row_number() OVER (PARTITION BY cl.cluster
+                            ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rn
+  FROM cl JOIN documents d ON cl.doc_id = d.doc_id
+)
+SELECT cluster,
+       max(CASE WHEN rn = 1 THEN v END) AS survivor_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(max(CASE WHEN rn = 1 THEN q END) AS BIGINT) AS kept_q,
+       CAST(sum(CASE WHEN rn > 1 THEN q ELSE 0 END) AS BIGINT) AS dropped_q
+FROM m GROUP BY cluster
+"""
+
+
+@register("dedup_survivorship", oracle=_survivorship_oracle())
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster election: each MinHash near-dup cluster collapsed to its
+    canonical document (longest text wins, lowest id breaks ties), with
+    member counts and the kept/dropped character mass a curation run
+    audits. Completes the dedup pipeline: pairs (LSH) -> clusters
+    (connected components) -> one survivor per cluster."""
+    docs = _load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=8, threshold=0.8)
+    clusters = dedup.connected_components(pairs)
+    return dedup.survivorship(clusters, docs, "doc_id", F.col("n_chars"))

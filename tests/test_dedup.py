@@ -264,3 +264,28 @@ def test_blocked_levenshtein_hand(spark):
         df, "id", F.col("t"), block=F.col("blk"), max_dist=3, prefix_len=40
     ).collect()
     assert [(r.id_a, r.id_b, r.dist) for r in out] == [(1, 2, 3)]
+
+
+def test_survivorship_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "dedup_survivorship")
+
+
+def test_survivorship_hand(spark):
+    """Chain cluster {1,2,3} (quality 10,30,30) -> survivor 2 (quality
+    ties break on lowest id); singleton pair cluster {5,6}."""
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.operators import dedup
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)], "v bigint, cluster bigint"
+    )
+    recs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (5, 7), (6, 2)], "id bigint, q bigint"
+    )
+    out = {
+        r.cluster: r
+        for r in dedup.survivorship(clusters, recs, "id", F.col("q")).collect()
+    }
+    assert (out[1].survivor_id, out[1].n_members, out[1].kept_q, out[1].dropped_q) == (2, 3, 30, 40)
+    assert (out[5].survivor_id, out[5].kept_q, out[5].dropped_q) == (5, 7, 2)
