@@ -867,3 +867,110 @@ def knn_graph(
         _cosine(a["qv"], b["cv"], a["qn"], b["cn"]).alias("cosine"),
     )
     return _topk(scored, k)
+
+
+def mmr_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nbits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) top-k:
+    greedy diversified retrieval — each step selects the candidate
+    maximizing 0.5*relevance - 0.5*max_similarity_to_already_selected.
+    The redundancy-aware sibling of lsh_ann_topk (plain top-k returns k
+    near-copies when the corpus has near-dups; MMR spends the budget on
+    coverage).
+
+    Determinism contract: all cosines are the fixed-order fold rounded
+    to 9 places; lambda is EXACTLY 0.5, so the 0.5*a - 0.5*b step
+    arithmetic is an exact halving (power of two) of round-9 doubles —
+    engine-identical IEEE ops — and every argmax tie-breaks on
+    neighbor id. The greedy recursion is unrolled as k plan steps
+    (k is small by definition), so the whole query stays declarative
+    and the oracle replays it as k chained window-argmax CTEs.
+
+    Scale: candidates and in-bucket pair sims are bucket-bounded
+    (lsh_ann_topk's candidate economics); each step joins the remaining
+    candidates against the i-selected set — k * candidate-sized work,
+    never corpus-sized. Queries are broadcast throughout."""
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    signs = hyperplane_signs(nbits, seed=seed)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
+            bucket_expr(F.col(vec_col), signs).alias("qb"),
+        )
+    )
+    c = emb.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        project_udf(signs)(F.col(vec_col)).alias("_p"),
+    ).select(
+        "cid", "cv",
+        F.col("_p.nrm").alias("cn"),
+        bucket_from_sums(F.col("_p.sums"), 0, nbits).alias("cb"),
+    )
+    cand = persist_tracked(
+        q.join(c, (q["qb"] == c["cb"]) & (q["query_id"] != c["cid"])).select(
+            "query_id", "cid", "cv", "cn",
+            _cosine(q["qv"], c["cv"], q["qn"], c["cn"]).alias("rel"),
+        )
+    )
+    a = cand.select("query_id", F.col("cid").alias("c1"), F.col("cv").alias("v1"), F.col("cn").alias("n1"))
+    b = cand.select("query_id", F.col("cid").alias("c2"), F.col("cv").alias("v2"), F.col("cn").alias("n2"))
+    sims = persist_tracked(
+        a.join(b, ["query_id"])
+        .where(F.col("c1") != F.col("c2"))
+        .select(
+            "query_id", "c1", "c2",
+            _cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")).alias("s"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("cid"))
+    pick = (
+        cand.withColumn("_score", F.col("rel"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") == 1)
+        .select("query_id", F.col("cid").alias("neighbor_id"),
+                F.col("_score").alias("mmr_score"), F.lit(1).alias("rank"))
+    )
+    selected = pick
+    for step in range(2, k + 1):
+        # restrict the sim relation to edges INTO the selected set, take
+        # each candidate's max, then name-join — no three-way self-join
+        # ambiguity, and the per-step work is (candidates x selected)
+        msims = (
+            sims.join(
+                selected.select("query_id", F.col("neighbor_id").alias("c2")),
+                ["query_id", "c2"],
+            )
+            .groupBy("query_id", F.col("c1").alias("cid"))
+            .agg(F.max("s").alias("_maxsim"))
+        )
+        rem = cand.join(
+            selected.select("query_id", F.col("neighbor_id").alias("cid")),
+            ["query_id", "cid"],
+            "left_anti",
+        )
+        ms = rem.select("query_id", "cid", "rel").join(msims, ["query_id", "cid"])
+        nxt = (
+            ms.withColumn(
+                "_score", F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("_maxsim")
+            )
+            .withColumn("_rn", F.row_number().over(wq))
+            .where(F.col("_rn") == 1)
+            .select("query_id", F.col("cid").alias("neighbor_id"),
+                    F.col("_score").alias("mmr_score"), F.lit(step).alias("rank"))
+        )
+        selected = selected.unionByName(nxt)
+    return selected.select(
+        "query_id", "neighbor_id", F.round("mmr_score", 9).alias("mmr_score"),
+        F.col("rank").cast("int").alias("rank"),
+    )

@@ -436,3 +436,80 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixed-order cosine fold, and the tie-broken rank cut."""
     emb = _load(spark, sf_dir, "embeddings")
     return similarity.knn_graph(emb, k=KNN_K, nbits=NBITS)
+
+
+MMR_K = 3
+
+
+def _mmr_oracle(k: int = MMR_K) -> str:
+    signs = similarity.hyperplane_signs(NBITS)
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id, embedding AS ev, {_NRM} AS nrm,
+         {_bucket_sql("embedding", signs)} AS bkt
+  FROM embeddings
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cid,
+         round(({sql_dot_chain("q.ev", "c.ev", 64)}) / (q.nrm * c.nrm), 9) AS rel
+  FROM v q JOIN v c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+),
+sims AS (
+  SELECT p.query_id, p.cid AS c1, r.cid AS c2,
+         round(({sql_dot_chain("a.ev", "b.ev", 64)}) / (a.nrm * b.nrm), 9) AS s
+  FROM cand p JOIN cand r ON p.query_id = r.query_id AND p.cid <> r.cid
+  JOIN v a ON p.cid = a.vec_id JOIN v b ON r.cid = b.vec_id
+),
+r1 AS (SELECT query_id, cid, rel,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, cid ASC) AS rn
+       FROM cand),
+p1 AS (SELECT query_id, cid AS n1, rel AS sc1 FROM r1 WHERE rn = 1)"""
+    ]
+    for i in range(2, k + 1):
+        prev_sel = ", ".join(f"p{j}.n{j}" for j in range(1, i))
+        joins = " ".join(
+            f"JOIN p{j} ON c.query_id = p{j}.query_id" for j in range(1, i)
+        )
+        not_in = " AND ".join(f"c.cid <> p{j}.n{j}" for j in range(1, i))
+        in_list = ", ".join(f"p{j}.n{j}" for j in range(1, i))
+        parts.append(
+            f"""m{i} AS (
+  SELECT c.query_id, c.cid, c.rel, max(s.s) AS maxsim
+  FROM cand c {joins}
+  JOIN sims s ON s.query_id = c.query_id AND s.c1 = c.cid
+             AND s.c2 IN ({in_list})
+  WHERE {not_in}
+  GROUP BY 1, 2, 3
+),
+r{i} AS (SELECT query_id, cid, 0.5 * rel - 0.5 * maxsim AS sc,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY 0.5 * rel - 0.5 * maxsim DESC,
+                                          cid ASC) AS rn
+       FROM m{i}),
+p{i} AS (SELECT query_id, cid AS n{i}, sc AS sc{i} FROM r{i} WHERE rn = 1)"""
+        )
+    selects = [
+        "SELECT query_id, n1 AS neighbor_id, round(sc1, 9) AS mmr_score,"
+        " CAST(1 AS INT) AS rank FROM p1"
+    ] + [
+        f"SELECT query_id, n{i} AS neighbor_id, round(sc{i}, 9) AS mmr_score,"
+        f" CAST({i} AS INT) AS rank FROM p{i}"
+        for i in range(2, k + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("sim_mmr_topk", oracle=_mmr_oracle())
+def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified ANN: Maximal Marginal Relevance top-3 for vec_id < 10
+    over the LSH candidate set (lambda = exactly 0.5, so the marginal
+    score is an exact halving of round-9 cosines and replays
+    engine-identically). The greedy recursion is unrolled into k
+    declarative plan steps; the oracle chains the same k window-argmax
+    CTEs."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.mmr_topk(
+        emb, emb.where("vec_id < 10"), k=MMR_K, nbits=NBITS
+    )

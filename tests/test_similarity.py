@@ -359,3 +359,30 @@ def test_knn_graph_symmetric_in_bucket(spark):
     else:
         # with 50 vectors in 64 buckets, at least one mutual pair exists
         raise AssertionError("no mutual nearest pair found")
+
+
+def test_mmr_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sim_mmr_topk")
+
+
+def test_mmr_prefers_diversity(spark):
+    """Three unit vectors at +10, +12, -11 degrees from the query axis:
+    plain top-2 takes the +10/+12 pair (cos 2 deg apart); MMR's step 2
+    must take the -11 vector (21 deg from the first pick). All vectors
+    are dim-0 dominated, so every hyperplane bucket agrees."""
+    import math
+
+    from hadoop_1_spark.operators import similarity
+
+    dims = 64
+    def vec(deg):
+        v = [0.0] * dims
+        v[0] = math.cos(math.radians(deg))
+        v[1] = math.sin(math.radians(deg))
+        return v
+
+    rows = [(0, vec(0)), (1, vec(10)), (2, vec(12)), (3, vec(-11))]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = similarity.mmr_topk(df, df.where("vec_id = 0"), k=2, nbits=4)
+    picked = [r.neighbor_id for r in out.orderBy("rank").collect()]
+    assert picked == [1, 3]
