@@ -572,3 +572,49 @@ def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         channel_col="event_type",
         is_conversion=F.col("event_type") == "purchase",
     )
+
+
+@register(
+    "rolling_window_user_value",
+    oracle="""
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                  CAST(value AS DECIMAL(18,6)) AS v
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+d AS (SELECT user_id, day, CAST(sum(v) AS DECIMAL(38,6)) AS day_v,
+             CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+r AS (SELECT user_id, day,
+             CAST(sum(day_v) OVER w AS DECIMAL(38,6)) AS roll_v,
+             CAST(sum(n) OVER w AS BIGINT) AS roll_n
+      FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day
+                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT user_id, day, CAST(roll_v AS VARCHAR) AS roll_sum, roll_n
+FROM r
+""",
+)
+def rolling_window_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-user value sum — the time-RANGE window frame
+    (value-based bounds over epoch days, not row counts), exercised
+    nowhere else in the catalog. Days are pre-aggregated first so the
+    range frame slides over day rows, not events; sums stay
+    DECIMAL(38,6)-exact and ship as strings. One user-keyed shuffle
+    shared by the day rollup and the window."""
+    from pyspark.sql.window import Window
+
+    ev = _load(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    day = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    ).groupBy("user_id", "day").agg(
+        F.sum("v").cast("decimal(38,6)").alias("day_v"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0)
+    return day.select(
+        "user_id",
+        "day",
+        F.sum("day_v").over(w).cast("decimal(38,6)").cast("string").alias("roll_sum"),
+        F.sum("n").over(w).cast("bigint").alias("roll_n"),
+    )

@@ -72,6 +72,17 @@ QUERIES = [
     "cohort_retention",
     "path_transitions",
     "resample_locf_daily",
+    # round-5 closing block (this session)
+    "uniq_count_hll",
+    "graph_triangles",
+    "graph_degree_stats",
+    "events_concurrency",
+    "attribution_first_last",
+    "dedup_fuzzy_titles",
+    "sim_knn_graph",
+    "regression_trend_events",
+    "dedup_survivorship",
+    "sim_mmr_topk",
 ]
 
 

@@ -452,3 +452,7 @@ def test_journey_attribution_hand(spark):
     ).collect()
     got = {r.channel: (r.first_touch, r.last_touch) for r in out}
     assert got == {"view": (1, 0), "click": (0, 1), "(direct)": (1, 1)}
+
+
+def test_rolling_window_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "rolling_window_user_value")
