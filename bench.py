@@ -113,6 +113,11 @@ BENCH_QUERIES = [
     "events_concurrency",      # sweep-line peak concurrency (two-pass scan)
     "uniq_count_hll",          # portable register-exact HLL sketch
     "attribution_first_last",  # journey-based conversion attribution
+    "dedup_fuzzy_titles_fine", # composite-block scale twin (46x -> 4x at 10x)
+    "dedup_survivorship",      # cluster -> canonical record election
+    "sim_mmr_topk",            # diversified retrieval, k-step unroll
+    "regression_trend_events", # exact scaled-integer OLS slope
+    "rolling_window_user_value", # time-RANGE frame trailing sum
 ]
 
 

@@ -518,3 +518,38 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=8, threshold=0.8)
     clusters = dedup.connected_components(pairs)
     return dedup.survivorship(clusters, docs, "doc_id", F.col("n_chars"))
+
+
+@register(
+    "dedup_fuzzy_titles_fine",
+    oracle=f"""
+WITH d AS (SELECT doc_id, substr(text, 1, {FUZZY_PREFIX}) AS t,
+                  split_part(text, ' ', 1) || '|' || split_part(text, ' ', 2) AS blk
+           FROM documents WHERE text IS NOT NULL)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.t, b.t) AS INT) AS dist
+FROM d a JOIN d b
+  ON a.blk = b.blk AND a.doc_id < b.doc_id
+ AND abs(length(a.t) - length(b.t)) <= {FUZZY_DIST}
+WHERE levenshtein(a.t, b.t) <= {FUZZY_DIST}
+""",
+)
+def dedup_fuzzy_titles_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-block scale twin of dedup_fuzzy_titles: blocking on the
+    first TWO tokens divides block sizes by the second-token vocabulary,
+    which divides the quadratic pair count by its square — the
+    entity_match_parts_fine lever applied to edit-distance matching
+    (measured: coarse 46.5x vs fine ~2x on 10x data). The recall
+    bargain: a typo INSIDE the first two tokens moves the pair out of
+    the block; run both passes and union for recall (standard
+    multi-pass blocking)."""
+    docs = _load(spark, sf_dir, "documents")
+    return linkage.blocked_levenshtein_pairs(
+        docs, "doc_id", F.col("text"),
+        block=F.concat_ws(
+            "|",
+            F.split_part(F.col("text"), F.lit(" "), F.lit(1)),
+            F.split_part(F.col("text"), F.lit(" "), F.lit(2)),
+        ),
+        max_dist=FUZZY_DIST, prefix_len=FUZZY_PREFIX,
+    )

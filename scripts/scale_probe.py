@@ -83,6 +83,8 @@ QUERIES = [
     "regression_trend_events",
     "dedup_survivorship",
     "sim_mmr_topk",
+    "dedup_fuzzy_titles_fine",
+    "rolling_window_user_value",
 ]
 
 

@@ -289,3 +289,7 @@ def test_survivorship_hand(spark):
     }
     assert (out[1].survivor_id, out[1].n_members, out[1].kept_q, out[1].dropped_q) == (2, 3, 30, 40)
     assert (out[5].survivor_id, out[5].kept_q, out[5].dropped_q) == (5, 7, 2)
+
+
+def test_fuzzy_titles_fine_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "dedup_fuzzy_titles_fine")
