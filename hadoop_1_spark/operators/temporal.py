@@ -454,3 +454,60 @@ def journey_attribution(
             F.coalesce("last_touch", F.lit(0)).cast("bigint").alias("last_touch"),
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval x interval overlap join (closed intervals: overlap iff
+    l_start <= r_end AND r_start <= l_end) as a BINNED EQUI-JOIN — the
+    interval-relation sibling of range_join's point-in-interval band
+    join, and the declarative replacement for the O(n*m) theta join a
+    naive formulation would BNLJ.
+
+    Each interval explodes to the fixed-width bins it touches; the join
+    key is the bin, the overlap predicate remains as a residual, and
+    each qualifying pair is kept exactly once WITHOUT a distinct: the
+    pair is owned by bin = max(first_bin_l, first_bin_r), the first bin
+    the two intervals share — a closed-form dedup (the standard spatial
+    grid-join ownership trick), so no post-join shuffle.
+
+    Scale: one shuffle on the bin key; replication factor is
+    interval_length / bin_width (tune bin_width to the typical interval
+    — the range_join bin economics). Long stragglers replicate more;
+    cap or split pathological intervals upstream."""
+    lb = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                (F.col(l_start) / bin_width).cast("bigint"),
+                (F.col(l_end) / bin_width).cast("bigint"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                (F.col(r_start) / bin_width).cast("bigint"),
+                (F.col(r_end) / bin_width).cast("bigint"),
+            )
+        ),
+    )
+    own = F.greatest(
+        (F.col(l_start) / bin_width).cast("bigint"),
+        (F.col(r_start) / bin_width).cast("bigint"),
+    )
+    return (
+        lb.join(rb, "_bin")
+        .where(F.col(l_start) <= F.col(r_end))
+        .where(F.col(r_start) <= F.col(l_end))
+        .where(F.col("_bin") == own)
+        .drop("_bin")
+    )

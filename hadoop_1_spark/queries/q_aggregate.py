@@ -787,3 +787,42 @@ def regression_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         x=F.expr("unix_micros(ts) div 86400000000"),
         y_q6=(F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint"),
     )
+
+
+@register(
+    "unpivot_pricing_long",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+         CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_tax
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, metric, val FROM (
+  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM w
+  UNION ALL
+  SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+  UNION ALL
+  SELECT l_returnflag, 'sum_tax', sum_tax FROM w
+)
+""",
+)
+def unpivot_pricing_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT surface — the inverse of pivot_returnflag_status: wide
+    per-flag decimal-exact sums melted to (flag, metric, val) long form
+    with Spark's native unpivot operator (one Expand node over the
+    aggregated rows — no re-scan, no extra shuffle; the oracle replays
+    it as a UNION ALL, which is what Expand computes)."""
+    li = _load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double").alias("sum_disc"),
+        F.sum(F.col("l_tax").cast("decimal(18,4)")).cast("double").alias("sum_tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_disc", "sum_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

@@ -618,3 +618,71 @@ def rolling_window_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("day_v").over(w).cast("decimal(38,6)").cast("string").alias("roll_sum"),
         F.sum("n").over(w).cast("bigint").alias("roll_n"),
     )
+
+
+@register(
+    "sessions_error_overlap",
+    oracle=f"""
+WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > CAST({SESSION_GAP_S} AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS new_mark
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         sum(new_mark) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM m
+),
+iv AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+              min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+       FROM s GROUP BY 1, 2),
+ew AS (SELECT epoch_us(ts) // 86400000000 AS err_day,
+              min(epoch_us(ts)) AS w_s, max(epoch_us(ts)) AS w_e
+       FROM events WHERE event_type = 'error' AND ts IS NOT NULL
+       GROUP BY 1)
+SELECT ew.err_day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT iv.user_id) AS BIGINT) AS n_users
+FROM iv JOIN ew ON iv.s_us <= ew.w_e AND ew.w_s <= iv.e_us
+GROUP BY 1
+""",
+)
+def sessions_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap: user sessions joined to per-day
+    error-storm windows (min..max error timestamp per day), counting
+    affected sessions and users per window. Spark runs the binned
+    grid join (day-width bins, residual overlap predicate, closed-form
+    pair ownership — no BNLJ, no distinct); the oracle runs the naive
+    theta join, checking the grid join finds each overlapping pair
+    exactly once."""
+    ev = _load(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    s = temporal.sessionize(
+        ev.select("user_id", "ts", "event_id"),
+        key_col="user_id", ts_col="ts",
+        gap_seconds=SESSION_GAP_S, tie_cols=["event_id"],
+    )
+    iv = s.groupBy("user_id", "session_seq").agg(
+        F.min(_us("ts")).alias("s_us"), F.max(_us("ts")).alias("e_us")
+    )
+    ew = (
+        _load(spark, sf_dir, "events")
+        .where((F.col("event_type") == "error") & F.col("ts").isNotNull())
+        .select(_us("ts").alias("t"))
+        .groupBy(F.expr("t div 86400000000").alias("err_day"))
+        .agg(F.min("t").alias("w_s"), F.max("t").alias("w_e"))
+    )
+    joined = temporal.interval_overlap_join(
+        iv, ew, "s_us", "e_us", "w_s", "w_e", bin_width=86_400_000_000
+    )
+    return joined.groupBy("err_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

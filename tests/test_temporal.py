@@ -456,3 +456,28 @@ def test_journey_attribution_hand(spark):
 
 def test_rolling_window_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "rolling_window_user_value")
+
+
+def test_sessions_error_overlap_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sessions_error_overlap")
+
+
+def test_interval_overlap_join_hand(spark):
+    """Bin-spanning intervals pair exactly once; non-overlapping pairs
+    never appear; touching endpoints count (closed intervals)."""
+    from hadoop_1_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, 0, 25), (2, 30, 35), (3, 90, 95)], "lid bigint, ls bigint, le bigint"
+    )
+    right = spark.createDataFrame(
+        [(10, 20, 32), (11, 35, 40), (12, 50, 60)], "rid bigint, rs bigint, re bigint"
+    )
+    out = temporal.interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bin_width=10
+    ).select("lid", "rid").collect()
+    got = sorted((r.lid, r.rid) for r in out)
+    # 1 overlaps 10 ([0,25]x[20,32], spans bins 0..2 x 2..3 -> one pair);
+    # 2 overlaps 10 ([30,35]x[20,32]) and 11 (touching at 35);
+    # 3 overlaps nothing
+    assert got == [(1, 10), (2, 10), (2, 11)]
