@@ -162,3 +162,50 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_to_table(
         streaming.enriched_segment_counts(ev, dim), spark, "complete"
     )
+
+
+@register(
+    "stream_hll_distinct",
+    oracle="""
+WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+           FROM events WHERE user_id IS NOT NULL),
+b AS (SELECT event_type, ('0x' || substr(h, 1, 2))::BIGINT AS idx,
+             ('0x' || substr(h, 3, 10))::BIGINT AS w FROM h),
+r AS (SELECT event_type, idx,
+             max(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS m
+      FROM b GROUP BY 1, 2),
+s AS (SELECT event_type,
+             CAST(sum(1::BIGINT << (41 - m))
+                  + (256 - count(*)) * (1::BIGINT << 41) AS BIGINT) AS sum_inv,
+             CAST(256 - count(*) AS INT) AS v_zero
+      FROM r GROUP BY 1)
+SELECT event_type,
+       round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 2199023255552.0
+             / CAST(sum_inv AS DOUBLE), 6) AS hll_est,
+       sum_inv, v_zero
+FROM s
+""",
+)
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality: the portable HLL maintained as GroupState
+    over the event stream. HLL's register merge is a commutative
+    monoid, so the final streamed state is REGISTER-IDENTICAL to the
+    batch sketch however the micro-batches split — the oracle here IS
+    uniq_count_hll's batch SQL. The estimate is computed JVM-side from
+    the final emission (F.round half-up, matching both engines;
+    Python's round() is half-even and never touches the output)."""
+    ev = streaming.read_events_stream(spark, sf_dir)
+    sink = streaming.run_to_table(streaming.stateful_hll(ev), spark, "update")
+    final = (
+        sink.groupBy("event_type")
+        .agg(F.max(F.struct("n_seen", "sum_inv", "v_zero")).alias("_s"))
+        .select("event_type", F.col("_s.sum_inv").alias("sum_inv"),
+                F.col("_s.v_zero").alias("v_zero"))
+    )
+    est = (
+        F.lit(0.7213 / (1.0 + 1.079 / 256.0)) * F.lit(65536.0)
+        * F.lit(2199023255552.0) / F.col("sum_inv").cast("double")
+    )
+    return final.select(
+        "event_type", F.round(est, 6).alias("hll_est"), "sum_inv", "v_zero"
+    )

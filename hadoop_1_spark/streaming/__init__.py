@@ -261,3 +261,64 @@ def enriched_segment_counts(
             "cnt",
         )
     )
+
+
+HLL_OUTPUT = "event_type string, n_seen long, sum_inv long, v_zero int"
+HLL_STATE = "n long, regs array<int>"
+
+
+def stateful_hll(events: DataFrame) -> DataFrame:
+    """Streaming HLL: per event type, the 256-register portable sketch
+    (aggregate.hll_distinct's exact semantics — md5 top-8-bit index,
+    40-bit rho) maintained as explicit GroupState and re-emitted per
+    update. The register merge is max() — HLL is a commutative monoid,
+    so the stream's final state equals the batch sketch REGISTER FOR
+    REGISTER no matter how the micro-batches split: the registered
+    query's oracle is literally the batch HLL SQL.
+
+    State is a fixed 256-int array per group — the bounded-state
+    property that makes HLL the streaming cardinality operator (an
+    exact distinct would grow state with the key space). Emissions
+    carry a monotone n_seen so consumers can select the final emission
+    per group."""
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, regs = state.get
+            regs = list(regs)
+        else:
+            n, regs = 0, [0] * 256
+        for pdf in pdfs:
+            for uid in pdf["user_id"]:
+                if uid is None or pd.isna(uid):
+                    continue
+                n += 1
+                h = hashlib.md5(str(int(uid)).encode()).hexdigest()
+                idx = int(h[:2], 16)
+                w = int(h[2:12], 16)
+                rho = 41 if w == 0 else 41 - w.bit_length()
+                if rho > regs[idx]:
+                    regs[idx] = rho
+        state.update((n, regs))
+        s = sum(1 << (41 - m) for m in regs if m) + regs.count(0) * (1 << 41)
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n],
+                "sum_inv": [s],
+                "v_zero": [regs.count(0)],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=HLL_OUTPUT,
+        stateStructType=HLL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

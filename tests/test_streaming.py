@@ -286,3 +286,40 @@ def test_foreachbatch_incremental_dedup_ingest(spark, tmp_path):
 
     assert got == expect
     assert got == [1, 2, 4, 6]  # dups 3, 5, 7 rejected
+
+
+def test_stream_hll_matches_batch_sketch(spark, duck):
+    """The streamed GroupState sketch must equal the batch HLL register
+    state (monoid merge property) — checked via the shared oracle."""
+    assert_query_matches_oracle(spark, duck, "stream_hll_distinct")
+
+
+def test_stream_hll_batch_split_invariance(spark, tmp_path):
+    """Same rows split across two source files (two micro-batch sets)
+    -> identical final sketch to the single-file run."""
+    import hadoop_1_spark.streaming as streaming
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"t{i % 2}") for i in range(300)]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string")
+    one = str(tmp_path / "one")
+    two = str(tmp_path / "two")
+    df.coalesce(1).write.parquet(one)
+    # two part files in one directory = two file-source splits
+    df.where("user_id < 100").coalesce(1).write.parquet(two)
+    df.where("user_id >= 100").coalesce(1).write.mode("append").parquet(two)
+
+    schema = df.schema
+
+    def run(path, glob):
+        raw = (spark.readStream.schema(schema).option("pathGlobFilter", glob)
+               .parquet(path))
+        sink = streaming.run_to_table(streaming.stateful_hll(raw), spark, "update")
+        return {
+            (r.event_type, r.sum_inv, r.v_zero)
+            for r in sink.groupBy("event_type")
+            .agg(F.max(F.struct("n_seen", "sum_inv", "v_zero")).alias("s"))
+            .select("event_type", "s.sum_inv", "s.v_zero").collect()
+        }
+
+    assert run(one, "*.parquet") == run(two, "*")
