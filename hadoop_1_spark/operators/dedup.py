@@ -910,3 +910,94 @@ def survivorship(
         .cast("bigint")
         .alias("dropped_q"),
     )
+
+
+def prefix_filter_jaccard_pairs(
+    items: DataFrame,
+    id_col: str,
+    item_col: str,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (Chaudhuri et
+    al. 2006 / ppjoin family): all document pairs with token-set Jaccard
+    >= t, with NO false negatives — the exact complement to MinHash-LSH
+    (which trades recall for cost) and to blocked matching (which trades
+    recall for a block key).
+
+    Operates on any (id, item) set relation — tokens, shingles,
+    features; the caller picks the set unit (shingles for text near-dup,
+    where token-level sets saturate on small vocabularies).
+
+    The theorem: order all tokens by one GLOBAL total order (document
+    frequency ascending, token ascending — rarest first); if
+    J(x, y) >= t then x and y must share a token among each one's first
+    |x| - ceil(t*|x|) + 1 tokens. So only records sharing a PREFIX token
+    are candidates, and prefixes of rare-first orderings are mostly
+    rare tokens — the candidate join fans out far less than a full
+    token join.
+
+    The threshold is the exact rational t_num/t_den: ceil(t*n) computes
+    as (t_num*n + t_den - 1) div t_den — integer arithmetic, so the
+    prefix length (and therefore the candidate SET, not just the
+    output) is engine-exact; no float boundary can silently shorten a
+    prefix and break the no-false-negative guarantee. Verification is
+    integer q6 Jaccard on the full token sets.
+
+    Plan: distinct (doc, token) relation persisted (read by df counts,
+    prefix ranking, and both verify sides); token-df join broadcasts
+    the df relation is NOT possible (token-sized) — it shuffles on
+    token once; prefix rank is a per-doc window; the candidate join
+    shuffles on the prefix token. Skew: a token frequent enough to be
+    in many prefixes is by construction NEAR-RARE globally (prefixes
+    prefer low-df tokens), the property that makes this the exact
+    scale path."""
+    tok = _persist(
+        items.select(F.col(id_col).alias("_id"), F.col(item_col).alias("_tok"))
+        .where(F.col(item_col).isNotNull())
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    dfreq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    sz = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    ranked = (
+        tok.join(dfreq, "_tok")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_tok"))
+            ),
+        )
+        .join(sz, "_id")
+    )
+    prefix = ranked.where(
+        F.col("_rn")
+        <= F.col("_n") - F.expr(f"({t_num} * _n + {t_den - 1}) div {t_den}") + 1
+    ).select("_id", "_tok", "_n")
+    a = prefix.select(F.col("_id").alias("id_a"), "_tok", F.col("_n").alias("_na"))
+    b = prefix.select(F.col("_id").alias("id_b"), "_tok", F.col("_n").alias("_nb"))
+    cand = (
+        a.join(b, "_tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_na", "_nb")
+        .distinct()
+    )
+    ta = tok.select(F.col("_id").alias("id_a"), "_tok")
+    tb = tok.select(F.col("_id").alias("id_b"), "_tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "_tok"])
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            F.expr("(_i * 1000000) div (_na + _nb - _i)")
+            .cast("bigint")
+            .alias("jaccard_q6"),
+        )
+        .where(F.col("jaccard_q6") * t_den >= F.lit(1000000 * t_num))
+    )

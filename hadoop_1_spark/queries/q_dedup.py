@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_1_spark.operators import dedup, linkage
+from hadoop_1_spark.operators import dedup, linkage, textops
 from hadoop_1_spark.registry import _load, register
 
 _TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
@@ -552,4 +552,54 @@ def dedup_fuzzy_titles_fine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split_part(F.col("text"), F.lit(" "), F.lit(2)),
         ),
         max_dist=FUZZY_DIST, prefix_len=FUZZY_PREFIX,
+    )
+
+
+@register(
+    "dedup_prefix_filter",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (
+  SELECT DISTINCT doc_id AS id, array_to_string(toks[i:i+2], ' ') AS tk
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 3)
+),
+dfreq AS (SELECT tk, count(*) AS df FROM tok GROUP BY 1),
+sz AS (SELECT id, count(*) AS n FROM tok GROUP BY 1),
+r AS (
+  SELECT tok.id, tok.tk, sz.n,
+         row_number() OVER (PARTITION BY tok.id ORDER BY dfreq.df, tok.tk) AS rn
+  FROM tok JOIN dfreq USING (tk) JOIN sz ON tok.id = sz.id
+),
+pre AS (SELECT id, tk, n FROM r WHERE rn <= n - (3 * n + 4) // 5 + 1),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb
+  FROM pre a JOIN pre b ON a.tk = b.tk AND a.id < b.id
+),
+i AS (
+  SELECT c.id_a, c.id_b, c.na, c.nb, count(*) AS inter
+  FROM cand c
+  JOIN tok x ON x.id = c.id_a
+  JOIN tok y ON y.id = c.id_b AND y.tk = x.tk
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       CAST((inter * 1000000) // (na + nb - inter) AS BIGINT) AS jaccard_q6
+FROM i
+WHERE (inter * 1000000) // (na + nb - inter) * 5 >= 3000000
+""",
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-Jaccard >= 3/5 self-join via prefix filtering: the
+    no-false-negative scale path (MinHash trades recall; this trades
+    nothing — only pairs sharing a rarest-first prefix shingle are ever
+    compared, and the threshold theorem proves that covers every
+    qualifying pair). Prefix lengths use exact rational arithmetic
+    ((3n+4) div 5), so the candidate SET itself — not just the output —
+    is engine-identical. Shingles, not tokens: token sets saturate on
+    this corpus's ~30-word vocabulary."""
+    docs = _load(spark, sf_dir, "documents")
+    sh = textops.shingles(docs, k=3)
+    return dedup.prefix_filter_jaccard_pairs(
+        sh, "doc_id", "shingle", t_num=3, t_den=5
     )

@@ -293,3 +293,39 @@ def test_survivorship_hand(spark):
 
 def test_fuzzy_titles_fine_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "dedup_fuzzy_titles_fine")
+
+
+def test_prefix_filter_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "dedup_prefix_filter")
+
+
+def test_prefix_filter_no_false_negatives(spark):
+    """Against brute force on a small random-ish corpus: every pair with
+    Jaccard >= 3/5 must appear (the theorem under test), no pair below
+    may appear, and the q6 values must agree."""
+    from hadoop_1_spark.operators import dedup
+
+    sets = {
+        1: {"a", "b", "c", "d", "e"},
+        2: {"a", "b", "c", "d", "f"},      # J(1,2) = 4/6 = 0.667 >= 0.6
+        3: {"a", "b", "x", "y", "z"},      # J(1,3) = 2/8 = 0.25
+        4: {"a", "b", "c", "d", "e"},      # J(1,4) = 1.0
+        5: {"q", "r", "s"},
+        6: {"q", "r", "s", "t"},           # J(5,6) = 3/4 = 0.75
+    }
+    rows = [(i, t) for i, ts in sets.items() for t in ts]
+    df = spark.createDataFrame(rows, "id bigint, item string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard_q6
+        for r in dedup.prefix_filter_jaccard_pairs(df, "id", "item").collect()
+    }
+    exp = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                i = len(sets[a] & sets[b])
+                u = len(sets[a] | sets[b])
+                q6 = i * 1000000 // u
+                if q6 * 5 >= 3000000:
+                    exp[(a, b)] = q6
+    assert got == exp
