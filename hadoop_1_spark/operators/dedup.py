@@ -951,7 +951,17 @@ def prefix_filter_jaccard_pairs(
     shuffles on the prefix token. Skew: a token frequent enough to be
     in many prefixes is by construction NEAR-RARE globally (prefixes
     prefer low-df tokens), the property that makes this the exact
-    scale path."""
+    scale path.
+
+    DENSITY CAVEAT (measured): the candidate economics require a SPARSE
+    item space (zipf-ish df, most items rare — true of real-text
+    shingles at web scale). On the synthetic corpus's ~30-word
+    vocabulary the 3-shingle space is dense (avg df ~55 at sf0.1), so
+    prefixes stop being selective and the candidate set grows
+    quadratically (15.7 s at sf0.1, worse beyond) — for dense item
+    spaces use minhash_lsh_pairs (approximate) or ngram_jaccard_pairs
+    with df_cap. This operator is the EXACTNESS path, kept at its
+    honest cost."""
     tok = _persist(
         items.select(F.col(id_col).alias("_id"), F.col(item_col).alias("_tok"))
         .where(F.col(item_col).isNotNull())
