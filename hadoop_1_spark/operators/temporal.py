@@ -511,3 +511,54 @@ def interval_overlap_join(
         .where(F.col("_bin") == own)
         .drop("_bin")
     )
+
+
+def cdc_merge(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    seq_cols: list[str],
+    op_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Apply a CDC change batch to a snapshot — MERGE semantics (the
+    Delta/Iceberg MERGE INTO shape) as one union + one keyed window:
+
+    - ``changes`` rows carry op 'U' (upsert, FULL row image — the
+      standard CDC contract) or 'D' (delete), ordered per key by
+      ``seq_cols`` (latest wins; ties must be broken by the caller's
+      seq columns — a total order per key is the determinism contract);
+    - snapshot rows participate as base images that every change
+      outranks (they sort before all changes);
+    - the survivor per key is the highest-seq row; 'D' survivors drop
+      the key entirely (delete beats the base row it shadows).
+
+    ONE shuffle on the key for both the union ranking and the output —
+    the latest-wins idiom shared with apply_index_ops' DocumentAndOp
+    (pipelines.py) and dedup_incremental's batch rule. At 100 TB the
+    change batch is delta-sized: the cost is snapshot-scan + key
+    shuffle, never snapshot x changes."""
+    base = snapshot.select(
+        F.col(key_col),
+        *[F.col(c) for c in payload_cols],
+        F.lit("U").alias("_op"),
+        F.lit(0).alias("_chg"),
+        *[F.lit(None).cast(changes.schema[s].dataType).alias(f"_s_{s}") for s in seq_cols],
+    )
+    chg = changes.select(
+        F.col(key_col),
+        *[F.col(c) for c in payload_cols],
+        F.col(op_col).alias("_op"),
+        F.lit(1).alias("_chg"),
+        *[F.col(s).alias(f"_s_{s}") for s in seq_cols],
+    )
+    u = base.unionByName(chg)
+    w = Window.partitionBy(key_col).orderBy(
+        F.asc("_chg"), *[F.asc(f"_s_{s}") for s in seq_cols]
+    )
+    latest = (
+        u.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_mx", F.max("_rn").over(Window.partitionBy(key_col)))
+        .where(F.col("_rn") == F.col("_mx"))
+    )
+    return latest.where(F.col("_op") != "D").select(key_col, *payload_cols)

@@ -686,3 +686,66 @@ def sessions_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@register(
+    "cdc_merge_customers",
+    oracle="""
+WITH chg AS (
+  SELECT user_id AS c_custkey,
+         'user-' || CAST(user_id AS VARCHAR) AS c_name,
+         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS balance,
+         CASE WHEN event_type = 'signup' THEN 'U' ELSE 'D' END AS op,
+         epoch_us(ts) AS s1, event_id AS s2
+  FROM events
+  WHERE event_type IN ('signup', 'error')
+    AND user_id IS NOT NULL AND ts IS NOT NULL
+),
+base AS (
+  SELECT c_custkey, c_name,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS balance,
+         'U' AS op, 0 AS is_chg,
+         CAST(NULL AS BIGINT) AS s1, CAST(NULL AS BIGINT) AS s2
+  FROM customer
+),
+u AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT c_custkey, c_name, balance, op, 1, s1, s2 FROM chg
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey
+                               ORDER BY is_chg DESC, s1 DESC, s2 DESC) AS rn
+  FROM u
+)
+SELECT c_custkey, c_name, balance FROM r WHERE rn = 1 AND op <> 'D'
+""",
+)
+def cdc_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics: a CDC batch derived from events (signups =
+    full-row upserts with a synthesized row image, errors = deletes,
+    ordered by (ts, event_id)) applied to the customer snapshot with
+    latest-op-wins — one union + one keyed window, delta-sized cost.
+    New keys insert, deleted keys vanish even if present in the base,
+    and unchanged snapshot rows pass through verbatim."""
+    cust = _load(spark, sf_dir, "customer")
+    ev = _load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "error")
+        & F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    changes = ev.select(
+        F.col("user_id").alias("c_custkey"),
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("c_name"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("balance"),
+        F.when(F.col("event_type") == "signup", F.lit("U")).otherwise(F.lit("D")).alias("op"),
+        _us("ts").alias("s1"),
+        F.col("event_id").alias("s2"),
+    )
+    snap = cust.select(
+        "c_custkey", "c_name",
+        F.col("c_acctbal").cast("decimal(18,2)").cast("string").alias("balance"),
+    )
+    return temporal.cdc_merge(
+        snap, changes, "c_custkey", seq_cols=["s1", "s2"],
+        op_col="op", payload_cols=["c_name", "balance"],
+    )

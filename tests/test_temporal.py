@@ -481,3 +481,32 @@ def test_interval_overlap_join_hand(spark):
     # 2 overlaps 10 ([30,35]x[20,32]) and 11 (touching at 35);
     # 3 overlaps nothing
     assert got == [(1, 10), (2, 10), (2, 11)]
+
+
+def test_cdc_merge_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "cdc_merge_customers")
+
+
+def test_cdc_merge_hand(spark):
+    """Update-then-delete drops the key; delete-then-update revives it;
+    new-key upsert inserts; untouched snapshot rows pass through."""
+    from hadoop_1_spark.operators import temporal
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    chg = spark.createDataFrame(
+        [
+            (1, "a2", "U", 10), (1, None, "D", 20),        # ends deleted
+            (2, None, "D", 10), (2, "b2", "U", 20),        # ends b2
+            (9, "new", "U", 5),                            # insert
+        ],
+        "k bigint, v string, op string, seq bigint",
+    )
+    out = {
+        r.k: r.v
+        for r in temporal.cdc_merge(
+            snap, chg, "k", seq_cols=["seq"], op_col="op", payload_cols=["v"]
+        ).collect()
+    }
+    assert out == {2: "b2", 3: "c", 9: "new"}
