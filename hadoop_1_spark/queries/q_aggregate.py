@@ -826,3 +826,62 @@ def unpivot_pricing_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+NTILE_K = 4
+
+
+@register(
+    "ntile_user_spend",
+    oracle=f"""
+WITH s AS (
+  SELECT user_id,
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR)
+           AS total_spend,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS _t
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+  GROUP BY 1
+)
+SELECT user_id, total_spend,
+       CAST(ntile({NTILE_K}) OVER (ORDER BY _t DESC, user_id ASC) AS INT)
+         AS quartile
+FROM s
+""",
+)
+def ntile_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-quartile segmentation (the RFM 'M' axis): users ranked by
+    exact-decimal purchase totals and NTILE(4)-bucketed. Spark computes
+    the tiles WITHOUT a single-partition window: the distributed
+    global_rank (range shuffle + broadcast offsets) plus the closed-form
+    NTILE arithmetic — first (n mod k) tiles get the larger size — so
+    the segmentation scales to any user count; the oracle checks it
+    against the engine NTILE."""
+    ev = _load(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    )
+    s = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("_t")
+    )
+    from hadoop_1_spark.operators import sort as sortops
+
+    ranked = sortops.global_rank(s, F.desc("_t"), F.asc("user_id"), rank_col="_r")
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    k = NTILE_K
+    # NTILE closed form over (rank, n): the first n%k tiles hold
+    # ceil(n/k) rows, the rest floor(n/k)
+    big = F.col("_n") % k
+    size_big = F.expr(f"_n div {k}") + 1
+    tile = F.when(
+        (F.col("_r") - 1) < big * size_big,
+        F.expr(f"(_r - 1) div (_n div {k} + 1)") + 1,
+    ).otherwise(
+        big + F.expr(f"((_r - 1) - (_n % {k}) * (_n div {k} + 1)) div (_n div {k})") + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "user_id",
+            F.col("_t").cast("string").alias("total_spend"),
+            tile.cast("int").alias("quartile"),
+        )
+    )

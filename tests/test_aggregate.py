@@ -353,3 +353,31 @@ def test_linear_trend_hand(spark):
     assert got["up"] == 2_000_000
     assert got["down"] == -333333   # toward zero, not -333334
     assert got["flat_x"] is None
+
+
+def test_ntile_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "ntile_user_spend")
+
+
+def test_ntile_closed_form_uneven(spark, duck):
+    """n=10, k=4 -> tile sizes 3,3,2,2: the closed form must agree with
+    engine NTILE on a non-divisible count (the tricky branch)."""
+    import duckdb as _d
+
+    rows = list(range(10))
+    con = _d.connect()
+    exp = con.execute(
+        "SELECT i, ntile(4) OVER (ORDER BY i) FROM range(10) t(i)"
+    ).fetchall()
+    # replicate the closed form in python
+    n, k = 10, 4
+    big, size_big, size_small = n % k, n // k + 1, n // k
+    got = []
+    for r in range(1, n + 1):
+        r0 = r - 1
+        if r0 < big * size_big:
+            t = r0 // size_big + 1
+        else:
+            t = big + (r0 - big * size_big) // size_small + 1
+        got.append(t)
+    assert [e[1] for e in exp] == got
