@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "sim_mmr_topk",            # diversified retrieval, k-step unroll
     "regression_trend_events", # exact scaled-integer OLS slope
     "rolling_window_user_value", # time-RANGE frame trailing sum
+    "sessions_error_overlap",  # interval x interval binned grid join
+    "cdc_merge_customers",     # MERGE INTO latest-op-wins application
+    "ntile_user_spend",        # distributed NTILE via global_rank
 ]
 
 

@@ -49,14 +49,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    # file-source streams take a directory; pathGlobFilter narrows to the
-    # events table (a production drop-dir would match the same way)
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # directory-shaped table (Spark-written): stream the table dir
+        # itself — a pathGlobFilter on the PARENT would match the
+        # directory entry, not its part files, and silently read nothing
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(path)
+        )
+    else:
+        # single-file table: file-source streams take a directory;
+        # pathGlobFilter narrows to the events table (a production
+        # drop-dir would match the same way)
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return normalize_timestamps(raw)
 
 
