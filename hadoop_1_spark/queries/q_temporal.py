@@ -566,7 +566,9 @@ def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-touch attribution (fractional splits can't hash-match across
     engines). One user-keyed shuffle feeds journey numbering, touch
     ranking, and the rollup."""
-    ev = _load(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    ev = _load(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     return temporal.journey_attribution(
         ev, key_col="user_id", ts_col="ts", tie_col="event_id",
         channel_col="event_type",
