@@ -437,6 +437,19 @@ def merge_aggregate_snapshots(
     )
 
 
+def hll_estimate_col(sum_inv: Column, m: int = 256) -> Column:
+    """Raw HLL estimate alpha_m * m^2 * 2^41 / S as a Column — the ONE
+    place the estimate constants live (batch hll_distinct and the
+    streaming twin both call it; the oracle SQL writes the identical
+    literal expression). alpha_m for m >= 128 (Flajolet et al. §4);
+    IEEE double ops in a fixed order are engine-identical."""
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    return (
+        F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(1 << 41))
+        / sum_inv.cast("double")
+    )
+
+
 def hll_distinct(
     df: DataFrame,
     group_col: str,
@@ -497,13 +510,7 @@ def hll_distinct(
         .alias("sum_inv"),
         (F.lit(m) - F.count(F.lit(1))).cast("int").alias("v_zero"),
     )
-    # alpha_m for m >= 128 (Flajolet et al. §4); the literal expression is
-    # evaluated once here and written verbatim in the oracle SQL — IEEE
-    # double ops in a fixed order are engine-identical.
-    alpha = 0.7213 / (1.0 + 1.079 / float(m))
-    est = F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(1 << 41)) / F.col(
-        "sum_inv"
-    ).cast("double")
+    est = hll_estimate_col(F.col("sum_inv"), m)
     return sk.select(
         group_col,
         F.round(est, 6).alias("hll_est"),

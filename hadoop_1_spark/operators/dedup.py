@@ -1001,13 +1001,17 @@ def prefix_filter_jaccard_pairs(
         .groupBy("id_a", "id_b", "_na", "_nb")
         .agg(F.count(F.lit(1)).alias("_i"))
     )
-    return (
-        inter.select(
-            "id_a",
-            "id_b",
-            F.expr("(_i * 1000000) div (_na + _nb - _i)")
-            .cast("bigint")
-            .alias("jaccard_q6"),
-        )
-        .where(F.col("jaccard_q6") * t_den >= F.lit(1000000 * t_num))
+    # threshold test on the EXACT rational (i * den >= union * num) — a
+    # test on the q6-truncated value would drop pairs sitting exactly at
+    # a threshold whose q6 image truncates (e.g. t=1/3: J=1/3 maps to
+    # 333333 and 333333*3 < 10^6), silently breaking the
+    # no-false-negative guarantee for non-divisible thresholds
+    return inter.where(
+        F.col("_i") * t_den >= (F.col("_na") + F.col("_nb") - F.col("_i")) * t_num
+    ).select(
+        "id_a",
+        "id_b",
+        F.expr("(_i * 1000000) div (_na + _nb - _i)")
+        .cast("bigint")
+        .alias("jaccard_q6"),
     )

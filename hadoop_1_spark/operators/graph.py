@@ -252,10 +252,16 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             "edges",
             "wedges",
             "triangles",
-            F.round(
-                F.lit(3.0) * F.col("triangles").cast("double")
-                / F.col("wedges").cast("double"),
-                6,
+            # wedge-free graphs (max degree 1) have no defined clustering;
+            # guard the division — ANSI mode (Spark 4 default) turns 0/0
+            # into a DIVIDE_BY_ZERO error, not NaN
+            F.when(
+                F.col("wedges") > 0,
+                F.round(
+                    F.lit(3.0) * F.col("triangles").cast("double")
+                    / F.col("wedges").cast("double"),
+                    6,
+                ),
             ).alias("global_clustering"),
         )
     )

@@ -325,3 +325,22 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """NTILE(k) from a 1-based global rank and total count — the closed
+    form that lets tile assignment ride global_rank's distributed scan
+    instead of a single-partition ORDER BY window: the first n mod k
+    tiles hold ceil(n/k) rows, the rest floor(n/k). Integral arithmetic
+    only (no double division), pure projection; engine-NTILE-identical
+    (pinned against DuckDB in tests, including the non-divisible and
+    n < k branches)."""
+    r0 = rank.cast("bigint") - 1
+    big = (n % k).cast("bigint")
+    floor_size = ((n - n % k) / k).cast("bigint")  # exact: numerator divisible
+    ceil_size = floor_size + 1
+    in_big = r0 < big * ceil_size
+    tile_big = ((r0 - r0 % ceil_size) / ceil_size).cast("bigint") + 1
+    rem = r0 - big * ceil_size
+    tile_small = big + ((rem - rem % floor_size) / floor_size).cast("bigint") + 1
+    return F.when(in_big, tile_big).otherwise(tile_small).cast("int")

@@ -482,12 +482,15 @@ def interval_overlap_join(
     interval_length / bin_width (tune bin_width to the typical interval
     — the range_join bin economics). Long stragglers replicate more;
     cap or split pathological intervals upstream."""
+    # integral div, not double division + cast: endpoints at or beyond
+    # 2^53 (e.g. nanosecond epochs) would round in the double and can
+    # disagree with the ownership formula, silently dropping pairs
+    bw = int(bin_width)
     lb = left.withColumn(
         "_bin",
         F.explode(
             F.sequence(
-                (F.col(l_start) / bin_width).cast("bigint"),
-                (F.col(l_end) / bin_width).cast("bigint"),
+                F.expr(f"{l_start} div {bw}"), F.expr(f"{l_end} div {bw}")
             )
         ),
     )
@@ -495,14 +498,12 @@ def interval_overlap_join(
         "_bin",
         F.explode(
             F.sequence(
-                (F.col(r_start) / bin_width).cast("bigint"),
-                (F.col(r_end) / bin_width).cast("bigint"),
+                F.expr(f"{r_start} div {bw}"), F.expr(f"{r_end} div {bw}")
             )
         ),
     )
     own = F.greatest(
-        (F.col(l_start) / bin_width).cast("bigint"),
-        (F.col(r_start) / bin_width).cast("bigint"),
+        F.expr(f"{l_start} div {bw}"), F.expr(f"{r_start} div {bw}")
     )
     return (
         lb.join(rb, "_bin")

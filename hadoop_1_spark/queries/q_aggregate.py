@@ -704,11 +704,16 @@ def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_PRICING)
 
 
-@register(
-    "uniq_count_hll",
-    oracle="""
-WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
-           FROM events WHERE user_id IS NOT NULL),
+
+
+# Shared portable-HLL SQL: sketch CTEs + estimate expression. Both the
+# batch oracle (uniq_count_hll) and the streaming oracle
+# (stream_hll_distinct, q_streaming.py) are assembled from these, so the
+# register arithmetic and estimate constants live exactly once in SQL
+# (aggregate.hll_estimate_col is the single Column-side home).
+HLL_SKETCH_CTES = """
+h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events WHERE user_id IS NOT NULL),
 b AS (SELECT event_type, ('0x' || substr(h, 1, 2))::BIGINT AS idx,
              ('0x' || substr(h, 3, 10))::BIGINT AS w FROM h),
 r AS (SELECT event_type, idx,
@@ -719,13 +724,21 @@ s AS (SELECT event_type,
                   + (256 - count(*)) * (1::BIGINT << 41) AS BIGINT) AS sum_inv,
              CAST(256 - count(*) AS INT) AS v_zero
       FROM r GROUP BY 1)
+"""
+HLL_EST_SQL = (
+    "(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 2199023255552.0"
+    " / CAST(sum_inv AS DOUBLE)"
+)
+
+
+@register(
+    "uniq_count_hll",
+    oracle=f"""
+WITH {HLL_SKETCH_CTES}
 SELECT event_type,
-       round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 2199023255552.0
-             / CAST(sum_inv AS DOUBLE), 6) AS hll_est,
+       round({HLL_EST_SQL}, 6) AS hll_est,
        sum_inv, v_zero,
-       ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 2199023255552.0
-             / CAST(sum_inv AS DOUBLE) <= 2.5 * 256.0
-        AND v_zero > 0) AS small_range
+       ({HLL_EST_SQL} <= 2.5 * 256.0 AND v_zero > 0) AS small_range
 FROM s
 """,
 )
@@ -866,22 +879,12 @@ def ntile_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranked = sortops.global_rank(s, F.desc("_t"), F.asc("user_id"), rank_col="_r")
     n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
-    k = NTILE_K
-    # NTILE closed form over (rank, n): the first n%k tiles hold
-    # ceil(n/k) rows, the rest floor(n/k)
-    big = F.col("_n") % k
-    size_big = F.expr(f"_n div {k}") + 1
-    tile = F.when(
-        (F.col("_r") - 1) < big * size_big,
-        F.expr(f"(_r - 1) div (_n div {k} + 1)") + 1,
-    ).otherwise(
-        big + F.expr(f"((_r - 1) - (_n % {k}) * (_n div {k} + 1)) div (_n div {k})") + 1
-    )
+    tile = sortops.ntile_from_rank(F.col("_r"), F.col("_n"), NTILE_K)
     return (
         ranked.crossJoin(F.broadcast(n))
         .select(
             "user_id",
             F.col("_t").cast("string").alias("total_spend"),
-            tile.cast("int").alias("quartile"),
+            tile.alias("quartile"),
         )
     )

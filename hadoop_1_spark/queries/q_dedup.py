@@ -586,7 +586,7 @@ i AS (
 SELECT id_a, id_b,
        CAST((inter * 1000000) // (na + nb - inter) AS BIGINT) AS jaccard_q6
 FROM i
-WHERE (inter * 1000000) // (na + nb - inter) * 5 >= 3000000
+WHERE inter * 5 >= (na + nb - inter) * 3
 """,
 )
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,7 +599,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine-identical. Shingles, not tokens: token sets saturate on
     this corpus's ~30-word vocabulary."""
     docs = _load(spark, sf_dir, "documents")
-    sh = textops.shingles(docs, k=3)
+    sh = textops.shingles(docs, k=3, distinct=False)  # operator dedups
     return dedup.prefix_filter_jaccard_pairs(
         sh, "doc_id", "shingle", t_num=3, t_den=5
     )

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_1_spark import streaming
+from hadoop_1_spark.queries import q_aggregate
 from hadoop_1_spark.registry import register
 
 
@@ -166,22 +167,10 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_hll_distinct",
-    oracle="""
-WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
-           FROM events WHERE user_id IS NOT NULL),
-b AS (SELECT event_type, ('0x' || substr(h, 1, 2))::BIGINT AS idx,
-             ('0x' || substr(h, 3, 10))::BIGINT AS w FROM h),
-r AS (SELECT event_type, idx,
-             max(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS m
-      FROM b GROUP BY 1, 2),
-s AS (SELECT event_type,
-             CAST(sum(1::BIGINT << (41 - m))
-                  + (256 - count(*)) * (1::BIGINT << 41) AS BIGINT) AS sum_inv,
-             CAST(256 - count(*) AS INT) AS v_zero
-      FROM r GROUP BY 1)
+    oracle=f"""
+WITH {q_aggregate.HLL_SKETCH_CTES}
 SELECT event_type,
-       round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 2199023255552.0
-             / CAST(sum_inv AS DOUBLE), 6) AS hll_est,
+       round({q_aggregate.HLL_EST_SQL}, 6) AS hll_est,
        sum_inv, v_zero
 FROM s
 """,
@@ -202,10 +191,9 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("_s.sum_inv").alias("sum_inv"),
                 F.col("_s.v_zero").alias("v_zero"))
     )
-    est = (
-        F.lit(0.7213 / (1.0 + 1.079 / 256.0)) * F.lit(65536.0)
-        * F.lit(2199023255552.0) / F.col("sum_inv").cast("double")
-    )
+    from hadoop_1_spark.operators import aggregate as agg
+
+    est = agg.hll_estimate_col(F.col("sum_inv"))
     return final.select(
         "event_type", F.round(est, 6).alias("hll_est"), "sum_inv", "v_zero"
     )

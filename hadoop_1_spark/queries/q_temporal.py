@@ -73,14 +73,20 @@ def asof_signup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_S = 8 * 3600  # median per-user gap is ~7.3h at sf0.01
 
 
-@register(
-    "sessionize_events",
-    oracle=f"""
-WITH e AS (SELECT user_id, ts, event_id, value FROM events WHERE ts IS NOT NULL),
+def _sess_ctes(filter_user: bool = True) -> str:
+    """Shared sessionization CTE block (e/m/s): the lag-mark/running-sum
+    replay of temporal.sessionize. Three oracles reuse it
+    (sessionize_events, events_concurrency, sessions_error_overlap) so
+    the gap rule and tie-break stay in one place."""
+    uf = "AND user_id IS NOT NULL" if filter_user else ""
+    return f"""
+e AS (SELECT user_id, ts, event_id, value FROM events
+      WHERE ts IS NOT NULL {uf}),
 m AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > CAST({SESSION_GAP_S} AS BIGINT) * 1000000
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > CAST({{SESSION_GAP_S}} AS BIGINT) * 1000000
               THEN 1 ELSE 0 END AS new_mark
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
@@ -89,7 +95,14 @@ s AS (
          sum(new_mark) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM m
-)
+)""".replace("{SESSION_GAP_S}", str(SESSION_GAP_S))
+
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+WITH {_sess_ctes(filter_user=False)}
 SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
@@ -453,22 +466,7 @@ CONC_TOP = 10
 @register(
     "events_concurrency",
     oracle=f"""
-WITH e AS (SELECT user_id, ts, event_id FROM events
-           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-m AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                   > CAST({SESSION_GAP_S} AS BIGINT) * 1000000
-              THEN 1 ELSE 0 END AS new_mark
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-s AS (
-  SELECT user_id, ts, event_id,
-         sum(new_mark) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
-  FROM m
-),
+WITH {_sess_ctes()},
 iv AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
               min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
        FROM s GROUP BY 1, 2),
@@ -625,22 +623,7 @@ def rolling_window_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sessions_error_overlap",
     oracle=f"""
-WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
-           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-m AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                   > CAST({SESSION_GAP_S} AS BIGINT) * 1000000
-              THEN 1 ELSE 0 END AS new_mark
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-s AS (
-  SELECT user_id, ts, event_id,
-         sum(new_mark) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
-  FROM m
-),
+WITH {_sess_ctes()},
 iv AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
               min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
        FROM s GROUP BY 1, 2),

@@ -327,10 +327,18 @@ def stateful_hll(events: DataFrame) -> DataFrame:
             }
         )
 
-    return events.groupBy("event_type").applyInPandasWithState(
-        update,
-        outputStructType=HLL_OUTPUT,
-        stateStructType=HLL_STATE,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    # drop null values BEFORE grouping: batch hll_distinct filters
+    # isNotNull pre-groupBy, so a group whose rows are all null must be
+    # ABSENT from the stream output too (an unconditional emission would
+    # add an empty-sketch row the batch oracle does not have)
+    return (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=HLL_OUTPUT,
+            stateStructType=HLL_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -360,24 +360,27 @@ def test_ntile_matches_oracle(spark, duck):
 
 
 def test_ntile_closed_form_uneven(spark, duck):
-    """n=10, k=4 -> tile sizes 3,3,2,2: the closed form must agree with
-    engine NTILE on a non-divisible count (the tricky branch)."""
-    import duckdb as _d
+    """The SPARK closed-form expression (global_rank + ntile_from_rank)
+    must agree with engine NTILE on non-divisible (10, 4), divisible
+    (8, 4), and n < k (3, 4) counts — the branches the single-dataset
+    oracle test may never hit."""
+    from pyspark.sql import functions as F
 
-    rows = list(range(10))
-    con = _d.connect()
-    exp = con.execute(
-        "SELECT i, ntile(4) OVER (ORDER BY i) FROM range(10) t(i)"
-    ).fetchall()
-    # replicate the closed form in python
-    n, k = 10, 4
-    big, size_big, size_small = n % k, n // k + 1, n // k
-    got = []
-    for r in range(1, n + 1):
-        r0 = r - 1
-        if r0 < big * size_big:
-            t = r0 // size_big + 1
-        else:
-            t = big + (r0 - big * size_big) // size_small + 1
-        got.append(t)
-    assert [e[1] for e in exp] == got
+    from hadoop_1_spark.operators import sort as sortops
+
+    for n, k in [(10, 4), (8, 4), (3, 4), (1, 4)]:
+        df = spark.range(n).select(F.col("id").cast("bigint"))
+        ranked = sortops.global_rank(df, F.asc("id"), rank_col="_r")
+        cnt = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+        got = {
+            r.id: r.t
+            for r in ranked.crossJoin(F.broadcast(cnt))
+            .select("id", sortops.ntile_from_rank(F.col("_r"), F.col("_n"), k).alias("t"))
+            .collect()
+        }
+        exp = dict(
+            duck.execute(
+                f"SELECT i, ntile({k}) OVER (ORDER BY i) FROM range({n}) t(i)"
+            ).fetchall()
+        )
+        assert got == exp, (n, k, got, exp)

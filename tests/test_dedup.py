@@ -329,3 +329,15 @@ def test_prefix_filter_no_false_negatives(spark):
                 if q6 * 5 >= 3000000:
                     exp[(a, b)] = q6
     assert got == exp
+
+
+def test_prefix_filter_exact_boundary_threshold(spark):
+    """t = 1/3 with J exactly 1/3: the q6 image truncates (333333*3 <
+    10^6), so a threshold test on the truncated value would drop the
+    qualifying pair — the exact-rational comparison must keep it."""
+    from hadoop_1_spark.operators import dedup
+
+    rows = [(1, "a"), (2, "a"), (2, "b"), (2, "c")]
+    df = spark.createDataFrame(rows, "id bigint, item string")
+    out = dedup.prefix_filter_jaccard_pairs(df, "id", "item", t_num=1, t_den=3).collect()
+    assert [(r.id_a, r.id_b, r.jaccard_q6) for r in out] == [(1, 2, 333333)]

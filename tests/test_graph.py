@@ -82,3 +82,12 @@ def test_triangle_stats_triangle_free(spark):
     df = spark.createDataFrame([(1, 10), (2, 10), (3, 10)], "u bigint, v bigint")
     row = graph.triangle_stats(df).collect()[0]
     assert row.triangles == 0 and row.wedges == 3
+
+
+def test_triangle_stats_wedge_free(spark):
+    """A perfect matching (every degree 1) has zero wedges: clustering
+    must be NULL, not an ANSI DIVIDE_BY_ZERO crash."""
+    df = spark.createDataFrame([(1, 2), (3, 4)], "u bigint, v bigint")
+    row = graph.triangle_stats(df).collect()[0]
+    assert (row.wedges, row.triangles) == (0, 0)
+    assert row.global_clustering is None
