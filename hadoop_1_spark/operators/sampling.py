@@ -64,3 +64,49 @@ def universe_sample(df: DataFrame, key: Column, pct: int) -> DataFrame:
     if not 0 <= pct <= 100:
         raise ValueError(f"universe_sample: pct must be 0..100, got {pct}")
     return df.filter(md5_mod(key, 100) < pct)
+
+
+def weighted_systematic(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic PPS (probability-proportional-to-size) systematic
+    sampling: order rows by (md5(id), id) — the fixed 'random' tape —
+    take the exact integer running weight sum, and select every row
+    whose cumulative interval crosses one of k equally spaced
+    thresholds: floor(cum*k/W) > floor((cum-w)*k/W). Inclusion
+    probability is proportional to weight (the weighted-corpus sampling
+    rule: long documents proportionally more likely), the arithmetic is
+    pure bigint — no float acceptance tests, so the SAMPLE ITSELF
+    replays in SQL — and the selection is partitioning-independent.
+
+    Exactly k rows come back when no single weight exceeds W/k; a
+    heavier row spans multiple thresholds but is emitted once, so such
+    rows shrink the sample (cap weights upstream if exact-k matters).
+
+    Scale: the running sum is the distributed two-pass prefix scan
+    (sort.global_prefix_sum), the total W is a one-row broadcast —
+    no single-partition window anywhere. Weights must be positive."""
+    from hadoop_1_spark.operators import sort as sortops
+
+    w = df.select(
+        F.col(id_col), F.col(weight_col).cast("bigint").alias("_wt")
+    ).where(F.col(weight_col) > 0)
+    w = w.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+    cum = sortops.global_prefix_sum(
+        w, F.asc("_h"), F.asc(id_col), value_col="_wt", out_col="_cum"
+    )
+    tot = cum.agg(F.max("_cum").cast("bigint").alias("_tot"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .where(
+            F.expr(f"(_cum * {k}) div _tot") > F.expr(f"((_cum - _wt) * {k}) div _tot")
+        )
+        .select(
+            F.col(id_col),
+            F.col("_wt").alias("weight"),
+            F.col("_cum").cast("bigint").alias("cum_wt"),
+        )
+    )

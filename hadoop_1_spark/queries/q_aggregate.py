@@ -888,3 +888,122 @@ def ntile_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             tile.alias("quartile"),
         )
     )
+
+
+EQUIDEPTH_K = 8
+
+
+@register(
+    "stats_equidepth_value",
+    oracle=f"""
+WITH v AS (SELECT CAST(floor(value * 1000000) AS BIGINT) AS vq, event_id
+           FROM events WHERE value IS NOT NULL),
+r AS (SELECT vq, row_number() OVER (ORDER BY vq, event_id) AS rk,
+             count(*) OVER () AS n FROM v),
+b AS (SELECT vq, ((rk - 1) * {EQUIDEPTH_K}) // n AS bucket FROM r)
+SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS cnt,
+       min(vq) AS lo_q6, max(vq) AS hi_q6
+FROM b GROUP BY 1
+""",
+)
+def stats_equidepth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of event values — the
+    optimizer-statistics construction a CBO runs over a column at scale:
+    exact rank-based bucket boundaries ((rk-1)*k div n over q6-quantized
+    values), the selectivity-estimation complement of value_histogram's
+    equi-width per-key report. The global rank is the DISTRIBUTED
+    global_rank scan (range shuffle + broadcast offsets) — no
+    single-partition window over the data at any scale; the oracle uses
+    the engine's global window, checking the scan against it."""
+    from hadoop_1_spark.operators import sort as sortops
+
+    ev = _load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = ev.select(
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("vq"),
+        "event_id",
+    )
+    ranked = sortops.global_rank(v, F.asc("vq"), F.asc("event_id"), rank_col="_rk")
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "vq",
+            F.expr(f"((_rk - 1) * {EQUIDEPTH_K}) div _n").cast("int").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.min("vq").alias("lo_q6"),
+            F.max("vq").alias("hi_q6"),
+        )
+    )
+
+
+@register(
+    "anomaly_mad_events",
+    oracle="""
+WITH v AS (SELECT event_type, event_id,
+                  CAST(floor(value * 1000000) AS BIGINT) AS vq
+           FROM events WHERE value IS NOT NULL),
+med AS (
+  SELECT event_type, vq AS med_q6 FROM (
+    SELECT event_type, vq,
+           row_number() OVER (PARTITION BY event_type ORDER BY vq, event_id) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM v)
+  WHERE rk = (n + 1) // 2
+),
+dev AS (
+  SELECT v.event_type, v.event_id, v.vq, m.med_q6,
+         abs(v.vq - m.med_q6) AS d
+  FROM v JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, d AS mad_q6 FROM (
+    SELECT event_type, d,
+           row_number() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM dev)
+  WHERE rk = (n + 1) // 2
+)
+SELECT dev.event_type, dev.event_id, dev.vq, dev.med_q6, mad.mad_q6
+FROM dev JOIN mad USING (event_type)
+WHERE abs(dev.vq - dev.med_q6) > 3 * mad.mad_q6
+""",
+)
+def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier set per event type: |v - median| > 3 * MAD, the
+    breakdown-resistant twin of anomaly_zscore_events (one wild value
+    shifts a mean and inflates a stddev, but not the median or the
+    MAD). Both medians are exact rank-based LOWER medians ((n+1) div 2
+    over q6-quantized values with event_id tie-break) — pure integer
+    arithmetic end to end, no interpolation, so the outlier SET
+    hash-matches across engines. Two keyed windows share one exchange;
+    the median/MAD relations are type-sized and broadcast back."""
+    from pyspark.sql.window import Window
+
+    ev = _load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = ev.select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("vq"),
+    )
+    def lower_median(df, col, out):
+        w = Window.partitionBy("event_type").orderBy(F.asc(col), F.asc("event_id"))
+        wn = Window.partitionBy("event_type")
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(wn))
+            .where(F.col("_rk") == F.expr("(_n + 1) div 2"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = lower_median(v, "vq", "med_q6")
+    dev = v.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("vq") - F.col("med_q6"))
+    )
+    mad = lower_median(dev, "d", "mad_q6")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.abs(F.col("vq") - F.col("med_q6")) > 3 * F.col("mad_q6"))
+        .select("event_type", "event_id", "vq", "med_q6", "mad_q6")
+    )

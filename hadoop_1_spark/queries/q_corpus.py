@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_1_spark.operators import corpusprep, dedup, textops
+from hadoop_1_spark.operators import corpusprep, dedup, sampling, textops
 from hadoop_1_spark.registry import ORACLE, _load, register
 
 MIN_QUALITY = 0.5
@@ -685,3 +685,33 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sqrt-tempered shares that upweight low-resource sources. See
     corpusprep.mix_temperature for the IEEE-sqrt portability argument."""
     return corpusprep.mix_temperature(_load(spark, sf_dir, "documents"))
+
+
+PPS_K = 100
+
+
+@register(
+    "corpus_sample_weighted",
+    oracle=f"""
+WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS wt,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents WHERE n_chars > 0),
+c AS (SELECT doc_id, wt,
+             sum(wt) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(wt) OVER () AS tot
+      FROM w)
+SELECT doc_id, wt AS weight, CAST(cum AS BIGINT) AS cum_wt
+FROM c
+WHERE (cum * {PPS_K}) // tot > ((cum - wt) * {PPS_K}) // tot
+""",
+)
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sampling (~100 docs, inclusion odds
+    proportional to n_chars — the token-budget-aware corpus sampling
+    rule) via deterministic systematic PPS: md5-ordered tape, exact
+    integer prefix sums from the distributed scan, k threshold
+    crossings. The sample MEMBERSHIP itself is the oracle check —
+    no float acceptance test anywhere. Equal-probability twin:
+    corpus_sample_stratified."""
+    docs = _load(spark, sf_dir, "documents")
+    return sampling.weighted_systematic(docs, "doc_id", "n_chars", k=PPS_K)

@@ -384,3 +384,36 @@ def test_ntile_closed_form_uneven(spark, duck):
             ).fetchall()
         )
         assert got == exp, (n, k, got, exp)
+
+
+def test_equidepth_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "stats_equidepth_value")
+
+
+def test_mad_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "anomaly_mad_events")
+
+
+def test_mad_robust_to_wild_outlier(spark):
+    """One wild value must be flagged and must NOT drag the median/MAD
+    (the breakdown property z-scores lack)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hadoop_1_spark import registry  # noqa: F401
+    # replicate the query's arithmetic on a hand set via the oracle shape
+    vals = [10.0] * 5 + [11.0] * 5 + [1e6]
+    rows = [("t", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_type string, event_id bigint, value double")
+    # run the same lower-median logic through SQL on a temp view
+    df.createOrReplaceTempView("_mad_t")
+    out = spark.sql("""
+      WITH v AS (SELECT event_type, event_id,
+                        CAST(floor(value * 1000000) AS BIGINT) AS vq FROM _mad_t),
+      med AS (SELECT event_type, vq AS med_q6 FROM (
+                SELECT event_type, vq,
+                       row_number() OVER (PARTITION BY event_type ORDER BY vq, event_id) AS rk,
+                       count(*) OVER (PARTITION BY event_type) AS n FROM v)
+              WHERE rk = (n + 1) div 2)
+      SELECT med_q6 FROM med
+    """).collect()
+    assert out[0].med_q6 == 11_000_000  # rank-6 of 11; untouched by the wild value

@@ -319,3 +319,17 @@ def test_mix_temperature_upweights_low_resource(spark):
 
 def test_mix_temperature_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "corpus_mix_temperature")
+
+
+def test_weighted_sampling_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "corpus_sample_weighted")
+
+
+def test_weighted_sampling_partitioning_independent(spark):
+    from hadoop_1_spark.operators import sampling
+
+    rows = [(i, (i * 37) % 50 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, w bigint")
+    a = sorted(map(tuple, sampling.weighted_systematic(df.repartition(1), "id", "w", k=20).collect()))
+    b = sorted(map(tuple, sampling.weighted_systematic(df.repartition(13), "id", "w", k=20).collect()))
+    assert a == b and len(a) == 20
