@@ -1007,3 +1007,28 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(F.col("vq") - F.col("med_q6")) > 3 * F.col("mad_q6"))
         .select("event_type", "event_id", "vq", "med_q6", "mad_q6")
     )
+
+
+_SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+       CAST(grouping(l_linestatus) AS INT) AS g_status,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("sql_grouping_sets", oracle=_SQL_GROUPING_SETS)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS surface (the generalization rollup/cube
+    compile to): the IDENTICAL SQL text runs in spark.sql and the
+    oracle, with grouping() markers distinguishing NULL-as-subtotal
+    from NULL-as-data. One Expand + one hash aggregation — same cost
+    shape as the flat groupBy times the number of sets. Completes the
+    multi-grain family: agg_rollup, agg_cube, pivot, unpivot."""
+    from hadoop_1_spark import session
+
+    session.load_tables(spark, sf_dir, "lineitem")
+    return spark.sql(_SQL_GROUPING_SETS)

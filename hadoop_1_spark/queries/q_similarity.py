@@ -11,6 +11,7 @@ scores — must agree.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hadoop_1_spark.operators import similarity
 from hadoop_1_spark.registry import _load, register
@@ -512,4 +513,40 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     return similarity.mmr_topk(
         emb, emb.where("vec_id < 10"), k=MMR_K, nbits=NBITS
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+SELECT CAST(i - 1 AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))
+            AS BIGINT) AS sum_q6,
+       min(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS min_q6,
+       max(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS max_q6
+FROM embeddings, unnest(range(1, 65)) t(i)
+WHERE embedding IS NOT NULL
+GROUP BY 1
+""",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QA report (dead-dimension and range drift
+    detection before indexing): n / sum / min / max per coordinate,
+    q6-quantized so the sums are exact bigints (float sums are
+    order-dependent; floor(x*10^6) of the same double is not). One
+    posexplode + one 64-key aggregation — partial aggregation collapses
+    map-side, the shuffle carries 64 rows per partition."""
+    emb = _load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    q6 = F.floor(F.col("val").cast("double") * 1000000).cast("bigint")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .select(F.col("dim").cast("int").alias("dim"), q6.alias("_q"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_q").cast("bigint").alias("sum_q6"),
+            F.min("_q").alias("min_q6"),
+            F.max("_q").alias("max_q6"),
+        )
     )

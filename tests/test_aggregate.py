@@ -417,3 +417,8 @@ def test_mad_robust_to_wild_outlier(spark):
       SELECT med_q6 FROM med
     """).collect()
     assert out[0].med_q6 == 11_000_000  # rank-6 of 11; untouched by the wild value
+
+
+@pytest.mark.parametrize("name", ["sql_grouping_sets"])
+def test_grouping_sets_matches_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name)

@@ -386,3 +386,7 @@ def test_mmr_prefers_diversity(spark):
     out = similarity.mmr_topk(df, df.where("vec_id = 0"), k=2, nbits=4)
     picked = [r.neighbor_id for r in out.orderBy("rank").collect()]
     assert picked == [1, 3]
+
+
+def test_embedding_dim_stats_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "embedding_dim_stats")
