@@ -94,3 +94,86 @@ def udaf_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", F.round(F.col("PandasMedian"), 6).alias("median_value")
     )
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events WHERE props IS NOT NULL
+GROUP BY 1
+""",
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface via Spark 4's VARIANT type: props parses
+    once to a variant column (binary semi-structured encoding — the
+    scale path for ragged JSON, no per-query re-tokenization) and the
+    typed path extraction feeds exact integer aggregation. The oracle
+    reads the same field with DuckDB's JSON extraction — two different
+    semi-structured engines, one hash-checked answer."""
+    ev = _load(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    v = ev.select(
+        "event_type", F.try_parse_json("props").alias("_v")
+    ).select(
+        "event_type",
+        F.try_variant_get("_v", "$.k", "bigint").alias("_k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_k").cast("bigint").alias("sum_k"),
+        F.min("_k").cast("bigint").alias("min_k"),
+        F.max("_k").cast("bigint").alias("max_k"),
+    )
+
+
+@register(
+    "udtf_tag_spans",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE doc_id < 50 AND text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(i AS INT) AS pos,
+       toks[i] AS token,
+       CAST(length(toks[i]) AS INT) AS tok_len
+FROM t, unnest(range(1, len(toks) + 1)) u(i)
+WHERE i <= 8
+""",
+)
+def udtf_tag_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4's table-function API — the remaining
+    member of the UDF family beside pipes, pandas UDAFs, and Arrow
+    batch maps): a generator UDTF emits (pos, token, tok_len) rows for
+    each document's first 8 tokens. Deliberately bounded to 50 docs —
+    UDTFs are row-at-a-time Python, the SLOW path kept for API parity
+    (the same logic in exprs is posexplode + length); the plan-lint
+    exemption is the bound. Output hash-matches the declarative
+    oracle."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, token string, tok_len int", useArrow=True)
+    class TagSpans:
+        def eval(self, text: str, limit: int):
+            if text is None:
+                return
+            toks = [t for t in text.strip().split() if t]
+            for i, tok in enumerate(toks[: int(limit)], start=1):
+                yield i, tok, len(tok)
+
+    docs = _load(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 50) & F.col("text").isNotNull()
+    )
+    spans = docs.lateralJoin(
+        TagSpans(F.col("text").outer(), lit(8).outer())
+    )
+    return spans.select(
+        "doc_id", F.col("pos"), F.col("token"), F.col("tok_len")
+    )

@@ -51,3 +51,15 @@ def test_subprocess_typedbytes_identity(spark):
     )
     out = {r["key"]: r["value"] for r in pipes.subprocess_map_typedbytes(df, ["cat"]).collect()}
     assert out == {"k1": "v with\ttab", "k2": "v with\nnewline"}
+
+
+def test_variant_props_matches_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "variant_props_stats")
+
+
+def test_udtf_tag_spans_matches_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "udtf_tag_spans")
