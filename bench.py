@@ -121,6 +121,10 @@ BENCH_QUERIES = [
     "sessions_error_overlap",  # interval x interval binned grid join
     "cdc_merge_customers",     # MERGE INTO latest-op-wins application
     "ntile_user_spend",        # distributed NTILE via global_rank
+    "stats_equidepth_value",   # CBO equi-depth histogram (rank scan)
+    "anomaly_mad_events",      # robust median/MAD outlier set
+    "corpus_sample_weighted",  # systematic PPS weighted sampling
+    "variant_props_stats",     # VARIANT semi-structured extraction
 ]
 
 
