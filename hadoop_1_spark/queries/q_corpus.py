@@ -715,3 +715,57 @@ def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_sample_stratified."""
     docs = _load(spark, sf_dir, "documents")
     return sampling.weighted_systematic(docs, "doc_id", "n_chars", k=PPS_K)
+
+
+OVERSAMPLE_CAP = 4
+
+
+@register(
+    "corpus_oversample_sources",
+    oracle=f"""
+WITH n AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+           FROM documents GROUP BY 1),
+mx AS (SELECT max(mass) AS m FROM n),
+f AS (SELECT n.source,
+             CAST(least((mx.m + n.mass - 1) // n.mass,
+                        {OVERSAMPLE_CAP}) AS BIGINT) AS repeat_factor
+      FROM n, mx)
+SELECT d.doc_id, d.source, CAST(r.i AS INT) AS repeat_idx,
+       f.repeat_factor
+FROM documents d
+JOIN f USING (source),
+     unnest(range(1, CAST(f.repeat_factor AS BIGINT) + 1)) r(i)
+""",
+)
+def corpus_oversample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source oversampling toward a balanced mix — the epochs-per-source
+    rule of pretraining data recipes: each source repeats
+    ceil(max_mass / mass) times (mass = total characters — the
+    token-budget proxy; doc counts are uniform in this corpus), capped at {OVERSAMPLE_CAP} (unbounded
+    upsampling of a tiny source just memorizes it). Emits every
+    (doc, repeat_idx) pair via an explode over the per-source factor —
+    the downsampling complement of corpus_rebalance_langs. Counts
+    relation is source-sized and broadcast; the corpus side is one
+    scan + explode, no shuffle of document rows."""
+    docs = _load(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.sum("n_chars").cast("bigint").alias("mass"))
+    mx = n.agg(F.max("mass").alias("_m"))
+    f = n.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.least(
+            F.expr("(_m + mass - 1) div mass"), F.lit(OVERSAMPLE_CAP)
+        ).cast("bigint").alias("repeat_factor"),
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(f), "source")
+        .select(
+            "doc_id", "source",
+            F.explode(F.sequence(F.lit(1), F.col("repeat_factor"))).alias("_i"),
+            "repeat_factor",
+        )
+        .select(
+            "doc_id", "source",
+            F.col("_i").cast("int").alias("repeat_idx"), "repeat_factor",
+        )
+    )

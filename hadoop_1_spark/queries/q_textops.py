@@ -639,3 +639,181 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fertility_q6"),
     )
+
+
+def _kappa_oracle() -> str:
+    from hadoop_1_spark import registry
+
+    pred = registry.ORACLE["text_lang_id"].strip()
+    return f"""
+WITH pred AS (SELECT * FROM ({pred})),
+cm AS (
+  SELECT d.lang AS truth, p.lang_pred AS pred,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM documents d JOIN pred p USING (doc_id)
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(cnt) AS HUGEINT) AS n FROM cm),
+diag AS (SELECT CAST(coalesce(sum(cnt), 0) AS HUGEINT) AS agree
+         FROM cm WHERE truth = pred),
+marg AS (
+  SELECT CAST(sum(r.rc * c.cc) AS HUGEINT) AS chance
+  FROM (SELECT truth AS k, sum(cnt) AS rc FROM cm GROUP BY 1) r
+  JOIN (SELECT pred AS k, sum(cnt) AS cc FROM cm GROUP BY 1) c USING (k)
+)
+SELECT cm.truth, cm.pred, cm.cnt,
+       CAST(tot.n AS BIGINT) AS n,
+       CAST(CASE WHEN tot.n * tot.n = marg.chance THEN NULL
+            ELSE (1000000 * (tot.n * diag.agree - marg.chance))
+                 // (tot.n * tot.n - marg.chance) END AS BIGINT) AS kappa_q6
+FROM cm, tot, diag, marg
+"""
+
+
+@register("label_agreement_kappa", oracle=_kappa_oracle())
+def label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-QA agreement harness: the confusion matrix between the
+    corpus's lang annotation and the engine's lang-id prediction, with
+    Cohen's kappa as an exact truncated rational ((n*agree - chance) /
+    (n^2 - chance), q6) stamped on every cell — chance-corrected
+    agreement, the metric label-pipeline audits report. All counts are
+    exact; the only division is the final integer one (HUGEINT // in
+    the oracle matches Spark's decimal div truncation; degenerate
+    chance == n^2 yields NULL). Matrix and kappa hash-check together."""
+    docs = _load(spark, sf_dir, "documents")
+    pred = textops.lang_id(docs, spark)
+    cm = (
+        docs.select("doc_id", F.col("lang").alias("truth"))
+        .join(pred.select("doc_id", F.col("lang_pred").alias("pred")), "doc_id")
+        .groupBy("truth", "pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    cm = persist_tracked(cm)
+    d38 = "decimal(38,0)"
+    tot = cm.agg(F.sum("cnt").cast(d38).alias("_n"))
+    diag = cm.where(F.col("truth") == F.col("pred")).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast(d38).alias("_agree")
+    )
+    r = cm.groupBy(F.col("truth").alias("_k")).agg(F.sum("cnt").alias("_rc"))
+    c = cm.groupBy(F.col("pred").alias("_k")).agg(F.sum("cnt").alias("_cc"))
+    marg = (
+        r.join(c, "_k")
+        .agg(F.sum(F.col("_rc").cast(d38) * F.col("_cc").cast(d38)).cast(d38).alias("_chance"))
+    )
+    kappa = (
+        F.when(
+            F.col("_n") * F.col("_n") == F.col("_chance"),
+            F.lit(None).cast("bigint"),
+        ).otherwise(
+            F.expr(
+                "(cast(1000000 as decimal(38,0)) * (_n * _agree - _chance))"
+                " div (_n * _n - _chance)"
+            ).cast("bigint")
+        )
+    )
+    return (
+        cm.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(diag))
+        .crossJoin(F.broadcast(marg))
+        .select(
+            "truth", "pred", "cnt",
+            F.col("_n").cast("bigint").alias("n"),
+            kappa.alias("kappa_q6"),
+        )
+    )
+
+
+PR_CURATED = ("src0", "src1", "src2", "src3", "src4")
+
+
+def _pr_curve_oracle() -> str:
+    from hadoop_1_spark import registry
+
+    # reuse text_quality's verified scoring SQL as the score source
+    curated = ", ".join(f"'{s}'" for s in PR_CURATED)
+    return f"""
+WITH q AS (SELECT * FROM ({registry.ORACLE["text_quality"].strip()})),
+lab AS (
+  SELECT q.doc_id,
+         CAST(floor(q.quality * 1000000) AS BIGINT) AS qq,
+         CASE WHEN d.source IN ({curated}) THEN 1 ELSE 0 END AS y
+  FROM q JOIN documents d USING (doc_id)
+),
+agg AS (SELECT qq, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos FROM lab GROUP BY 1),
+tot AS (SELECT sum(n) AS n_all, sum(pos) AS p_all FROM agg),
+grid AS (SELECT unnest(range(0, 21)) * 50000 AS thr),
+pr AS (
+  SELECT g.thr,
+         CAST(coalesce(sum(a.n), 0) AS BIGINT) AS pred_pos,
+         CAST(coalesce(sum(a.pos), 0) AS BIGINT) AS tp
+  FROM grid g LEFT JOIN agg a ON a.qq >= g.thr
+  GROUP BY 1
+)
+SELECT CAST(pr.thr AS BIGINT) AS thr_q6, pred_pos, tp,
+       CAST(tot.p_all AS BIGINT) AS n_pos,
+       CAST(CASE WHEN pred_pos = 0 THEN NULL
+            ELSE (tp * 1000000) // pred_pos END AS BIGINT) AS precision_q6,
+       CAST(CASE WHEN tot.p_all = 0 THEN NULL
+            ELSE (tp * 1000000) // tot.p_all END AS BIGINT) AS recall_q6
+FROM pr, tot
+"""
+
+
+@register("quality_pr_curve", oracle=_pr_curve_oracle())
+def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation harness: precision/recall of the heuristic
+    quality score against a curated-source label, swept over a 21-point
+    threshold grid — exact integer counts and q6 truncated ratios, so
+    the whole curve hash-checks. Scale shape: per-doc scores first
+    COLLAPSE to per-distinct-score counts (bounded by the q6 score
+    domain, not the corpus), and the threshold sweep joins the GRID
+    against that bounded relation — the corpus is never replicated
+    per threshold."""
+    docs = _load(spark, sf_dir, "documents")
+    q = textops.quality_score(docs)
+    lab = (
+        q.select("doc_id", F.floor(F.col("quality") * 1000000).cast("bigint").alias("qq"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "qq",
+            F.when(F.col("source").isin(*PR_CURATED), F.lit(1)).otherwise(F.lit(0)).alias("y"),
+        )
+    )
+    agg = lab.groupBy("qq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    agg = persist_tracked(agg)
+    tot = agg.agg(
+        F.sum("n").cast("bigint").alias("_na"),
+        F.sum("pos").cast("bigint").alias("_pa"),
+    )
+    grid = spark.sql(
+        "SELECT CAST(i * 50000 AS BIGINT) AS thr"
+        " FROM (SELECT explode(sequence(0, 20)) AS i)"
+    )
+    pr = (
+        grid.join(F.broadcast(agg), F.col("qq") >= F.col("thr"), "left")
+        .groupBy("thr")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("pred_pos"),
+            F.coalesce(F.sum("pos"), F.lit(0)).cast("bigint").alias("tp"),
+        )
+    )
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("thr").cast("bigint").alias("thr_q6"),
+            "pred_pos", "tp",
+            F.col("_pa").cast("bigint").alias("n_pos"),
+            F.when(F.col("pred_pos") == 0, F.lit(None).cast("bigint"))
+            .otherwise(F.expr("(tp * 1000000) div pred_pos")).alias("precision_q6"),
+            F.when(F.col("_pa") == 0, F.lit(None).cast("bigint"))
+            .otherwise(F.expr("(tp * 1000000) div _pa")).alias("recall_q6"),
+        )
+    )

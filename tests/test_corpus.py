@@ -333,3 +333,25 @@ def test_weighted_sampling_partitioning_independent(spark):
     a = sorted(map(tuple, sampling.weighted_systematic(df.repartition(1), "id", "w", k=20).collect()))
     b = sorted(map(tuple, sampling.weighted_systematic(df.repartition(13), "id", "w", k=20).collect()))
     assert a == b and len(a) == 20
+
+
+def test_oversample_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "corpus_oversample_sources")
+
+
+def test_oversample_factor_bounds(spark):
+    """Every doc appears exactly repeat_factor times; factors within
+    [1, cap]."""
+    from hadoop_1_spark import registry
+    from hadoop_1_spark.queries.q_corpus import OVERSAMPLE_CAP
+
+    rows = registry.QUERIES["corpus_oversample_sources"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    per_doc = {}
+    for r in rows:
+        assert 1 <= r.repeat_factor <= OVERSAMPLE_CAP
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in per_doc.items():
+        assert len(rs) == rs[0].repeat_factor
+        assert sorted(x.repeat_idx for x in rs) == list(range(1, len(rs) + 1))

@@ -252,3 +252,29 @@ def test_lm_bigram_empty_train_doc_harmless(spark):
 
 def test_lm_bigram_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "text_lm_score_bigram")
+
+
+def test_kappa_matches_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "label_agreement_kappa")
+
+
+def test_pr_curve_matches_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "quality_pr_curve")
+
+
+def test_pr_curve_monotone_recall(spark):
+    """Recall must be non-increasing as the threshold rises, and the
+    thr=0 row must predict everything positive."""
+    from hadoop_1_spark import registry
+
+    rows = sorted(
+        registry.QUERIES["quality_pr_curve"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.thr_q6,
+    )
+    assert rows[0].pred_pos == rows[0].n_pos or rows[0].recall_q6 == 1000000
+    recalls = [r.recall_q6 for r in rows if r.recall_q6 is not None]
+    assert recalls == sorted(recalls, reverse=True)
