@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "anomaly_mad_events",      # robust median/MAD outlier set
     "corpus_sample_weighted",  # systematic PPS weighted sampling
     "variant_props_stats",     # VARIANT semi-structured extraction
+    "label_agreement_kappa",   # confusion matrix + exact Cohen's kappa
+    "quality_pr_curve",        # 21-threshold PR sweep on bounded counts
 ]
 
 

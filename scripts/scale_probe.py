@@ -85,6 +85,14 @@ QUERIES = [
     "sim_mmr_topk",
     "dedup_fuzzy_titles_fine",
     "rolling_window_user_value",
+    "stats_equidepth_value",
+    "anomaly_mad_events",
+    "corpus_sample_weighted",
+    "variant_props_stats",
+    "label_agreement_kappa",
+    "quality_pr_curve",
+    "corpus_oversample_sources",
+    "embedding_dim_stats",
 ]
 
 
