@@ -769,3 +769,67 @@ def corpus_oversample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_i").cast("int").alias("repeat_idx"), "repeat_factor",
         )
     )
+
+
+@register(
+    "corpus_vocab_overlap",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> t <> '')) AS tk
+  FROM documents WHERE text IS NOT NULL
+),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS c
+  FROM tok a JOIN tok b ON a.tk = b.tk AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, i.c AS n_shared,
+       sa.n AS n_a, sb.n AS n_b,
+       CAST((i.c * 1000000) // (sa.n + sb.n - i.c) AS BIGINT) AS jaccard_q6
+FROM inter i
+JOIN sz sa ON i.src_a = sa.source
+JOIN sz sb ON i.src_b = sb.source
+""",
+)
+def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources — the
+    mixture-redundancy observability view (two sources with
+    near-identical vocabularies add diversity on paper only): exact
+    token-set Jaccard per source pair, the exact twin of
+    sketch_kmv_setops' estimates. One distinct (source, token) shuffle;
+    the pair join keys on the token, so the shuffle fan-out is bounded
+    by per-token source lists (source-count-bounded, not corpus-
+    bounded); the size relation is source-sized and broadcast."""
+    docs = _load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != F.lit(""))
+            )
+        ).alias("tk"),
+    ).distinct()
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    tok = persist_tracked(tok)
+    sz = tok.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = tok.select(F.col("source").alias("src_a"), "tk")
+    b = tok.select(F.col("source").alias("src_b"), "tk")
+    inter = (
+        a.join(b, "tk")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        inter.join(F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))), "src_a")
+        .join(F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))), "src_b")
+        .select(
+            "src_a", "src_b", "n_shared", "n_a", "n_b",
+            F.expr("(n_shared * 1000000) div (n_a + n_b - n_shared)")
+            .cast("bigint").alias("jaccard_q6"),
+        )
+    )

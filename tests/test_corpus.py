@@ -355,3 +355,7 @@ def test_oversample_factor_bounds(spark):
     for doc, rs in per_doc.items():
         assert len(rs) == rs[0].repeat_factor
         assert sorted(x.repeat_idx for x in rs) == list(range(1, len(rs) + 1))
+
+
+def test_vocab_overlap_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "corpus_vocab_overlap")
