@@ -197,3 +197,66 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "event_type", F.round(est, 6).alias("hll_est"), "sum_inv", "v_zero"
     )
+
+
+CMS_PROBES = list(range(1, 21))
+
+
+def _stream_cms_oracle() -> str:
+    probes = ", ".join(str(p) for p in CMS_PROBES)
+    w = streaming.CMS_STREAM_WIDTH
+    bucket = (
+        "('0x' || substr(md5(CAST(d // 2 AS VARCHAR) || ':' || it), "
+        f"CASE WHEN d % 2 = 0 THEN 1 ELSE 16 END, 15))::BIGINT % {w}"
+    )
+    return f"""
+WITH items AS (SELECT event_type, CAST(user_id AS VARCHAR) AS it
+               FROM events WHERE user_id IS NOT NULL),
+g AS (
+  SELECT event_type, d, {bucket} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM items, unnest(range(0, {streaming.CMS_STREAM_DEPTH})) t(d)
+  GROUP BY 1, 2, 3
+),
+pr AS (SELECT DISTINCT event_type, p FROM items, unnest([{probes}]) u(p)),
+pb AS (
+  SELECT pr.event_type, pr.p, d.d,
+         {bucket.replace('it', 'CAST(pr.p AS VARCHAR)')} AS bucket
+  FROM pr, unnest(range(0, {streaming.CMS_STREAM_DEPTH})) d(d)
+),
+est AS (
+  SELECT pb.event_type, pb.p AS user_id,
+         CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS est
+  FROM pb LEFT JOIN g ON g.event_type = pb.event_type
+                     AND g.d = pb.d AND g.bucket = pb.bucket
+  GROUP BY 1, 2
+),
+n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_seen
+      FROM items GROUP BY 1)
+SELECT est.event_type, n.n_seen, est.user_id, est.est
+FROM est JOIN n USING (event_type)
+"""
+
+
+@register("stream_cms_counts", oracle=_stream_cms_oracle())
+def stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min monitor: the deterministic md5-family CMS
+    grid as GroupState per event type, probed for users 1-20. Counter
+    addition is a monoid, so the final streamed grid is batch-identical
+    however micro-batches split — the oracle rebuilds the grid and
+    reads the same min-of-depth estimates in SQL (absent counters are
+    zero). Batch siblings: sketch_cms_counts (one-shot build) and
+    mv-style cms_merge (shard folding)."""
+    ev = streaming.read_events_stream(spark, sf_dir)
+    sink = streaming.run_to_table(
+        streaming.stateful_cms(ev, CMS_PROBES), spark, "update"
+    )
+    return (
+        sink.groupBy("event_type", "user_id")
+        .agg(F.max(F.struct("n_seen", "est")).alias("_s"))
+        .select(
+            "event_type",
+            F.col("_s.n_seen").alias("n_seen"),
+            "user_id",
+            F.col("_s.est").alias("est"),
+        )
+    )

@@ -342,3 +342,77 @@ def stateful_hll(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CMS_STREAM_DEPTH = 4
+CMS_STREAM_WIDTH = 2048
+CMS_OUTPUT = "event_type string, n_seen long, user_id long, est long"
+CMS_STATE = "n long, grid array<long>"
+
+
+def stateful_cms(events: DataFrame, probe_ids: list[int]) -> DataFrame:
+    """Streaming count-min sketch: per event type, the deterministic
+    md5-family (depth x width) counter grid of sketches.cms_build
+    maintained as GroupState, with point estimates for ``probe_ids``
+    re-emitted per update — the heavy-key monitor that answers "how
+    often has user X hit this event type so far" from FIXED state
+    (depth*width counters per group) at any stream length.
+
+    Counter addition is a commutative monoid, so the final streamed
+    grid equals the batch grid however micro-batches split, and the
+    estimates (min over depth rows, absent counter = 0) replay in the
+    batch CMS oracle SQL exactly — the same stream/batch contract as
+    stateful_hll. Hash family parity: digest md5(f"{d//2}:{item}"),
+    first/second 15-hex halves, mod width (sketches._cms_bucket)."""
+    import hashlib
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    depth, width = CMS_STREAM_DEPTH, CMS_STREAM_WIDTH
+
+    def buckets(item: str) -> list[int]:
+        out = []
+        for seed in range(depth // 2):
+            h = hashlib.md5(f"{seed}:{item}".encode()).hexdigest()
+            out.append(int(h[0:15], 16) % width)
+            out.append(int(h[15:30], 16) % width)
+        return out
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, grid = state.get
+            grid = list(grid)
+        else:
+            n, grid = 0, [0] * (depth * width)
+        for pdf in pdfs:
+            for uid in pdf["user_id"]:
+                n += 1
+                for d, b in enumerate(buckets(str(int(uid)))):
+                    grid[d * width + b] += 1
+        state.update((n, grid))
+        ests = [
+            min(grid[d * width + b] for d, b in enumerate(buckets(str(p))))
+            for p in probe_ids
+        ]
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(probe_ids),
+                "n_seen": [n] * len(probe_ids),
+                "user_id": probe_ids,
+                "est": ests,
+            }
+        )
+
+    return (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CMS_OUTPUT,
+            stateStructType=CMS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -323,3 +323,29 @@ def test_stream_hll_batch_split_invariance(spark, tmp_path):
         }
 
     assert run(one, "*.parquet") == run(two, "*")
+
+
+def test_stream_cms_matches_batch_grid(spark, duck):
+    assert_query_matches_oracle(spark, duck, "stream_cms_counts")
+
+
+def test_stream_cms_overestimates_only(spark):
+    """CMS invariant on the streamed grid: est >= true count for every
+    probed (event_type, user)."""
+    from hadoop_1_spark import registry
+
+    got = {
+        (r.event_type, r.user_id): r.est
+        for r in registry.QUERIES["stream_cms_counts"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    true = {
+        (r.event_type, r.user_id): r.c
+        for r in spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy("event_type", "user_id").count().withColumnRenamed("count", "c")
+        .collect()
+    }
+    assert got, "no estimates returned"
+    for k, est in got.items():
+        assert est >= true.get(k, 0), (k, est, true.get(k, 0))
