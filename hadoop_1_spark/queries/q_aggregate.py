@@ -1032,3 +1032,52 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     session.load_tables(spark, sf_dir, "lineitem")
     return spark.sql(_SQL_GROUPING_SETS)
+
+
+@register(
+    "feature_target_encode",
+    oracle="""
+WITH v AS (SELECT event_id, event_type,
+                  CAST(floor(value * 1000000) AS BIGINT) AS vq
+           FROM events WHERE value IS NOT NULL),
+g AS (SELECT event_type,
+             CAST(sum(vq) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM v GROUP BY 1)
+SELECT v.event_id, v.event_type,
+       CAST(g.s - v.vq AS BIGINT) AS loo_num,
+       CAST(g.n - 1 AS BIGINT) AS loo_den,
+       CAST(CASE WHEN g.n = 1 THEN NULL
+            ELSE CAST(g.s - v.vq AS HUGEINT) // CAST(g.n - 1 AS HUGEINT)
+            END AS BIGINT) AS loo_mean_q6
+FROM v JOIN g USING (event_type)
+""",
+)
+def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the categorical-feature trick
+    that replaces a category with the mean target of the OTHER rows in
+    its group (keeping a row's own label out prevents target leakage):
+    loo_mean = (sum_g - v) / (n_g - 1), exact q6-integer arithmetic
+    with num/den emitted for consumers needing full precision
+    (truncating HUGEINT division in the oracle matches Spark's div).
+    One group aggregation broadcast back over the scan — no per-row
+    recomputation of group sums; singleton groups encode NULL."""
+    ev = _load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = ev.select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("_vq"),
+    )
+    g = v.groupBy("event_type").agg(
+        F.sum("_vq").cast("bigint").alias("_s"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    )
+    return (
+        v.join(F.broadcast(g), "event_type")
+        .select(
+            "event_id", "event_type",
+            (F.col("_s") - F.col("_vq")).cast("bigint").alias("loo_num"),
+            (F.col("_n") - 1).cast("bigint").alias("loo_den"),
+            F.when(F.col("_n") == 1, F.lit(None).cast("bigint"))
+            .otherwise(F.expr("(_s - _vq) div (_n - 1)").cast("bigint"))
+            .alias("loo_mean_q6"),
+        )
+    )

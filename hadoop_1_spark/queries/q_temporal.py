@@ -734,3 +734,83 @@ def cdc_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap, changes, "c_custkey", seq_cols=["s1", "s2"],
         op_col="op", payload_cols=["c_name", "balance"],
     )
+
+
+DEBOUNCE_S = 60
+
+
+@register(
+    "events_debounce",
+    oracle=f"""
+WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+m AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev
+  FROM e
+)
+SELECT user_id, event_type, event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+FROM m
+WHERE prev IS NULL
+   OR epoch_us(ts) - epoch_us(prev) > CAST({DEBOUNCE_S} AS BIGINT) * 1000000
+""",
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: drop repeat (user, event_type) firings within 60 s of
+    the previous KEPT-OR-DROPPED one (lag rule — the double-click /
+    retry-storm cleaner; strictly-greater gap keeps, mirroring the
+    sessionize closed-gap convention). One keyed shuffle, lag + filter,
+    no state beyond the window sort."""
+    ev = _load(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    prev = F.lag(F.col("ts")).over(w)
+    return (
+        ev.withColumn("_prev", prev)
+        .where(
+            F.col("_prev").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("_prev")
+               > F.lit(DEBOUNCE_S * 1_000_000))
+        )
+        .select("user_id", "event_type", "event_id", _us("ts").alias("ts_us"))
+    )
+
+
+@register(
+    "feature_trailing_counts",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+SELECT user_id, event_id,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_s
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_1h
+FROM e
+""",
+)
+def feature_trailing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event velocity feature: how many events this user fired in
+    the trailing hour INCLUDING this one — the fraud/abuse rate
+    feature, computed at event grain with a time-RANGE frame over epoch
+    seconds (the second RANGE-frame shape beside the day-grain rolling
+    sum). One user-keyed shuffle; frames stay per-user bounded."""
+    ev = _load(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    from pyspark.sql.window import Window
+
+    e = ev.select(
+        "user_id", "event_id", F.expr("unix_micros(ts) div 1000000").alias("_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("_s").rangeBetween(-3600, 0)
+    return e.select(
+        "user_id", "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+    )

@@ -422,3 +422,34 @@ def test_mad_robust_to_wild_outlier(spark):
 @pytest.mark.parametrize("name", ["sql_grouping_sets"])
 def test_grouping_sets_matches_oracle(spark, duck, name):
     assert_query_matches_oracle(spark, duck, name)
+
+
+def test_target_encode_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "feature_target_encode")
+
+
+def test_target_encode_no_leakage_hand(spark):
+    """Group [2, 4, 6] (q6-scaled): row with value 2 encodes mean(4,6)=5
+    — its own label never contributes; singleton group encodes NULL."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = [(1, "a", 2.0), (2, "a", 4.0), (3, "a", 6.0), (4, "b", 9.0)]
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    df.write.mode("overwrite").parquet("/tmp/_te_events.parquet")
+    import os, shutil, tempfile
+
+    d = tempfile.mkdtemp()
+    # build the same shape the query expects via a scratch sf_dir
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    shutil.move("/tmp/_te_events.parquet", os.path.join(d, "events.parquet"))
+    from hadoop_1_spark import registry
+
+    got = {
+        r.event_id: (r.loo_mean_q6, r.loo_den)
+        for r in registry.QUERIES["feature_target_encode"](spark, d).collect()
+    }
+    assert got[1] == (5_000_000, 2)
+    assert got[2] == (4_000_000, 2)
+    assert got[3] == (3_000_000, 2)
+    assert got[4] == (None, 0)

@@ -510,3 +510,11 @@ def test_cdc_merge_hand(spark):
         ).collect()
     }
     assert out == {2: "b2", 3: "c", 9: "new"}
+
+
+def test_debounce_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "events_debounce")
+
+
+def test_trailing_counts_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "feature_trailing_counts")
