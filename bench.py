@@ -127,6 +127,10 @@ BENCH_QUERIES = [
     "variant_props_stats",     # VARIANT semi-structured extraction
     "label_agreement_kappa",   # confusion matrix + exact Cohen's kappa
     "quality_pr_curve",        # 21-threshold PR sweep on bounded counts
+    "corpus_vocab_overlap",    # exact source-pair vocabulary Jaccard
+    "events_debounce",         # retry-storm cleaner (lag rule)
+    "feature_trailing_counts", # trailing-hour velocity feature (RANGE)
+    "feature_target_encode",   # leave-one-out mean encoding (exact q6)
 ]
 
 

@@ -93,6 +93,10 @@ QUERIES = [
     "quality_pr_curve",
     "corpus_oversample_sources",
     "embedding_dim_stats",
+    "corpus_vocab_overlap",
+    "events_debounce",
+    "feature_trailing_counts",
+    "feature_target_encode",
 ]
 
 
