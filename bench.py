@@ -131,6 +131,11 @@ BENCH_QUERIES = [
     "events_debounce",         # retry-storm cleaner (lag rule)
     "feature_trailing_counts", # trailing-hour velocity feature (RANGE)
     "feature_target_encode",   # leave-one-out mean encoding (exact q6)
+    "text_pmi_collocations",   # exact scaled-integer PMI phrase mining
+    "abtest_conversion_lift",  # md5-armed 2x2 chi-square experiment readout
+    "sim_recall_eval",         # recall@k / RR of the LSH ANN vs exact top-k
+    "quality_auc",             # exact Mann-Whitney AUC (distributed scan)
+    "drift_ks_events",         # exact two-sample KS drift test
 ]
 
 

@@ -577,3 +577,182 @@ def linear_trend(
             tz_div.alias("slope_q6"),
         )
     )
+
+
+CHI2_CRIT_Q6 = 3841459  # chi-square 0.05 critical value (1 dof), micro-units
+
+
+def ab_test_report(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    event_type_col: str = "event_type",
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """Two-variant experiment readout with an EXACT chi-square independence
+    test — the experimentation-analysis primitive (conversion lift +
+    significance) with no float accumulation anywhere.
+
+    Unit = distinct ``unit_col``; assignment is the deterministic md5
+    split (sampling.md5_mod(unit, 2): 0 -> 'A', 1 -> 'B' — the same
+    portable bucket arithmetic as corpus_split, so any engine reproduces
+    the same arms); a unit converts if it has >= 1 ``conversion_type``
+    event. One row out:
+
+    - users_a/conv_a/users_b/conv_b — the exact 2x2 contingency counts
+    - cr_a_q6/cr_b_q6 — conversion rates, micro-scaled floor division
+    - chi2_q6 — N*(ad-bc)^2*10^6 div ((a+b)(c+d)(a+c)(b+d)) in
+      DECIMAL(38,0) (truncate == floor: every term nonnegative); NULL
+      when any margin is empty (the test is undefined).
+    - significant — chi2 > 3.841459 (95%, 1 dof) decided by CROSS-
+      MULTIPLICATION on the exact integers, so the flag never depends
+      on the q6 truncation.
+
+    Plan: one shuffle on the unit key (map-side partial max), then a
+    single global aggregation of four counts — sufficient-statistics
+    shape, scales to any event volume. Exactness bound: the binding term
+    is N*(ad-bc)^2*10^6 < 10^38 (DECIMAL(38,0)/HUGEINT headroom); with u
+    units per arm the worst case |ad-bc| <= u^2 gives 2u^5*10^6 < 10^38,
+    i.e. u <~ 2*10^6 units per arm guaranteed, far more in practice
+    (|ad-bc| ~ u^2 requires a near-total conversion split). Past that,
+    pre-divide all four counts by a common factor before the test —
+    chi-square is scale-covariant (chi2 scales linearly with the
+    factor), so the significance decision needs the comparison rescaled
+    by the same factor, and the rates stay exact on the raw counts."""
+    from hadoop_1_spark.operators.sampling import md5_mod
+
+    units = (
+        events.where(F.col(unit_col).isNotNull())
+        .groupBy(unit_col)
+        .agg(
+            F.max(
+                F.when(F.col(event_type_col) == conversion_type, 1).otherwise(0)
+            ).alias("_conv")
+        )
+        .select(
+            F.when(md5_mod(F.col(unit_col), 2) == 0, "A").otherwise("B").alias("_v"),
+            "_conv",
+        )
+    )
+    g = units.groupBy().agg(
+        F.sum(F.when(F.col("_v") == "A", 1).otherwise(0)).cast("bigint").alias("users_a"),
+        F.sum(F.when(F.col("_v") == "A", F.col("_conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("_v") == "B", 1).otherwise(0)).cast("bigint").alias("users_b"),
+        F.sum(F.when(F.col("_v") == "B", F.col("_conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    d38 = "decimal(38,0)"
+    w = (
+        g.withColumn("_n", (F.col("users_a") + F.col("users_b")).cast(d38))
+        .withColumn(
+            "_adbc",
+            (
+                F.col("conv_a").cast(d38) * (F.col("users_b") - F.col("conv_b")).cast(d38)
+                - (F.col("users_a") - F.col("conv_a")).cast(d38) * F.col("conv_b").cast(d38)
+            ).cast(d38),
+        )
+        .withColumn(
+            "_den",
+            (
+                F.col("users_a").cast(d38)
+                * F.col("users_b").cast(d38)
+                * (F.col("conv_a") + F.col("conv_b")).cast(d38)
+                * (
+                    F.col("users_a")
+                    + F.col("users_b")
+                    - F.col("conv_a")
+                    - F.col("conv_b")
+                ).cast(d38)
+            ).cast(d38),
+        )
+        .withColumn(
+            "_num", (F.col("_n") * F.col("_adbc") * F.col("_adbc")).cast(d38)
+        )
+    )
+    return w.select(
+        "users_a",
+        "conv_a",
+        "users_b",
+        "conv_b",
+        F.when(
+            F.col("users_a") > 0,
+            F.expr(f"CAST(conv_a AS {d38}) * 1000000 div CAST(users_a AS {d38})"),
+        )
+        .cast("bigint")
+        .alias("cr_a_q6"),
+        F.when(
+            F.col("users_b") > 0,
+            F.expr(f"CAST(conv_b AS {d38}) * 1000000 div CAST(users_b AS {d38})"),
+        )
+        .cast("bigint")
+        .alias("cr_b_q6"),
+        F.when(F.col("_den") > 0, F.expr("(_num * 1000000) div _den"))
+        .cast("bigint")
+        .alias("chi2_q6"),
+        (
+            (F.col("_den") > 0)
+            & (F.col("_num") * F.lit(1000000).cast(d38) > F.lit(CHI2_CRIT_Q6).cast(d38) * F.col("_den"))
+        ).alias("significant"),
+    )
+
+
+def mann_whitney_auc(
+    scored: DataFrame, score_col: str = "qq", label_col: str = "y"
+) -> DataFrame:
+    """EXACT ROC AUC via the Mann-Whitney rank identity — the third leg of
+    the classifier-eval family (kappa: agreement; PR curve: thresholded
+    operating points; AUC: threshold-free ranking quality).
+
+    AUC = P(score_pos > score_neg) + P(tie)/2. Per distinct score s with
+    pos(s) positives and neg(s) negatives, doubling to stay integral:
+
+        num2 = sum_s pos(s) * (2*neg_below(s) + neg(s)),  AUC = num2/(2*P*N)
+
+    Plan: collapse the corpus to per-distinct-score counts (bounded by
+    the q6 score domain, not the corpus — the PR-curve precedent), run
+    ONE distributed prefix scan (sort.global_prefix_sum: range shuffle +
+    Arrow running sum + broadcast offsets — no single-partition window
+    at any score cardinality) for the cumulative negatives, then a 1-row
+    exact aggregation. ``num2`` also ships as a decimal string for
+    consumers needing the unreduced rational. Int64 scan bound: the
+    cumulative negative count is at most N (fits trivially); the final
+    sum accumulates in DECIMAL(38,0). Degenerate inputs (no positives or
+    no negatives) yield NULL — AUC is undefined, never 0/0."""
+    from hadoop_1_spark.operators.sort import global_prefix_sum
+
+    agg_counts = scored.groupBy(score_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(label_col).cast("bigint").alias("_pos"),
+    )
+    with_neg = agg_counts.select(
+        F.col(score_col), "_pos", (F.col("_n") - F.col("_pos")).alias("_neg")
+    )
+    cum = global_prefix_sum(with_neg, score_col, value_col="_neg", out_col="_cum_neg")
+    d38 = "decimal(38,0)"
+    tot = cum.agg(
+        F.sum("_pos").cast("bigint").alias("n_pos"),
+        F.sum("_neg").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("_pos").cast(d38)
+            * (F.lit(2).cast(d38) * F.col("_cum_neg").cast(d38) - F.col("_neg").cast(d38))
+        )
+        .cast(d38)
+        .alias("_num2"),
+    )
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        F.col("_num2").cast("string").alias("auc_num2"),
+        F.when(
+            (F.col("n_pos") == 0) | (F.col("n_neg") == 0), F.lit(None).cast("bigint")
+        )
+        .otherwise(
+            F.expr(
+                f"(_num2 * cast(1000000 as {d38})) div"
+                f" (cast(2 as {d38}) * cast(n_pos as {d38}) * cast(n_neg as {d38}))"
+            ).cast("bigint")
+        )
+        .alias("auc_q6"),
+    )

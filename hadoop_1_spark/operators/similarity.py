@@ -974,3 +974,52 @@ def mmr_topk(
         "query_id", "neighbor_id", F.round("mmr_score", 9).alias("mmr_score"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def ann_recall_eval(exact: DataFrame, ann: DataFrame, k: int) -> DataFrame:
+    """Ranking-quality evaluation of an ANN result against the exact
+    brute-force top-k — the recall@k / reciprocal-rank harness that closes
+    the eval family (label_agreement_kappa and quality_pr_curve cover
+    classification; this covers retrieval).
+
+    Inputs are two (query_id, neighbor_id, cosine, rank) relations with
+    the same query set: ``exact`` the ground-truth top-k, ``ann`` the
+    approximate candidate ranking (LSH/IVF/quantized). Per query:
+
+    - ``n_hits``    — |exact top-k ∩ ann top-k|
+    - ``recall_at_k`` — n_hits / k
+    - ``rr``        — 1/rank of the TRUE nearest neighbor (exact rank 1)
+      inside the ann list, 0.0 when the ANN bucket missed it entirely
+      (macro-averaging rr over queries gives MRR).
+
+    Shape: both sides are top-k relations (|queries| x k rows), so the
+    join is tiny regardless of corpus size — the expensive work happened
+    upstream in the two retrieval plans; this is a bounded report join.
+    Divisions are IEEE double of small exact integers — identical bits in
+    any engine, rounded to 9 for belt-and-braces."""
+    ex = exact.select("query_id", "neighbor_id", F.col("rank").alias("_ex_rank"))
+    an = ann.select(
+        F.col("query_id").alias("_a_qid"),
+        F.col("neighbor_id").alias("_a_nid"),
+        F.col("rank").alias("_ann_rank"),
+    )
+    j = ex.join(
+        an,
+        (ex["query_id"] == an["_a_qid"]) & (ex["neighbor_id"] == an["_a_nid"]),
+        "left",
+    )
+    per = j.groupBy("query_id").agg(
+        F.count("_ann_rank").cast("bigint").alias("n_hits"),
+        F.max(F.when(F.col("_ex_rank") == 1, F.col("_ann_rank"))).alias("_rr_rank"),
+    )
+    return per.select(
+        "query_id",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.lit(float(k)), 9).alias("recall_at_k"),
+        F.round(
+            F.when(F.col("_rr_rank").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / F.col("_rr_rank").cast("double")
+            ),
+            9,
+        ).alias("rr"),
+    )

@@ -776,3 +776,76 @@ def lm_score_bigram(
         "mean_invp_q6",
         (F.col("mean_invp_q6") <= F.lit(perplexity_cap * 1000000)).alias("keep"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+) -> DataFrame:
+    """Collocation detection by pointwise mutual information over adjacent
+    token pairs — the classic phrase-mining statistic (PMI(x,y) =
+    log(N*c_xy / (c_x*c_y))), computed in EXACT scaled-integer arithmetic:
+    the monotone ratio N*c_xy/(c_x*c_y) ships as ``pmi_q6`` (micro-units,
+    truncate-toward-zero decimal division — all terms positive, so this is
+    floor and engine-identical with DuckDB's HUGEINT ``//``), and the raw
+    counts ship alongside so consumers can re-derive the log exactly.
+
+    Plan: two scans of the text column (token stream for unigram counts,
+    pair stream for bigram counts — the pair stream drops each doc's last
+    token, so the unigram side cannot be derived from it), one shuffle
+    each on the (bounded-vocabulary) key, then broadcast joins of the
+    unigram counts and the 1-row total onto the surviving pairs.
+    ``min_count`` is the standard noise floor: a pair seen once has
+    degenerate PMI. At 100 TB the vocabulary grows sublinearly with the
+    corpus, so the broadcast holds; if a vocabulary ever outgrew it, drop
+    the hints and the pair-keyed shuffle join is the fallback."""
+    toks = ws_tokens(F.col(text_col))
+    t = df.select(toks.alias("toks"), F.size(toks).alias("n"))
+    uni = (
+        t.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n_tokens"))
+    bg = (
+        t.where(F.col("n") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, n - 1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    pc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= min_count)
+    )
+    d38 = "decimal(38,0)"
+    j = (
+        pc.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_num",
+            (
+                F.col("pair_cnt").cast(d38)
+                * F.col("n_tokens").cast(d38)
+                * F.lit(1000000).cast(d38)
+            ).cast(d38),
+        )
+        .withColumn("_den", (F.col("c1").cast(d38) * F.col("c2").cast(d38)).cast(d38))
+    )
+    return j.select(
+        "w1",
+        "w2",
+        "pair_cnt",
+        "c1",
+        "c2",
+        "n_tokens",
+        F.expr("_num div _den").cast("bigint").alias("pmi_q6"),
+    )

@@ -177,3 +177,110 @@ def profile_table(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+KS_CRIT_SQ_Q6 = 1844164  # (1.358)^2 * 10^6 — two-sample KS alpha=0.05 coefficient
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    g1: str,
+    g2: str,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov drift test between the
+    ``value_col`` distributions of two groups — the distribution-drift
+    monitor (train-vs-serve skew, week-over-week shift) in pure integer
+    arithmetic.
+
+    D = sup_x |F1(x) - F2(x)| evaluated after each distinct sample value.
+    With per-distinct-value counts c1, c2 and totals n1, n2, the signed
+    step c1(v)*n2 - c2(v)*n1 has cumulative sum cum(v) = F1-F2 scaled by
+    n1*n2 — so ONE distributed prefix scan (sort.global_prefix_sum) over
+    the collapsed value relation yields the whole CDF-difference walk,
+    and D = max |cum| / (n1*n2). Values collapse to q6 integers first
+    (floor(v*10^6) — the repo-wide exact-grid convention).
+
+    Output (1 row): n1, n2, the exact numerator d_num = max|cum|, the
+    value attaining it (smallest such, deterministic), ks_q6 =
+    (d_num*10^6) div (n1*n2), and ``drifted`` — the alpha=0.05 call
+    decided by CROSS-MULTIPLICATION against c(0.05)=1.358:
+    d_num^2 * 10^6 > 1.358^2*10^6 * (n1+n2) * n1 * n2, evaluated in
+    DECIMAL(38,0), so the flag never touches a float or the q6
+    truncation.
+
+    Int64 scan bound: |cum| <= n1*n2, so the prefix scan is exact while
+    n1*n2 < 2^63 (~3*10^9 rows per side); past that, pre-bucket values
+    to a coarser grid (KS on binned data lower-bounds D) or scale counts
+    down by a common factor. The top-1 selection is a TakeOrdered over
+    the bounded distinct-value relation, not a global sort."""
+    q = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isin(g1, g2)
+    ).select(
+        F.floor(F.col(value_col) * 1000000).cast("bigint").alias("vq"),
+        F.when(F.col(group_col) == g1, F.lit(1)).otherwise(F.lit(0)).alias("_is1"),
+    )
+    per = q.groupBy("vq").agg(
+        F.sum("_is1").cast("bigint").alias("_c1"),
+        F.sum(F.lit(1) - F.col("_is1")).cast("bigint").alias("_c2"),
+    )
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    per = persist_tracked(per)
+    tot = per.agg(
+        F.sum("_c1").cast("bigint").alias("n1"),
+        F.sum("_c2").cast("bigint").alias("n2"),
+    )
+    step = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "vq",
+            (F.col("_c1") * F.col("n2") - F.col("_c2") * F.col("n1"))
+            .cast("bigint")
+            .alias("_step"),
+        )
+    )
+    from hadoop_1_spark.operators.sort import global_prefix_sum
+
+    cum = global_prefix_sum(step, "vq", value_col="_step", out_col="_cum")
+    best = (
+        cum.select("vq", F.abs(F.col("_cum")).alias("_d"))
+        .orderBy(F.desc("_d"), F.asc("vq"))
+        .limit(1)
+    )
+    d38 = "decimal(38,0)"
+    return (
+        best.crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            F.col("_d").alias("d_num"),
+            F.col("vq").alias("at_value_q6"),
+            F.when(
+                (F.col("n1") == 0) | (F.col("n2") == 0), F.lit(None).cast("bigint")
+            )
+            .otherwise(
+                F.expr(
+                    f"(cast(_d as {d38}) * cast(1000000 as {d38}))"
+                    f" div (cast(n1 as {d38}) * cast(n2 as {d38}))"
+                ).cast("bigint")
+            )
+            .alias("ks_q6"),
+            (
+                (F.col("n1") > 0)
+                & (F.col("n2") > 0)
+                & (
+                    F.expr(
+                        f"cast(_d as {d38}) * cast(_d as {d38})"
+                        f" * cast(1000000 as {d38})"
+                    )
+                    > F.expr(
+                        f"cast({KS_CRIT_SQ_Q6} as {d38})"
+                        f" * (cast(n1 as {d38}) + cast(n2 as {d38}))"
+                        f" * cast(n1 as {d38}) * cast(n2 as {d38})"
+                    )
+                )
+            ).alias("drifted"),
+        )
+    )

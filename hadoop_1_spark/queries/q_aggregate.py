@@ -1081,3 +1081,93 @@ def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("loo_mean_q6"),
         )
     )
+
+
+@register(
+    "abtest_conversion_lift",
+    oracle="""
+WITH u AS (
+  SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+              THEN 'A' ELSE 'B' END AS v,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+g AS (
+  SELECT CAST(sum(CASE WHEN v = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS users_a,
+         CAST(sum(CASE WHEN v = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN v = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS users_b,
+         CAST(sum(CASE WHEN v = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM u
+),
+w AS (
+  SELECT *,
+         CAST(users_a + users_b AS HUGEINT) AS n,
+         CAST(conv_a AS HUGEINT) * (users_b - conv_b)
+           - CAST(users_a - conv_a AS HUGEINT) * conv_b AS adbc,
+         CAST(users_a AS HUGEINT) * users_b
+           * (conv_a + conv_b) * (users_a + users_b - conv_a - conv_b) AS den
+  FROM g
+)
+SELECT users_a, conv_a, users_b, conv_b,
+       CASE WHEN users_a > 0
+            THEN CAST(CAST(conv_a AS HUGEINT) * 1000000 // users_a AS BIGINT) END AS cr_a_q6,
+       CASE WHEN users_b > 0
+            THEN CAST(CAST(conv_b AS HUGEINT) * 1000000 // users_b AS BIGINT) END AS cr_b_q6,
+       CASE WHEN den > 0
+            THEN CAST((n * adbc * adbc * 1000000) // den AS BIGINT) END AS chi2_q6,
+       (den > 0 AND n * adbc * adbc * 1000000 > 3841459 * den) AS significant
+FROM w
+""",
+)
+def abtest_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic md5 arm assignment over
+    users, purchase-conversion 2x2 contingency, exact micro-scaled
+    conversion rates, and an exact-integer chi-square significance call
+    (cross-multiplied against the 3.841459 critical value — the flag
+    never touches a float). aggregate.ab_test_report docstring carries
+    the overflow bound and the past-bound rescaling rule."""
+    ev = _load(spark, sf_dir, "events")
+    return agg.ab_test_report(ev)
+
+
+@register(
+    "drift_ks_events",
+    oracle="""
+WITH e AS (
+  SELECT CAST(floor(value * 1000000) AS BIGINT) AS vq,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+  FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+),
+a AS (
+  SELECT vq, CAST(sum(is1) AS BIGINT) AS c1,
+         CAST(sum(1 - is1) AS BIGINT) AS c2
+  FROM e GROUP BY 1
+),
+t AS (SELECT CAST(sum(c1) AS HUGEINT) AS n1, CAST(sum(c2) AS HUGEINT) AS n2 FROM a),
+s AS (
+  SELECT vq, sum(c1 * t.n2 - c2 * t.n1) OVER (ORDER BY vq) AS cum
+  FROM a, t
+),
+b AS (SELECT vq, abs(cum) AS d FROM s ORDER BY d DESC, vq ASC LIMIT 1)
+SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+       CAST(b.d AS BIGINT) AS d_num,
+       CAST(b.vq AS BIGINT) AS at_value_q6,
+       CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN NULL
+            ELSE CAST((CAST(b.d AS HUGEINT) * 1000000) // (t.n1 * t.n2) AS BIGINT)
+            END AS ks_q6,
+       (t.n1 > 0 AND t.n2 > 0
+        AND CAST(b.d AS HUGEINT) * b.d * 1000000
+            > 1844164 * (t.n1 + t.n2) * t.n1 * t.n2) AS drifted
+FROM b, t
+""",
+)
+def drift_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: exact two-sample Kolmogorov-Smirnov
+    test between the value distributions of click vs view events — the
+    CDF-difference walk as ONE distributed prefix scan, the alpha=0.05
+    call by cross-multiplication (validate.ks_two_sample docstring
+    carries the arithmetic and the int64 bound)."""
+    from hadoop_1_spark.operators import validate as validate_ops
+
+    ev = _load(spark, sf_dir, "events")
+    return validate_ops.ks_two_sample(ev, "value", "event_type", "click", "view")

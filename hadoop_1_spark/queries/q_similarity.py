@@ -52,16 +52,18 @@ def _bucket_sql(vec: str, signs: list[list[int]]) -> str:
     return " + ".join(parts)
 
 
-@register(
-    "sim_cosine_topk",
-    oracle=f"""
+# Full exact-top-k statement — reused verbatim as the ground-truth CTE of
+# the recall eval (sim_recall_eval) below.
+_EXACT_STMT = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {_NRM} AS qn FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv, {_NRM} AS cn FROM embeddings),
 p AS (SELECT query_id, neighbor_id, qv, cv, qn, cn FROM q JOIN c ON query_id <> neighbor_id),
 {_COSINE_CTES}
 {_FINAL}
-""",
-)
+"""
+
+
+@register("sim_cosine_topk", oracle=_EXACT_STMT)
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for vec_id < 10."""
     emb = _load(spark, sf_dir, "embeddings")
@@ -90,6 +92,41 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN top-5 (4-bit buckets) for vec_id < 10."""
     emb = _load(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(emb, emb.where("vec_id < 10"), k=K, nbits=NBITS)
+
+
+@register(
+    "sim_recall_eval",
+    oracle=f"""
+WITH ex AS ({_EXACT_STMT}),
+an AS ({_lsh_oracle()}),
+j AS (
+  SELECT ex.query_id, ex.rank AS ex_rank, an.rank AS ann_rank
+  FROM ex LEFT JOIN an
+    ON ex.query_id = an.query_id AND ex.neighbor_id = an.neighbor_id
+),
+per AS (
+  SELECT query_id,
+         CAST(count(ann_rank) AS BIGINT) AS n_hits,
+         max(CASE WHEN ex_rank = 1 THEN ann_rank END) AS rr_rank
+  FROM j GROUP BY 1
+)
+SELECT query_id, n_hits,
+       round(CAST(n_hits AS DOUBLE) / {float(K)}, 9) AS recall_at_k,
+       round(CASE WHEN rr_rank IS NULL THEN 0.0
+                  ELSE 1.0 / CAST(rr_rank AS DOUBLE) END, 9) AS rr
+FROM per
+""",
+)
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval: recall@5 and reciprocal rank of the LSH ANN
+    against the exact brute-force top-5, per query. The oracle nests both
+    retrieval statements verbatim as CTEs, so the eval checks the REAL
+    candidate sets of both plans — not a re-derivation."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 10")
+    exact = similarity.cosine_topk(emb, q, k=K)
+    ann = similarity.lsh_ann_topk(emb, q, k=K, nbits=NBITS)
+    return similarity.ann_recall_eval(exact, ann, k=K)
 
 
 @register(

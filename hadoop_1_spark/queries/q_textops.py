@@ -169,6 +169,43 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bg.groupBy("bigram").agg(F.count("*").cast("long").alias("cnt"))
 
 
+PMI_MIN_COUNT = 3
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM uni),
+bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)
+),
+pc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_cnt
+  FROM bg GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_COUNT}
+)
+SELECT pc.w1, pc.w2, pc.pair_cnt, u1.c AS c1, u2.c AS c2, tot.n_tokens,
+       CAST(CAST(pc.pair_cnt AS HUGEINT) * tot.n_tokens * 1000000
+            // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS pmi_q6
+FROM pc
+JOIN uni u1 ON pc.w1 = u1.w
+JOIN uni u2 ON pc.w2 = u2.w
+CROSS JOIN tot
+""",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining over adjacent whitespace-token pairs: exact
+    integer counts plus the monotone PMI ratio as micro-scaled floor
+    division — bit-identical ranking in both engines, no float log."""
+    docs = _load(spark, sf_dir, "documents")
+    return textops.pmi_collocations(docs, min_count=PMI_MIN_COUNT)
+
+
 @register(
     "text_repetition",
     oracle=f"""
@@ -817,3 +854,51 @@ def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.expr("(tp * 1000000) div _pa")).alias("recall_q6"),
         )
     )
+
+
+def _auc_oracle() -> str:
+    from hadoop_1_spark import registry
+
+    curated = ", ".join(f"'{s}'" for s in PR_CURATED)
+    return f"""
+WITH q AS (SELECT * FROM ({registry.ORACLE["text_quality"].strip()})),
+lab AS (
+  SELECT CAST(floor(q.quality * 1000000) AS BIGINT) AS qq,
+         CASE WHEN d.source IN ({curated}) THEN 1 ELSE 0 END AS y
+  FROM q JOIN documents d USING (doc_id)
+),
+agg AS (SELECT qq, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos FROM lab GROUP BY 1),
+c AS (SELECT qq, pos, n - pos AS neg,
+             sum(n - pos) OVER (ORDER BY qq) AS cum_neg FROM agg),
+t AS (SELECT CAST(sum(pos) AS HUGEINT) AS p, CAST(sum(neg) AS HUGEINT) AS nn,
+             CAST(sum(CAST(pos AS HUGEINT) * (2 * cum_neg - neg)) AS HUGEINT) AS num2
+      FROM c)
+SELECT CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       CAST(num2 AS VARCHAR) AS auc_num2,
+       CASE WHEN p = 0 OR nn = 0 THEN NULL
+            ELSE CAST((num2 * 1000000) // (2 * p * nn) AS BIGINT) END AS auc_q6
+FROM t
+"""
+
+
+@register("quality_auc", oracle=_auc_oracle())
+def quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free ranking quality of the heuristic quality score
+    against the curated-source label: exact Mann-Whitney AUC (ties get
+    half credit) over the same collapsed score relation the PR curve
+    uses, with the cumulative-negative walk as ONE distributed prefix
+    scan. Completes the eval triad: kappa / PR curve / AUC."""
+    from hadoop_1_spark.operators import aggregate as ops_agg
+
+    docs = _load(spark, sf_dir, "documents")
+    q = textops.quality_score(docs)
+    lab = (
+        q.select("doc_id", F.floor(F.col("quality") * 1000000).cast("bigint").alias("qq"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "qq",
+            F.when(F.col("source").isin(*PR_CURATED), F.lit(1)).otherwise(F.lit(0)).alias("y"),
+        )
+    )
+    return ops_agg.mann_whitney_auc(lab, score_col="qq", label_col="y")

@@ -97,6 +97,11 @@ QUERIES = [
     "events_debounce",
     "feature_trailing_counts",
     "feature_target_encode",
+    "text_pmi_collocations",
+    "abtest_conversion_lift",
+    "sim_recall_eval",
+    "quality_auc",
+    "drift_ks_events",
 ]
 
 

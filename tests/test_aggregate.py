@@ -453,3 +453,87 @@ def test_target_encode_no_leakage_hand(spark):
     assert got[2] == (4_000_000, 2)
     assert got[3] == (3_000_000, 2)
     assert got[4] == (None, 0)
+
+
+def test_abtest_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "abtest_conversion_lift")
+
+
+def test_ab_test_report_exact_chi2(spark):
+    """Perfect-separation 10v10 design (md5 arms precomputed: users
+    1,3,6,9,10,13,16,17,18,20 -> A; 2,4,5,7,8,11,12,14,15,19 -> B):
+    every A converts, no B does -> chi2 = N = 20 exactly, significant;
+    then a fully-balanced design -> chi2 = 0, not significant."""
+    a_users = [1, 3, 6, 9, 10, 13, 16, 17, 18, 20]
+    b_users = [2, 4, 5, 7, 8, 11, 12, 14, 15, 19]
+    rows = [(u, "purchase") for u in a_users] + [(u, "view") for u in b_users]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = agg.ab_test_report(ev).collect()[0]
+    assert (r["users_a"], r["conv_a"], r["users_b"], r["conv_b"]) == (10, 10, 10, 0)
+    assert (r["cr_a_q6"], r["cr_b_q6"]) == (1_000_000, 0)
+    assert r["chi2_q6"] == 20_000_000  # N*(ad-bc)^2/den = 20*10^4/10^4
+    assert r["significant"] is True
+
+    balanced = [(u, "purchase") for u in a_users[:5] + b_users[:5]] + [
+        (u, "view") for u in a_users[5:] + b_users[5:]
+    ]
+    ev2 = spark.createDataFrame(balanced, "user_id long, event_type string")
+    r2 = agg.ab_test_report(ev2).collect()[0]
+    assert r2["chi2_q6"] == 0
+    assert r2["significant"] is False
+
+
+def test_ab_test_report_degenerate_margin_is_null(spark):
+    """Zero conversions anywhere -> den = 0 -> chi2 NULL, not significant
+    (the test is undefined on an empty margin, never a crash or a 0/0)."""
+    ev = spark.createDataFrame(
+        [(u, "view") for u in range(1, 21)], "user_id long, event_type string"
+    )
+    r = agg.ab_test_report(ev).collect()[0]
+    assert r["chi2_q6"] is None
+    assert r["significant"] is False
+
+
+def test_quality_auc_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "quality_auc")
+
+
+def test_drift_ks_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "drift_ks_events")
+
+
+def test_mann_whitney_auc_semantics(spark):
+    """Perfect ranking -> AUC 1; a single tied score -> 0.5 (half credit);
+    no negatives -> NULL (undefined, not 0/0)."""
+    perfect = spark.createDataFrame([(1, 0), (2, 1)], "qq long, y int")
+    r = agg.mann_whitney_auc(perfect).collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc_num2"], r["auc_q6"]) == (1, 1, "2", 1_000_000)
+
+    tied = spark.createDataFrame([(1, 0), (1, 1)], "qq long, y int")
+    assert agg.mann_whitney_auc(tied).collect()[0]["auc_q6"] == 500_000
+
+    allpos = spark.createDataFrame([(1, 1), (2, 1)], "qq long, y int")
+    assert agg.mann_whitney_auc(allpos).collect()[0]["auc_q6"] is None
+
+
+def test_ks_two_sample_semantics(spark):
+    """Disjoint supports -> D = 1 (ks_q6 = 10^6) attained at the largest
+    g1 value; identical samples -> D = 0 at the smallest value (the
+    deterministic tie-break); tiny n stays under the 0.05 critical bar."""
+    from hadoop_1_spark.operators import validate as validate_ops
+
+    ev = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "b"), (4.0, "b")], "value double, g string"
+    )
+    r = validate_ops.ks_two_sample(ev, "value", "g", "a", "b").collect()[0]
+    assert (r["n1"], r["n2"], r["d_num"], r["ks_q6"]) == (2, 2, 4, 1_000_000)
+    assert r["at_value_q6"] == 2_000_000
+    assert r["drifted"] is False  # n=2 per side: 16e6 < 1844164*4*4
+
+    same = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (1.0, "b"), (2.0, "b")], "value double, g string"
+    )
+    r2 = validate_ops.ks_two_sample(same, "value", "g", "a", "b").collect()[0]
+    assert (r2["d_num"], r2["ks_q6"], r2["at_value_q6"], r2["drifted"]) == (
+        0, 0, 1_000_000, False,
+    )

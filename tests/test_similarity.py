@@ -390,3 +390,32 @@ def test_mmr_prefers_diversity(spark):
 
 def test_embedding_dim_stats_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "embedding_dim_stats")
+
+
+def test_sim_recall_eval_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sim_recall_eval")
+
+
+def test_ann_recall_eval_semantics(spark):
+    """Hand-built exact/ann rankings: hits, recall@k, and reciprocal rank
+    of the true nearest neighbor — including an empty-ANN query (recall 0,
+    rr 0) and a query whose true NN sits at ann rank 3 (rr = 1/3)."""
+    exact = spark.createDataFrame(
+        [(1, 10, 0.9, 1), (1, 11, 0.8, 2), (2, 20, 0.9, 1), (2, 21, 0.8, 2)],
+        "query_id long, neighbor_id long, cosine double, rank int",
+    )
+    ann = spark.createDataFrame(
+        # q1: both found, true NN at ann rank 3; q2: bucket missed everything
+        [(1, 11, 0.8, 1), (1, 99, 0.5, 2), (1, 10, 0.9, 3)],
+        "query_id long, neighbor_id long, cosine double, rank int",
+    )
+    got = {
+        r["query_id"]: r
+        for r in similarity.ann_recall_eval(exact, ann, k=2).collect()
+    }
+    assert got[1]["n_hits"] == 2
+    assert got[1]["recall_at_k"] == 1.0
+    assert got[1]["rr"] == round(1.0 / 3.0, 9)
+    assert got[2]["n_hits"] == 0
+    assert got[2]["recall_at_k"] == 0.0
+    assert got[2]["rr"] == 0.0

@@ -278,3 +278,21 @@ def test_pr_curve_monotone_recall(spark):
     assert rows[0].pred_pos == rows[0].n_pos or rows[0].recall_q6 == 1000000
     recalls = [r.recall_q6 for r in rows if r.recall_q6 is not None]
     assert recalls == sorted(recalls, reverse=True)
+
+
+def test_text_pmi_collocations_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "text_pmi_collocations")
+
+
+def test_pmi_collocations_semantics(spark):
+    """Hand corpus: tokens N=7, c_a=3 c_b=3, pair (a,b) seen 3x ->
+    pmi_q6 = floor(3*7*1e6 / (3*3)) = 2333333; pairs under min_count
+    drop; the pair stream never crosses document boundaries."""
+    df = spark.createDataFrame([("a b a b",), ("a b c",)], "text string")
+    rows = textops.pmi_collocations(df, min_count=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["w1"], r["w2"], r["pair_cnt"], r["c1"], r["c2"], r["n_tokens"]) == (
+        "a", "b", 3, 3, 3, 7,
+    )
+    assert r["pmi_q6"] == (3 * 7 * 1_000_000) // (3 * 3)
