@@ -136,6 +136,10 @@ BENCH_QUERIES = [
     "sim_recall_eval",         # recall@k / RR of the LSH ANN vs exact top-k
     "quality_auc",             # exact Mann-Whitney AUC (distributed scan)
     "drift_ks_events",         # exact two-sample KS drift test
+    "feature_corr_report",     # exact-stat Pearson correlation matrix
+    "sim_rrf_fusion",          # reciprocal-rank fusion of LSH + IVF
+    "sim_filtered_topk",       # metadata-filtered ANN (vector-DB prefilter)
+    "text_bm25_topk",          # rational-idf BM25 lexical retrieval
 ]
 
 

@@ -1023,3 +1023,49 @@ def ann_recall_eval(exact: DataFrame, ann: DataFrame, k: int) -> DataFrame:
             9,
         ).alias("rr"),
     )
+
+
+def rrf_fuse(a: DataFrame, b: DataFrame, k: int, c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of two candidate rankings — the standard
+    hybrid-retrieval ensemble (combine LSH and IVF candidate generators,
+    or lexical BM25 with a dense ANN) in EXACT integer arithmetic.
+
+    Inputs are two (query_id, neighbor_id, ..., rank) relations over the
+    same query set. RRF(d) = sum over lists containing d of 1/(c+rank);
+    each term ships as the exact q9 integer 10^9 div (c + rank) and the
+    fused score is their bigint sum — engine-identical, no float sums.
+    Re-ranked top-k per query by (rrf_q9 DESC, neighbor_id ASC).
+
+    Shape: both inputs are top-k relations (|queries| x k rows), so the
+    full-outer join and the re-rank window run over bounded data — the
+    heavy lifting stays in the upstream retrieval plans, exactly like
+    ann_recall_eval. At 100 TB the fusion cost is unchanged: it scales
+    with |queries| * k, never with the corpus."""
+    ta = a.select(
+        "query_id",
+        "neighbor_id",
+        F.expr(f"CAST(1000000000 div ({c} + rank) AS BIGINT)").alias("_ra"),
+    )
+    tb = b.select(
+        "query_id",
+        "neighbor_id",
+        F.expr(f"CAST(1000000000 div ({c} + rank) AS BIGINT)").alias("_rb"),
+    )
+    fused = (
+        ta.join(tb, ["query_id", "neighbor_id"], "full_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.coalesce(F.col("_ra"), F.lit(0)) + F.coalesce(F.col("_rb"), F.lit(0)))
+            .cast("bigint")
+            .alias("rrf_q9"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_q9"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rrf_q9", "rank")
+    )

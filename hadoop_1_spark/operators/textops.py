@@ -849,3 +849,79 @@ def pmi_collocations(
         "n_tokens",
         F.expr("_num div _den").cast("bigint").alias("pmi_q6"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 lexical retrieval (k1 = 1.2, b = 0.75) for a fixed query-term
+    list, in EXACT integer arithmetic via the log-free rational-idf
+    variant — the same oracle-ability trade lm_score documents: ln() is
+    not correctly-rounded-guaranteed across engines, so the idf keeps
+    the raw Robertson odds ratio (N - df + 0.5)/(df + 0.5) instead of
+    its log. Rankings shift toward rarer terms vs classic BM25
+    (documented variant, not a bug); the tf saturation curve — BM25's
+    actual innovation — is bit-exact.
+
+    With half-integers cleared (x2) and k1 = 12/10, b = 3/4,
+    avgdl = T/N_d (T total tokens, N_d docs) multiplied through, each
+    (doc, term) contributes the exact q6 integer
+
+        score = (2*N_d - 2*df + 1) * 22 * tf * T * 10^6
+                div ((2*df + 1) * (10*tf*T + 3*T + 9*dl*N_d))
+
+    in DECIMAL(38,0) (truncate == floor: every factor positive), and a
+    document's score is the bigint sum over matched terms. Headroom:
+    numerator <= 2*N_d*22*tf*T*10^6 — at web scale (N_d ~ 10^10 docs,
+    T ~ 10^13 tokens, tf <= 10^3) that is ~4*10^34 < 10^38; past that,
+    coarsen to q3.
+
+    Shape at 100 TB: tokenization + tf extraction is one corpus scan
+    filtered to the query terms (|terms| is tiny, the IN-list prunes
+    before any shuffle); df and the (N_d, T) totals are term-count-sized
+    and 1-row relations, broadcast onto the tf rows; the only corpus-
+    keyed exchange is the per-doc score aggregation. Top-k is a
+    TakeOrdered (orderBy+limit), never a global sort; the rank window
+    runs over the k survivors only."""
+    from pyspark.sql.window import Window
+
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    t = docs.select(F.col(id_col), toks.alias("_toks"))
+    d = t.select(id_col, F.size("_toks").cast("bigint").alias("_dl"))
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nd"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).cast("bigint").alias("_tt"),
+    )
+    tf = (
+        t.select(F.col(id_col), F.explode("_toks").alias("_w"))
+        .where(F.col("_w").isin(*terms))
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_tf"))
+    )
+    dfreq = tf.groupBy("_w").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
+    d38 = "decimal(38,0)"
+    term_q6 = F.expr(
+        f"(CAST(2 * _nd - 2 * _df + 1 AS {d38}) * CAST(22 AS {d38})"
+        f" * CAST(_tf AS {d38}) * CAST(_tt AS {d38}) * CAST(1000000 AS {d38}))"
+        f" div (CAST(2 * _df + 1 AS {d38})"
+        f" * (CAST(10 AS {d38}) * CAST(_tf AS {d38}) * CAST(_tt AS {d38})"
+        f" + CAST(3 AS {d38}) * CAST(_tt AS {d38})"
+        f" + CAST(9 AS {d38}) * CAST(_dl AS {d38}) * CAST(_nd AS {d38})))"
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(dfreq), "_w")
+        .join(d, id_col)
+        .crossJoin(F.broadcast(tot))
+        .select(F.col(id_col), term_q6.alias("_q6"))
+        .groupBy(id_col)
+        .agg(F.sum("_q6").cast("bigint").alias("score_q6"))
+    )
+    top = scored.orderBy(F.desc("score_q6"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score_q6"), F.asc(id_col))
+    return top.select(
+        id_col, "score_q6", F.row_number().over(w).cast("int").alias("rank")
+    )

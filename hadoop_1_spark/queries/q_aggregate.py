@@ -1171,3 +1171,59 @@ def drift_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _load(spark, sf_dir, "events")
     return validate_ops.ks_two_sample(ev, "value", "event_type", "click", "view")
+
+
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    cols = CORR_COLS
+    sel = ", ".join(
+        f"CAST(floor({c} * 1000000) AS BIGINT) AS q_{c}" for c in cols
+    )
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    aggs = ["CAST(count(*) AS HUGEINT) AS n"]
+    for c in cols:
+        aggs.append(f"CAST(sum(CAST(q_{c} AS HUGEINT)) AS HUGEINT) AS s_{c}")
+    for i, c1 in enumerate(cols):
+        for c2 in cols[i:]:
+            aggs.append(
+                f"CAST(sum(CAST(q_{c1} AS HUGEINT) * q_{c2}) AS HUGEINT)"
+                f" AS p_{c1}_{c2}"
+            )
+    pair_sel = []
+    for i, c1 in enumerate(cols):
+        for c2 in cols[i + 1 :]:
+            pair_sel.append(
+                f"""SELECT '{c1}' AS col_x, '{c2}' AS col_y,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * p_{c1}_{c2} - s_{c1} * s_{c2} AS VARCHAR) AS num_str,
+       CAST(n * p_{c1}_{c1} - s_{c1} * s_{c1} AS VARCHAR) AS dx_str,
+       CAST(n * p_{c2}_{c2} - s_{c2} * s_{c2} AS VARCHAR) AS dy_str,
+       CASE WHEN n > 0 AND n * p_{c1}_{c1} - s_{c1} * s_{c1} > 0
+                 AND n * p_{c2}_{c2} - s_{c2} * s_{c2} > 0
+            THEN round(CAST(n * p_{c1}_{c2} - s_{c1} * s_{c2} AS DOUBLE)
+                       / sqrt(CAST(n * p_{c1}_{c1} - s_{c1} * s_{c1} AS DOUBLE)
+                              * CAST(n * p_{c2}_{c2} - s_{c2} * s_{c2} AS DOUBLE)), 9)
+       END AS r_q9
+  FROM a"""
+            )
+    return (
+        f"WITH v AS (SELECT {sel} FROM lineitem WHERE {notnull}),\n"
+        f"a AS (SELECT {', '.join(aggs)} FROM v)\n"
+        + "\nUNION ALL\n".join(pair_sel)
+    )
+
+
+@register("feature_corr_report", oracle=_corr_oracle())
+def feature_corr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem numeric
+    features — the pre-training redundancy/leakage screen. One scan,
+    exact DECIMAL(38,0) sufficient statistics, centered moments shipped
+    as decimal strings, r itself as the one IEEE-identical float chain
+    (validate.pearson_corr docstring carries the arithmetic and the
+    10^16-row exactness bound)."""
+    from hadoop_1_spark.operators import validate as V
+
+    li = _load(spark, sf_dir, "lineitem")
+    return V.pearson_corr(li, CORR_COLS)

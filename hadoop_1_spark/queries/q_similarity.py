@@ -129,16 +129,17 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall_eval(exact, ann, k=K)
 
 
-@register(
-    "sim_ivf_topk",
-    oracle=f"""
+# Full IVF statement — reused verbatim as one side of the RRF fusion below.
+_IVF_STMT = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv, {_NRM} AS qn, label AS qcell FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv, {_NRM} AS cn, label AS ccell FROM embeddings),
 p AS (SELECT query_id, neighbor_id, qv, cv, qn, cn FROM q JOIN c ON qcell = ccell AND query_id <> neighbor_id),
 {_COSINE_CTES}
 {_FINAL}
-""",
-)
+"""
+
+
+@register("sim_ivf_topk", oracle=_IVF_STMT)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style cell-probed top-5 (label = coarse cell) for vec_id < 10."""
     emb = _load(spark, sf_dir, "embeddings")
@@ -587,3 +588,78 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("_q").alias("max_q6"),
         )
     )
+
+
+RRF_C = 60
+
+
+@register(
+    "sim_rrf_fusion",
+    oracle=f"""
+WITH la AS ({_lsh_oracle()}),
+lb AS ({_IVF_STMT}),
+ta AS (SELECT query_id, neighbor_id,
+              CAST(1000000000 // ({RRF_C} + rank) AS BIGINT) AS ra FROM la),
+tb AS (SELECT query_id, neighbor_id,
+              CAST(1000000000 // ({RRF_C} + rank) AS BIGINT) AS rb FROM lb),
+f AS (
+  SELECT coalesce(ta.query_id, tb.query_id) AS query_id,
+         coalesce(ta.neighbor_id, tb.neighbor_id) AS neighbor_id,
+         CAST(coalesce(ra, 0) + coalesce(rb, 0) AS BIGINT) AS rrf_q9
+  FROM ta FULL OUTER JOIN tb
+    ON ta.query_id = tb.query_id AND ta.neighbor_id = tb.neighbor_id
+)
+SELECT query_id, neighbor_id, rrf_q9,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_q9 DESC, neighbor_id ASC) AS INT) AS rank
+FROM f
+QUALIFY rank <= {K}
+""",
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval ensemble: reciprocal-rank fusion (c = 60, exact
+    q9 integer terms) of the LSH and IVF candidate rankings, re-ranked
+    top-5 per query. The oracle nests BOTH retrieval statements verbatim
+    as CTEs, so the fusion is checked against the real candidate sets of
+    the two plans — same contract as sim_recall_eval. See
+    similarity.rrf_fuse."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 10")
+    lsh = similarity.lsh_ann_topk(emb, q, k=K, nbits=NBITS)
+    ivf = similarity.ivf_topk(emb, q, k=K)
+    return similarity.rrf_fuse(lsh, ivf, k=K, c=RRF_C)
+
+
+def _filtered_oracle() -> str:
+    signs = similarity.hyperplane_signs(NBITS)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, {_NRM} AS qn, {_bucket_sql("embedding", signs)} AS qb
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, {_NRM} AS cn, {_bucket_sql("embedding", signs)} AS cb
+  FROM embeddings JOIN documents d ON vec_id = d.doc_id AND d.lang = 'en'
+),
+p AS (SELECT query_id, neighbor_id, qv, cv, qn, cn FROM q JOIN c ON qb = cb AND query_id <> neighbor_id),
+{_COSINE_CTES}
+{_FINAL}
+"""
+
+
+@register("sim_filtered_topk", oracle=_filtered_oracle())
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN (the vector-database pre-filter workload):
+    top-5 LSH neighbors drawn only from vectors whose document row
+    satisfies a predicate (documents.lang = 'en'), joined on the shared
+    id (vec_id = doc_id). The filter composes BEFORE bucketing, so the
+    candidate join prunes to surviving corpus rows — at 100 TB this is
+    one id-keyed equi-join (co-partitioned at scale) feeding the same
+    bucketed ANN plan, never a post-filter that starves top-k."""
+    emb = _load(spark, sf_dir, "embeddings")
+    docs = _load(spark, sf_dir, "documents")
+    corpus = emb.join(
+        docs.where(F.col("lang") == "en").select(F.col("doc_id").alias("vec_id")),
+        "vec_id",
+    ).select(*emb.columns)
+    return similarity.lsh_ann_topk(corpus, emb.where("vec_id < 10"), k=K, nbits=NBITS)

@@ -902,3 +902,50 @@ def quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ops_agg.mann_whitney_auc(lab, score_col="qq", label_col="y")
+
+
+BM25_TERMS = ["spark", "join", "window"]
+BM25_K = 10
+
+# Lowercased token array — bm25 matches terms case-insensitively.
+_LTOKS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')"
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH t AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+tot AS (SELECT CAST(count(*) AS HUGEINT) AS nd,
+               CAST(coalesce(sum(dl), 0) AS HUGEINT) AS tt FROM d),
+tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+  WHERE w IN ({terms}) GROUP BY 1, 2
+),
+dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(sum(((2 * tot.nd - 2 * df + 1) * 22 * tf.tf * tot.tt * 1000000)
+                  // ((2 * df + 1)
+                      * (10 * tf.tf * tot.tt + 3 * tot.tt + 9 * d.dl * tot.nd)))
+              AS BIGINT) AS score_q6
+  FROM tf JOIN dfreq USING (w) JOIN d USING (doc_id) CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT doc_id, score_q6,
+       CAST(row_number() OVER (ORDER BY score_q6 DESC, doc_id ASC) AS INT) AS rank
+FROM sc
+QUALIFY rank <= {BM25_K}
+"""
+
+
+@register("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (top-10 for a fixed 3-term query) in exact
+    integer arithmetic — the log-free rational-idf variant whose trade
+    (and k1 = 1.2 / b = 0.75 clearing into one bigint rational) is
+    documented in textops.bm25_topk. The oracle replays tokenization,
+    df/dl/avgdl statistics, and the per-term q6 floor division."""
+    docs = _load(spark, sf_dir, "documents")
+    return textops.bm25_topk(docs, BM25_TERMS, k=BM25_K)

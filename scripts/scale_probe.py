@@ -102,6 +102,10 @@ QUERIES = [
     "sim_recall_eval",
     "quality_auc",
     "drift_ks_events",
+    "feature_corr_report",
+    "sim_rrf_fusion",
+    "sim_filtered_topk",
+    "text_bm25_topk",
 ]
 
 

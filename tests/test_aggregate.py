@@ -537,3 +537,47 @@ def test_ks_two_sample_semantics(spark):
     assert (r2["d_num"], r2["ks_q6"], r2["at_value_q6"], r2["drifted"]) == (
         0, 0, 1_000_000, False,
     )
+
+
+def test_feature_corr_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "feature_corr_report")
+
+
+def test_pearson_corr_hand(spark):
+    """x=[1,2,3] / y=[2,4,6] -> r = 1.0 exactly; w=[3,2,1] -> r = -1.0;
+    constant z -> zero variance -> r_q9 NULL; the exact centered moments
+    ship as decimal strings."""
+    from hadoop_1_spark.operators import validate as V
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0, 3.0), (2.0, 4.0, 5.0, 2.0), (3.0, 6.0, 5.0, 1.0)],
+        "x double, y double, z double, w double",
+    )
+    got = {(r["col_x"], r["col_y"]): r for r in V.pearson_corr(df, ["x", "y", "z", "w"]).collect()}
+    assert len(got) == 6
+    xy = got[("x", "y")]
+    assert xy["n"] == 3
+    # q6 values: x = 1e6,2e6,3e6; y = 2e6,4e6,6e6
+    # num = 3*(2+8+18)e12 - 6e6*12e6 = 84e12 - 72e12 = 12e12
+    assert xy["num_str"] == str(12 * 10**12)
+    assert xy["r_q9"] == 1.0
+    assert got[("x", "w")]["r_q9"] == -1.0
+    assert got[("x", "z")]["r_q9"] is None  # constant column: dy = 0
+    assert got[("x", "z")]["dy_str"] == "0"
+
+
+def test_pearson_corr_listwise_deletion(spark):
+    """A NULL in ANY listed column drops the row for EVERY pair (one
+    shared n), and fewer than two columns is a contract error."""
+    import pytest
+
+    from hadoop_1_spark.operators import validate as V
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 1.0), (2.0, 4.0, None), (3.0, 6.0, 3.0)],
+        "x double, y double, z double",
+    )
+    rows = V.pearson_corr(df, ["x", "y", "z"]).collect()
+    assert all(r["n"] == 2 for r in rows)
+    with pytest.raises(ValueError):
+        V.pearson_corr(df, ["x"])

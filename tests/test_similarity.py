@@ -419,3 +419,46 @@ def test_ann_recall_eval_semantics(spark):
     assert got[2]["n_hits"] == 0
     assert got[2]["recall_at_k"] == 0.0
     assert got[2]["rr"] == 0.0
+
+
+def test_sim_rrf_fusion_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sim_rrf_fusion")
+
+
+def test_sim_filtered_topk_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sim_filtered_topk")
+
+
+def test_rrf_fuse_semantics(spark):
+    """A doc in BOTH lists outranks single-list docs even at worse
+    per-list ranks; terms are the exact q9 integers 10^9 div (60+rank);
+    ties break by neighbor_id."""
+    a = spark.createDataFrame(
+        [(1, 10, 0.9, 1), (1, 11, 0.8, 2)],
+        "query_id long, neighbor_id long, cosine double, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 0.85, 1), (1, 12, 0.7, 2)],
+        "query_id long, neighbor_id long, cosine double, rank int",
+    )
+    rows = {r["neighbor_id"]: r for r in similarity.rrf_fuse(a, b, k=3).collect()}
+    t1, t2 = 10**9 // 61, 10**9 // 62
+    assert rows[11]["rrf_q9"] == t2 + t1  # in both lists (ranks 2 and 1)
+    assert rows[10]["rrf_q9"] == t1
+    assert rows[12]["rrf_q9"] == t2
+    assert rows[11]["rank"] == 1 and rows[10]["rank"] == 2 and rows[12]["rank"] == 3
+
+
+def test_filtered_topk_respects_predicate(spark, duck):
+    """Every neighbor returned by the metadata-filtered ANN belongs to
+    the filtered corpus (documents.lang = 'en')."""
+    from hadoop_1_spark import registry
+    from tests.conftest import SF_DIR
+
+    got = registry.QUERIES["sim_filtered_topk"](spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bad = got.join(
+        docs.where("lang <> 'en'").selectExpr("doc_id AS neighbor_id"),
+        "neighbor_id",
+    )
+    assert bad.count() == 0

@@ -296,3 +296,26 @@ def test_pmi_collocations_semantics(spark):
         "a", "b", 3, 3, 3, 7,
     )
     assert r["pmi_q6"] == (3 * 7 * 1_000_000) // (3 * 3)
+
+
+def test_text_bm25_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "text_bm25_topk")
+
+
+def test_bm25_topk_semantics(spark):
+    """Hand corpus, exact replay of the rational formula: two docs of
+    4 tokens each (avgdl = dl), term 'a' with df=1 tf=2 in doc 0 only;
+    the doc-0 score equals the hand-computed q6 integer and doc 1 (no
+    query terms) never appears. Case-insensitivity: 'A' counts as 'a'."""
+    from hadoop_1_spark.operators import textops as T
+
+    df = spark.createDataFrame(
+        [(0, "a A b c"), (1, "b c d e")], "doc_id long, text string"
+    )
+    rows = T.bm25_topk(df, ["a"], k=5).collect()
+    assert [r["doc_id"] for r in rows] == [0]
+    nd, tt, tf, dl, dfreq = 2, 8, 2, 4, 1
+    num = (2 * nd - 2 * dfreq + 1) * 22 * tf * tt * 10**6
+    den = (2 * dfreq + 1) * (10 * tf * tt + 3 * tt + 9 * dl * nd)
+    assert rows[0]["score_q6"] == num // den
+    assert rows[0]["rank"] == 1
