@@ -140,6 +140,9 @@ BENCH_QUERIES = [
     "sim_rrf_fusion",          # reciprocal-rank fusion of LSH + IVF
     "sim_filtered_topk",       # metadata-filtered ANN (vector-DB prefilter)
     "text_bm25_topk",          # rational-idf BM25 lexical retrieval
+    "tpch_q3_topk",            # TPC-H Q3 star join + decimal-exact top-10
+    "tpch_q5_local_volume",    # TPC-H Q5 six-way snowflake join
+    "tpch_q18_large_orders",   # TPC-H Q18 HAVING semi-join
 ]
 
 

@@ -416,3 +416,203 @@ def sample_universe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_joined"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUT_US = 896659200000000  # 1998-06-01 UTC, epoch micros
+Q3_K = 10
+
+
+@register(
+    "tpch_q3_topk",
+    oracle=f"""
+SELECT l_orderkey,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8))
+            AS VARCHAR) AS revenue,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS orderdate_us,
+       o_orderpriority,
+       CAST(row_number() OVER (
+            ORDER BY CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) DESC,
+                     epoch_us(o_orderdate) ASC, l_orderkey ASC) AS INT) AS rank
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND epoch_us(o_orderdate) < {Q3_CUT_US}
+  AND epoch_us(l_shipdate) > {Q3_CUT_US}
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+QUALIFY rank <= {Q3_K}
+""",
+)
+def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): the canonical OLAP star join —
+    segment-filtered customers x date-filtered orders x date-filtered
+    lineitem, decimal-exact revenue per order, top-10 by revenue.
+    Revenue ships as a DECIMAL(38,8) STRING (the agg_sums_by_flag
+    1-ulp rule); o_orderdate as exact epoch micros.
+
+    Shape at 100 TB: both filters push to the parquet scans; the
+    c->o join keys on custkey and o->l on orderkey — two shuffles
+    Catalyst orders by size, AQE converting the (segment-filtered)
+    customer side to broadcast when it fits. Top-10 is a TakeOrdered
+    over the grouped relation, never a global sort; the rank window
+    runs over the 10 survivors."""
+    from pyspark.sql.window import Window
+
+    cu = _load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == Q3_SEGMENT)
+    od = _load(spark, sf_dir, "orders").where(
+        F.unix_micros(F.col("o_orderdate")) < Q3_CUT_US
+    )
+    li = _load(spark, sf_dir, "lineitem").where(
+        F.unix_micros(F.col("l_shipdate")) > Q3_CUT_US
+    )
+    dp = F.col("l_extendedprice").cast("decimal(18,4)")
+    dd = F.col("l_discount").cast("decimal(18,4)")
+    g = (
+        cu.join(od, cu["c_custkey"] == od["o_custkey"])
+        .join(li, od["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate")).alias("orderdate_us"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(dp * (F.lit(1) - dd)).cast("decimal(38,8)").alias("_rev"))
+    )
+    top = g.orderBy(
+        F.desc("_rev"), F.asc("orderdate_us"), F.asc("l_orderkey")
+    ).limit(Q3_K)
+    w = Window.orderBy(F.desc("_rev"), F.asc("orderdate_us"), F.asc("l_orderkey"))
+    return top.select(
+        "l_orderkey",
+        F.col("_rev").cast("string").alias("revenue"),
+        "orderdate_us",
+        "o_orderpriority",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+Q5_REGION = "ASIA"
+Q5_LO_US = 820454400000000  # 1996-01-01 UTC, epoch micros
+Q5_HI_US = 852076800000000  # 1997-01-01 UTC
+
+
+@register(
+    "tpch_q5_local_volume",
+    oracle=f"""
+SELECT n_name,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8))
+            AS VARCHAR) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND epoch_us(o_orderdate) >= {Q5_LO_US}
+  AND epoch_us(o_orderdate) < {Q5_HI_US}
+GROUP BY n_name
+""",
+)
+def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the six-way snowflake join —
+    region -> nation -> supplier tied back to customer nationality
+    (c_nationkey = s_nationkey, the query's signature local-commerce
+    condition) against date-windowed orders. Revenue per nation as the
+    decimal-exact string.
+
+    Shape at 100 TB: region/nation are broadcast leaves; the date
+    window pushes to the orders scan; customer->orders and
+    orders->lineitem shuffle on their keys with AQE sizing; supplier
+    joins on (suppkey, nationkey) — all equi-joins, no residual
+    filters outside join conditions."""
+    cu = _load(spark, sf_dir, "customer")
+    od = _load(spark, sf_dir, "orders").where(
+        (F.unix_micros(F.col("o_orderdate")) >= Q5_LO_US)
+        & (F.unix_micros(F.col("o_orderdate")) < Q5_HI_US)
+    )
+    li = _load(spark, sf_dir, "lineitem")
+    su = _load(spark, sf_dir, "supplier")
+    na = _load(spark, sf_dir, "nation")
+    re = _load(spark, sf_dir, "region").where(F.col("r_name") == Q5_REGION)
+    dp = F.col("l_extendedprice").cast("decimal(18,4)")
+    dd = F.col("l_discount").cast("decimal(18,4)")
+    j = (
+        cu.join(od, cu["c_custkey"] == od["o_custkey"])
+        .join(li, od["o_orderkey"] == li["l_orderkey"])
+        .join(
+            su,
+            (li["l_suppkey"] == su["s_suppkey"])
+            & (cu["c_nationkey"] == su["s_nationkey"]),
+        )
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(dp * (F.lit(1) - dd)).cast("decimal(38,8)").cast("string").alias("revenue")
+    )
+
+
+Q18_QTY = 300
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > {Q18_QTY}
+)
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS orderdate_us,
+       CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR) AS totalprice,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4))
+            AS VARCHAR) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+""",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): the HAVING-driven semi-join —
+    orders whose total lineitem quantity exceeds the threshold, joined
+    back for customer attribution. Quantities aggregate as exact
+    decimals; o_totalprice ships as the decimal string.
+
+    Shape at 100 TB: the big-order candidate set is ONE map-side-
+    combined aggregation over lineitem followed by a semi-join
+    (left_semi, so candidate rows never widen the build side); the
+    detail re-aggregation reuses the same orderkey partitioning.
+    No LIMIT — the threshold bounds the result."""
+    cu = _load(spark, sf_dir, "customer")
+    od = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,4)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dq).alias("_sq"))
+        .where(F.col("_sq") > Q18_QTY)
+        .select("l_orderkey")
+    )
+    j = (
+        od.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return j.groupBy(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate")).alias("orderdate_us"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("_tp"),
+    ).agg(
+        F.sum(dq).cast("decimal(38,4)").cast("string").alias("sum_qty")
+    ).select(
+        "c_name", "c_custkey", "o_orderkey", "orderdate_us",
+        F.col("_tp").cast("string").alias("totalprice"), "sum_qty",
+    )

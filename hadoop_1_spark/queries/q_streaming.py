@@ -260,3 +260,57 @@ def stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_s.est").alias("est"),
         )
     )
+
+
+def _stream_hist_oracle() -> str:
+    step, nb = streaming.HIST_STEP_Q6, streaming.HIST_BINS
+
+    def p(pp: int) -> str:
+        return (
+            f"CAST(min(CASE WHEN cum * 100 >= n * {pp} THEN bin END) * {step}"
+            f" AS BIGINT) AS p{pp}_q6"
+        )
+
+    return f"""
+WITH v AS (
+  SELECT event_type,
+         greatest(least(CAST(floor(value * 1000000) AS BIGINT) // {step},
+                        {nb - 1}), 0) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+b AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM b
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_seen,
+       {p(50)}, {p(95)}, {p(99)}
+FROM c GROUP BY 1
+"""
+
+
+@register("stream_value_histogram", oracle=_stream_hist_oracle())
+def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming percentile monitor: a fixed 64-bin value histogram as
+    GroupState per event type with exact cross-multiplied p50/p95/p99
+    readouts. Bin counts are a monoid, so the final streamed state is
+    batch-identical however micro-batches split — the oracle is the
+    batch binning SQL with the same exact percentile rule. See
+    streaming.stateful_value_histogram."""
+    ev = streaming.read_events_stream(spark, sf_dir)
+    sink = streaming.run_to_table(
+        streaming.stateful_value_histogram(ev), spark, "update"
+    )
+    return (
+        sink.groupBy("event_type")
+        .agg(F.max(F.struct("n_seen", "p50_q6", "p95_q6", "p99_q6")).alias("_s"))
+        .select(
+            "event_type",
+            F.col("_s.n_seen").alias("n_seen"),
+            F.col("_s.p50_q6").alias("p50_q6"),
+            F.col("_s.p95_q6").alias("p95_q6"),
+            F.col("_s.p99_q6").alias("p99_q6"),
+        )
+    )

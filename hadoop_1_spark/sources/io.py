@@ -272,6 +272,24 @@ def read_sequence_file(spark, path: str):
     )
 
 
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC columnar sink (the other first-class Hadoop-ecosystem columnar
+    container besides parquet; Hive-default). Spark's native ORC writer
+    keeps column statistics + predicate-pushdown indexes, so a table
+    written here reads back with the same pruning guarantees as parquet
+    (tests assert the pushed filter). ``partition_by`` maps to the
+    directory-partitioned layout (K4 MultipleOutputFormat idiom)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar scan with full pushdown/pruning (Spark-native)."""
+    return spark.read.orc(path)
+
+
 def compact_small_files(
     spark: SparkSession,
     src_glob: str,

@@ -416,3 +416,85 @@ def stateful_cms(events: DataFrame, probe_ids: list[int]) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HIST_BINS = 64
+HIST_STEP_Q6 = 8_000_000  # 8.0 value units per bin, q6 grid
+HIST_OUTPUT = (
+    "event_type string, n_seen long, p50_q6 long, p95_q6 long, p99_q6 long"
+)
+HIST_STATE = "n long, bins array<long>"
+
+
+def stateful_value_histogram(events: DataFrame) -> DataFrame:
+    """Streaming latency/value percentile monitor: per event type, a
+    FIXED 64-bin value histogram maintained as GroupState, with exact
+    integer percentile readouts (p50/p95/p99) re-emitted per update —
+    the dashboard operator that answers "what is p99 right now" from
+    bounded state at any stream length.
+
+    Bin counts are a commutative monoid (addition), so the final
+    streamed histogram equals the batch histogram however micro-batches
+    split — same stream/batch contract as stateful_hll/stateful_cms,
+    and the oracle is the batch binning SQL. Binning is exact and
+    engine-portable: bin = min(floor(value*10^6) div 8*10^6, 63)
+    (same double -> same q6 -> same bin in Python, Spark, DuckDB).
+    The percentile rule is exact cross-multiplication — p-th = lower
+    bound (bin * step) of the smallest bin whose cumulative count
+    satisfies cum*100 >= n*p — no float division anywhere.
+
+    At 100 TB-equivalent stream rates the state is 64 longs + n per
+    group; the percentile error is bounded by the bin width (step 8.0),
+    the standard fixed-grid trade (HDR-histogram practice) — tighten by
+    raising HIST_BINS, state stays O(bins)."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def pct(bins: list[int], n: int, p: int) -> int | None:
+        cum = 0
+        for b, c in enumerate(bins):
+            cum += c
+            if cum * 100 >= n * p:
+                return b * HIST_STEP_Q6
+        return None
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, bins = state.get
+            bins = list(bins)
+        else:
+            n, bins = 0, [0] * HIST_BINS
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                if v is None or pd.isna(v):
+                    continue
+                n += 1
+                vq = math.floor(float(v) * 1_000_000)
+                bins[min(max(vq // HIST_STEP_Q6, 0), HIST_BINS - 1)] += 1
+        state.update((n, bins))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n],
+                "p50_q6": [pct(bins, n, 50)],
+                "p95_q6": [pct(bins, n, 95)],
+                "p99_q6": [pct(bins, n, 99)],
+            }
+        )
+
+    # null values dropped BEFORE grouping (the batch oracle's WHERE):
+    # a group with only-null values must be absent, not an empty row
+    return (
+        events.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=HIST_OUTPUT,
+            stateStructType=HIST_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

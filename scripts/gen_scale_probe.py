@@ -129,6 +129,13 @@ def main() -> None:
         c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
         out_emb = c if out_emb is None else out_emb.unionByName(c)
     out_emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+
+    # static dims copied as-is: region/nation don't scale with SF, and the
+    # snowflake joins (tpch_q5) need them present in the probe dir
+    for dim in ("region", "nation"):
+        spark.read.parquet(f"/root/testdata/sf0.1/{dim}.parquet").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{dim}.parquet"))
     print(f"wrote {out}: documents={n_docs}, lineitem/events/embeddings=10x sf0.1")
 
 

@@ -106,6 +106,9 @@ QUERIES = [
     "sim_rrf_fusion",
     "sim_filtered_topk",
     "text_bm25_topk",
+    "tpch_q3_topk",
+    "tpch_q5_local_volume",
+    "tpch_q18_large_orders",
 ]
 
 

@@ -261,3 +261,56 @@ def test_sample_universe_join_matches_oracle(spark, duck):
     from tests.conftest import assert_query_matches_oracle
 
     assert_query_matches_oracle(spark, duck, "sample_universe_join")
+
+
+def test_tpch_q3_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "tpch_q3_topk")
+
+
+def test_tpch_q3_shape(spark):
+    """Top-10 contract: exactly 10 ranked rows, revenue strings ordered
+    non-increasing as decimals, every order inside the date window."""
+    from decimal import Decimal
+
+    from hadoop_1_spark import registry
+    from hadoop_1_spark.queries.q_join import Q3_CUT_US, Q3_K
+    from tests.conftest import SF_DIR
+
+    rows = registry.QUERIES["tpch_q3_topk"](spark, SF_DIR).collect()
+    assert len(rows) == Q3_K
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+        range(1, Q3_K + 1)
+    )
+    revs = [Decimal(r["revenue"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r["orderdate_us"] < Q3_CUT_US for r in rows)
+
+
+def test_tpch_q5_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "tpch_q5_local_volume")
+
+
+def test_tpch_q18_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "tpch_q18_large_orders")
+
+
+def test_tpch_q18_threshold_contract(spark):
+    """Every returned order's sum_qty exceeds the threshold, and no
+    qualifying order is dropped (independent recount over lineitem)."""
+    from decimal import Decimal
+
+    from hadoop_1_spark import registry
+    from hadoop_1_spark.queries.q_join import Q18_QTY
+    from tests.conftest import SF_DIR
+
+    rows = registry.QUERIES["tpch_q18_large_orders"](spark, SF_DIR).collect()
+    assert rows, "threshold left no rows at this SF — lower Q18_QTY"
+    assert all(Decimal(r["sum_qty"]) > Q18_QTY for r in rows)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n_big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("s"))
+        .where(F.col("s") > Q18_QTY)
+        .count()
+    )
+    assert len(rows) == n_big

@@ -313,3 +313,37 @@ def test_layout_stats_prune_matches_oracle(spark, duck):
     from tests.conftest import assert_query_matches_oracle
 
     assert_query_matches_oracle(spark, duck, "layout_stats_prune")
+
+
+def test_orc_round_trip_and_pushdown(spark, tmp_path):
+    """ORC write -> read round-trip preserves rows and schema, a
+    partitioned write prunes directories, and an equality filter is
+    pushed into the ORC scan (PushedFilters in the physical plan)."""
+    from hadoop_1_spark.sources import io as hio
+
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id % 3 AS INT) AS grp", "CAST(id * 2 AS DOUBLE) AS v"
+    )
+    path = str(tmp_path / "orc_plain")
+    hio.write_orc(df, path)
+    back = hio.read_orc(spark, path)
+    # nullability relaxes on read-back (ORC files don't carry Spark's
+    # non-null flag for range()); names and types are the contract
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    assert sorted(r["id"] for r in back.collect()) == list(range(100))
+
+    filtered = back.where(F.col("id") == 7).select("id", "v")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "id" in plan
+
+    ppath = str(tmp_path / "orc_part")
+    hio.write_orc(df, ppath, partition_by=["grp"])
+    import os
+
+    assert sorted(
+        d for d in os.listdir(ppath) if d.startswith("grp=")
+    ) == ["grp=0", "grp=1", "grp=2"]
+    pruned = hio.read_orc(spark, ppath).where("grp = 1")
+    assert pruned.count() == 33

@@ -349,3 +349,51 @@ def test_stream_cms_overestimates_only(spark):
     assert got, "no estimates returned"
     for k, est in got.items():
         assert est >= true.get(k, 0), (k, est, true.get(k, 0))
+
+
+def test_stream_value_histogram_matches_batch(spark, duck):
+    """The streamed 64-bin GroupState histogram must equal the batch
+    binning (monoid merge property) — checked via the shared oracle."""
+    assert_query_matches_oracle(spark, duck, "stream_value_histogram")
+
+
+def test_stream_value_histogram_split_invariance(spark, tmp_path):
+    """Same rows split across two source files -> identical final
+    percentile readouts to the single-file run; exact percentile rule:
+    value = i for i in 0..99 per type -> p50 bin lower bound is
+    floor(49*1e6/8e6)*8e6 = 48e6 (cum*100 >= n*50 first holds at 49)."""
+    import hadoop_1_spark.streaming as streaming
+    from pyspark.sql import functions as F
+
+    rows = [(float(i % 100), f"t{i % 2}") for i in range(200)]
+    df = spark.createDataFrame(rows, "value double, event_type string")
+    one = str(tmp_path / "one")
+    two = str(tmp_path / "two")
+    df.coalesce(1).write.parquet(one)
+    df.where("value < 50").coalesce(1).write.parquet(two)
+    df.where("value >= 50").coalesce(1).write.mode("append").parquet(two)
+
+    schema = df.schema
+
+    def run(path):
+        raw = spark.readStream.schema(schema).parquet(path)
+        sink = streaming.run_to_table(
+            streaming.stateful_value_histogram(raw), spark, "update"
+        )
+        return {
+            (r.event_type, r.p50, r.p95, r.p99)
+            for r in sink.groupBy("event_type")
+            .agg(F.max(F.struct("n_seen", "p50_q6", "p95_q6", "p99_q6")).alias("s"))
+            .select("event_type", F.col("s.p50_q6").alias("p50"),
+                    F.col("s.p95_q6").alias("p95"), F.col("s.p99_q6").alias("p99"))
+            .collect()
+        }
+
+    got_one, got_two = run(one), run(two)
+    assert got_one == got_two
+    # value 0..99 uniform: p50 at value 49 -> bin 6 (48.0), p95 at 94 ->
+    # bin 11 (88.0), p99 at 98 -> bin 12 (96.0)
+    assert got_one == {
+        ("t0", 48_000_000, 88_000_000, 96_000_000),
+        ("t1", 48_000_000, 88_000_000, 96_000_000),
+    }
