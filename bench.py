@@ -143,6 +143,9 @@ BENCH_QUERIES = [
     "tpch_q3_topk",            # TPC-H Q3 star join + decimal-exact top-10
     "tpch_q5_local_volume",    # TPC-H Q5 six-way snowflake join
     "tpch_q18_large_orders",   # TPC-H Q18 HAVING semi-join
+    "corpus_ccnet_mix",        # CCNet lang x perplexity-bucket mix report
+    "corpus_split_leak_report",# winnowing train/eval contamination audit
+    "mm_audio_chunks",         # strided ASR chunk plan (metadata-only)
 ]
 
 

@@ -177,3 +177,40 @@ def content_hash_dedup(media: DataFrame, id_col: str = "media_id") -> DataFrame:
             (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
         )
     )
+
+
+def audio_chunks(
+    media: DataFrame, window_ms: int = 30_000, stride_ms: int = 25_000
+) -> DataFrame:
+    """Strided audio chunking plan (the ASR-ingest shape: fixed windows
+    with overlap, e.g. 30 s windows every 25 s): one row per chunk with
+    exact millisecond and sample offsets derived from metadata only —
+    the blob column is never touched, so the plan is a narrow explode
+    whose decode work downstream is proportional to chunks actually
+    consumed (same contract as frame_sample).
+
+    Sample offsets are exact integers: sample_rate is per-row metadata
+    and start_sample = start_ms * sample_rate div 1000 (floor division,
+    engine-identical). The final chunk truncates at duration."""
+    au = media.where(F.col("modality") == "audio")
+    return au.select(
+        "media_id",
+        F.posexplode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col("meta.duration_ms") - 1,
+                F.lit(stride_ms).cast("long"),
+            )
+        ).alias("chunk_idx", "start_ms"),
+        F.col("meta.duration_ms").alias("_dur"),
+        F.col("meta.sample_rate").alias("_sr"),
+    ).select(
+        "media_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "start_ms",
+        F.least(F.col("start_ms") + window_ms, F.col("_dur")).alias("end_ms"),
+        F.expr("start_ms * _sr div 1000").cast("bigint").alias("start_sample"),
+        F.expr("least(start_ms + " + str(window_ms) + ", _dur) * _sr div 1000")
+        .cast("bigint")
+        .alias("end_sample"),
+    )

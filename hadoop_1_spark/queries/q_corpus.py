@@ -833,3 +833,145 @@ def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("jaccard_q6"),
         )
     )
+
+
+# CCNet perplexity-bucket thresholds (q6 mean inverse probability),
+# calibrated on the reference corpus so head/middle/tail are non-trivial.
+CCNET_HEAD_Q6 = 30_400_000
+CCNET_MID_Q6 = 31_000_000
+
+
+def _ccnet_mix_oracle() -> str:
+    lang_sql = ORACLE["text_lang_id"]
+    lm_sql = ORACLE["text_lm_score"]
+    return f"""
+WITH lang AS ({lang_sql}),
+lm AS ({lm_sql}),
+j AS (
+  SELECT lang.lang_pred,
+         CASE WHEN lm.mean_invp_q6 < {CCNET_HEAD_Q6} THEN 'head'
+              WHEN lm.mean_invp_q6 < {CCNET_MID_Q6} THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         lm.n_tokens
+  FROM lang JOIN lm USING (doc_id)
+),
+g AS (
+  SELECT lang_pred, bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM j GROUP BY 1, 2
+)
+SELECT lang_pred, bucket, n_docs, n_tokens,
+       CAST((n_tokens * 1000000)
+            // sum(n_tokens) OVER (PARTITION BY lang_pred) AS BIGINT)
+         AS lang_share_q6
+FROM g
+"""
+
+
+@register("corpus_ccnet_mix", oracle=_ccnet_mix_oracle())
+def corpus_ccnet_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet pipeline end-to-end (Wenzek et al. 2019): language-ID
+    every document, score it against the curated-slice LM, bucket into
+    head/middle/tail by perplexity surrogate, and report the
+    (language, bucket) doc/token mix with exact within-language token
+    shares — the table a data-mixing decision reads. Oracle composes
+    the already-verified text_lang_id and text_lm_score SQL verbatim.
+
+    Shape at 100 TB: both inputs are one-scan pipelines joined on
+    doc_id (co-partitioned); the share window runs over the bounded
+    (lang, bucket) aggregate, never data."""
+    docs = _load(spark, sf_dir, "documents")
+    lang = textops.lang_id(docs, spark)
+    model = textops.unigram_lm(docs.where(F.col("source") == "src0"))
+    lm = textops.lm_score(docs, model)
+    j = lang.select("doc_id", "lang_pred").join(
+        lm.select(
+            "doc_id",
+            "n_tokens",
+            F.when(F.col("mean_invp_q6") < CCNET_HEAD_Q6, "head")
+            .when(F.col("mean_invp_q6") < CCNET_MID_Q6, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        ),
+        "doc_id",
+    )
+    g = j.groupBy("lang_pred", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    return g.select(
+        "lang_pred",
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "CAST((n_tokens * CAST(1000000 AS BIGINT))"
+            " div (sum(n_tokens) OVER (PARTITION BY lang_pred)) AS BIGINT)"
+        ).alias("lang_share_q6"),
+    )
+
+
+def _split_leak_oracle() -> str:
+    fp_sql = ORACLE["text_winnow_fingerprints"]
+    split_case = (
+        "CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'"
+        " WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'valid'"
+        " ELSE 'test' END"
+    )
+    return f"""
+WITH fp AS ({fp_sql}),
+s AS (SELECT doc_id, {split_case} AS split FROM documents),
+f AS (SELECT DISTINCT fp.doc_id, fp.fp, s.split FROM fp JOIN s USING (doc_id)),
+tr AS (SELECT DISTINCT fp FROM f WHERE split = 'train'),
+ev AS (SELECT split, doc_id, fp FROM f WHERE split <> 'train'),
+n AS (SELECT split, doc_id, CAST(count(*) AS BIGINT) AS n_fps FROM ev GROUP BY 1, 2),
+h AS (SELECT split, doc_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM ev JOIN tr USING (fp) GROUP BY 1, 2)
+SELECT n.split, n.doc_id, n.n_fps,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       coalesce(h.n_hit, 0) * 10 >= n.n_fps * 5 AS leaked
+FROM n LEFT JOIN h USING (split, doc_id)
+"""
+
+
+@register("corpus_split_leak_report", oracle=_split_leak_oracle())
+def corpus_split_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: for every valid/test document
+    (with >= 1 winnowing fingerprint), how many of its fingerprints
+    also occur in ANY train document, and a ``leaked`` call at >= 50%
+    overlap (exact cross-multiplication). Winnowing's guarantee makes
+    this sound: any shared run of k+w-1 = 6 tokens yields a shared
+    fingerprint, so real leaks cannot hide. Oracle composes the
+    verified winnow SQL with the md5 split rule.
+
+    Shape at 100 TB: fingerprints + split are one-scan pipelines; the
+    contamination check is a fingerprint-keyed semi-join (train side
+    never widens rows) and two doc-keyed aggregations — all bounded by
+    the fingerprint relation (~2/(w+1) per token)."""
+    docs = _load(spark, sf_dir, "documents")
+    fps = (
+        textops.winnow_fingerprints(docs)
+        .select("doc_id", "fp")
+        .distinct()
+        .join(corpusprep.hash_split(docs.select("doc_id")), "doc_id")
+    )
+    train = fps.where(F.col("split") == "train").select("fp").distinct()
+    ev = fps.where(F.col("split") != "train")
+    n = ev.groupBy("split", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fps")
+    )
+    h = (
+        ev.join(train, "fp", "left_semi")
+        .groupBy("split", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    return n.join(h, ["split", "doc_id"], "left").select(
+        "split",
+        "doc_id",
+        "n_fps",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)) * 10 >= F.col("n_fps") * 5
+        ).alias("leaked"),
+    )

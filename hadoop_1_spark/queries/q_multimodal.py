@@ -150,3 +150,42 @@ def mm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one canonical media_id (duplicate documents that share a modality
     slot collide; the blob column never leaves the JVM)."""
     return multimodal.content_hash_dedup(_media(spark, sf_dir))
+
+
+AC_WINDOW_MS = 30_000
+AC_STRIDE_MS = 25_000
+
+
+@register(
+    "mm_audio_chunks",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         n_chars * 40 AS duration_ms,
+         16000 AS sample_rate
+  FROM documents
+),
+c AS (
+  SELECT media_id, CAST(i AS INT) AS chunk_idx,
+         CAST(i * {AC_STRIDE_MS} AS BIGINT) AS start_ms,
+         duration_ms, sample_rate
+  FROM media, unnest(range(0, (duration_ms + {AC_STRIDE_MS} - 1) // {AC_STRIDE_MS})) t(i)
+  WHERE modality = 'audio'
+)
+SELECT media_id, chunk_idx, start_ms,
+       CAST(least(start_ms + {AC_WINDOW_MS}, duration_ms) AS BIGINT) AS end_ms,
+       CAST(start_ms * sample_rate // 1000 AS BIGINT) AS start_sample,
+       CAST(least(start_ms + {AC_WINDOW_MS}, duration_ms) * sample_rate // 1000 AS BIGINT) AS end_sample
+FROM c
+""",
+)
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided ASR chunking plan over the audio rows (30 s windows every
+    25 s): exact ms + sample offsets from metadata only — the blob never
+    enters the plan (multimodal.audio_chunks). The oracle re-derives the
+    synthetic media metadata and replays the stride arithmetic."""
+    media = multimodal.synthesize_media(_load(spark, sf_dir, "documents"))
+    return multimodal.audio_chunks(
+        media, window_ms=AC_WINDOW_MS, stride_ms=AC_STRIDE_MS
+    )

@@ -392,3 +392,20 @@ def write_bloom_map(
             f"parquet.bloom.filter.expected.ndv#{key_col}", str(expected_ndv)
         )
     writer.parquet(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (one object per line — the interchange format of
+    most LLM data tooling). Spark's native json writer; schema travels
+    in the values, so downstream consumers need no sidecar."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines scan. Pass an explicit DDL ``schema`` in production —
+    schema inference is a full extra pass over the data (fine locally,
+    wrong at 100 TB) and column types can drift per-file without it."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

@@ -109,6 +109,9 @@ QUERIES = [
     "tpch_q3_topk",
     "tpch_q5_local_volume",
     "tpch_q18_large_orders",
+    "corpus_ccnet_mix",
+    "corpus_split_leak_report",
+    "mm_audio_chunks",
 ]
 
 

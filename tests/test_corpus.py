@@ -359,3 +359,36 @@ def test_oversample_factor_bounds(spark):
 
 def test_vocab_overlap_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "corpus_vocab_overlap")
+
+
+def test_corpus_ccnet_mix_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "corpus_ccnet_mix")
+
+
+def test_corpus_split_leak_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "corpus_split_leak_report")
+
+
+def test_split_leak_detects_verbatim_copy(spark):
+    """A test-split doc that verbatim-copies a train doc must flag
+    leaked=True (winnowing guarantee: any shared >= 6-token run yields
+    a shared fingerprint); an unrelated test doc must flag False.
+    doc_ids precomputed for the md5 split: 0 -> train, 8/20 -> test."""
+    from hadoop_1_spark import registry
+
+    leak_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    clean_text = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    df = spark.createDataFrame(
+        [(0, leak_text), (8, leak_text), (20, clean_text)],
+        "doc_id long, text string",
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {
+            r["doc_id"]: r
+            for r in registry.QUERIES["corpus_split_leak_report"](spark, d).collect()
+        }
+    assert rows[8]["leaked"] is True and rows[8]["n_hit"] == rows[8]["n_fps"]
+    assert rows[20]["leaked"] is False and rows[20]["n_hit"] == 0
+    assert rows[8]["split"] == "test"

@@ -68,3 +68,30 @@ def test_content_hash_dedup_marks_identical_blobs(spark):
     assert rows[2].canonical_id == 1 and rows[2].is_dup
     assert rows[3].canonical_id == 3 and not rows[3].is_dup
     assert rows[1].digest == rows[2].digest != rows[3].digest
+
+
+def test_mm_audio_chunks_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "mm_audio_chunks")
+
+
+def test_audio_chunks_arithmetic(spark):
+    """duration 70s @16kHz, 30s window / 25s stride -> chunks at 0/25/50s;
+    the last chunk truncates at 70s; sample offsets = ms*16."""
+    from hadoop_1_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [(1, "audio", 70_000, 16_000)],
+        "media_id long, modality string, duration_ms long, sample_rate int",
+    ).select(
+        "media_id", "modality",
+        F.struct("duration_ms", "sample_rate").alias("meta"),
+    )
+    rows = sorted(
+        mm.audio_chunks(media).collect(), key=lambda r: r["chunk_idx"]
+    )
+    got = [(r["start_ms"], r["end_ms"], r["start_sample"], r["end_sample"]) for r in rows]
+    assert got == [
+        (0, 30_000, 0, 480_000),
+        (25_000, 55_000, 400_000, 880_000),
+        (50_000, 70_000, 800_000, 1_120_000),
+    ]

@@ -347,3 +347,17 @@ def test_orc_round_trip_and_pushdown(spark, tmp_path):
     ) == ["grp=0", "grp=1", "grp=2"]
     pruned = hio.read_orc(spark, ppath).where("grp = 1")
     assert pruned.count() == 33
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    """JSONL write -> schema'd read round-trip preserves values; the
+    explicit-schema read skips inference (column order pinned)."""
+    from hadoop_1_spark.sources import io as hio
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id long, s string, v double"
+    )
+    path = str(tmp_path / "jl")
+    hio.write_jsonl(df, path)
+    back = hio.read_jsonl(spark, path, "id long, s string, v double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
