@@ -191,8 +191,12 @@ def audio_chunks(
 
     Sample offsets are exact integers: sample_rate is per-row metadata
     and start_sample = start_ms * sample_rate div 1000 (floor division,
-    engine-identical). The final chunk truncates at duration."""
-    au = media.where(F.col("modality") == "audio")
+    engine-identical). The final chunk truncates at duration.
+    Zero-duration clips yield zero chunks (filtered BEFORE the sequence
+    — F.sequence(0, -1, stride) would throw on illegal boundaries)."""
+    au = media.where(
+        (F.col("modality") == "audio") & (F.col("meta.duration_ms") > 0)
+    )
     return au.select(
         "media_id",
         F.posexplode(

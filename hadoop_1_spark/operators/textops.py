@@ -880,17 +880,30 @@ def bm25_topk(
     T ~ 10^13 tokens, tf <= 10^3) that is ~4*10^34 < 10^38; past that,
     coarsen to q3.
 
-    Shape at 100 TB: tokenization + tf extraction is one corpus scan
-    filtered to the query terms (|terms| is tiny, the IN-list prunes
-    before any shuffle); df and the (N_d, T) totals are term-count-sized
-    and 1-row relations, broadcast onto the tf rows; the only corpus-
-    keyed exchange is the per-doc score aggregation. Top-k is a
-    TakeOrdered (orderBy+limit), never a global sort; the rank window
-    runs over the k survivors only."""
+    Shape at 100 TB: the tokenized projection is computed once and
+    persisted (doc-length stats and tf extraction both read it — without
+    the persist the regex tokenization, the query's dominant cost, runs
+    twice); the tf branch filters to the query terms (|terms| is tiny,
+    the IN-list prunes before any shuffle); df and the (N_d, T) totals
+    are term-count-sized and 1-row relations, broadcast onto the tf
+    rows; the only corpus-keyed exchange is the per-doc score
+    aggregation. Top-k is a TakeOrdered (orderBy+limit), never a global
+    sort; the rank window runs over the k survivors only.
+
+    NULL ``text_col`` rows count as zero-token documents (they stay in
+    N_d, contribute nothing to T, and can never match a term) — the
+    same rule the oracle applies with coalesce(len(toks), 0)."""
     from pyspark.sql.window import Window
 
+    from hadoop_1_spark.operators.caching import persist_tracked
+
     toks = ws_tokens(F.lower(F.col(text_col)))
-    t = docs.select(F.col(id_col), toks.alias("_toks"))
+    t = persist_tracked(
+        docs.select(
+            F.col(id_col),
+            F.coalesce(toks, F.array().cast("array<string>")).alias("_toks"),
+        )
+    )
     d = t.select(id_col, F.size("_toks").cast("bigint").alias("_dl"))
     tot = d.agg(
         F.count(F.lit(1)).cast("bigint").alias("_nd"),

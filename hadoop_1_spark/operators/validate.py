@@ -205,10 +205,14 @@ def ks_two_sample(
     Output (1 row): n1, n2, the exact numerator d_num = max|cum|, the
     value attaining it (smallest such, deterministic), ks_q6 =
     (d_num*10^6) div (n1*n2), and ``drifted`` — the alpha=0.05 call
-    decided by CROSS-MULTIPLICATION against c(0.05)=1.358:
-    d_num^2 * 10^6 > 1.358^2*10^6 * (n1+n2) * n1 * n2, evaluated in
-    DECIMAL(38,0), so the flag never touches a float or the q6
-    truncation.
+    decided by CROSS-MULTIPLICATION against c(0.05)=1.358, in the
+    divided form d_num^2 > (1.358^2*10^6 * (n1+n2) * n1 * n2) div 10^6,
+    which for positive integers is EXACTLY equivalent to the textbook
+    d_num^2 * 10^6 > crit * (n1+n2) * n1 * n2 (a*m > X <=> a > X div m)
+    but keeps every DECIMAL(38,0) term within headroom over the whole
+    int64 scan range: d_num <= n1*n2 < 2^63 gives d_num^2 < 10^38
+    (the multiplied form would need 10^44 and silently NULL the flag).
+    The flag never touches a float or the q6 truncation.
 
     Int64 scan bound: |cum| <= n1*n2, so the prefix scan is exact while
     n1*n2 < 2^63 (~3*10^9 rows per side); past that, pre-bucket values
@@ -271,14 +275,12 @@ def ks_two_sample(
                 (F.col("n1") > 0)
                 & (F.col("n2") > 0)
                 & (
-                    F.expr(
-                        f"cast(_d as {d38}) * cast(_d as {d38})"
-                        f" * cast(1000000 as {d38})"
-                    )
+                    F.expr(f"cast(_d as {d38}) * cast(_d as {d38})")
                     > F.expr(
-                        f"cast({KS_CRIT_SQ_Q6} as {d38})"
+                        f"(cast({KS_CRIT_SQ_Q6} as {d38})"
                         f" * (cast(n1 as {d38}) + cast(n2 as {d38}))"
-                        f" * cast(n1 as {d38}) * cast(n2 as {d38})"
+                        f" * cast(n1 as {d38}) * cast(n2 as {d38}))"
+                        f" div cast(1000000 as {d38})"
                     )
                 )
             ).alias("drifted"),

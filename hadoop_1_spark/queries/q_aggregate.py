@@ -1156,8 +1156,8 @@ SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
             ELSE CAST((CAST(b.d AS HUGEINT) * 1000000) // (t.n1 * t.n2) AS BIGINT)
             END AS ks_q6,
        (t.n1 > 0 AND t.n2 > 0
-        AND CAST(b.d AS HUGEINT) * b.d * 1000000
-            > 1844164 * (t.n1 + t.n2) * t.n1 * t.n2) AS drifted
+        AND CAST(b.d AS HUGEINT) * b.d
+            > (1844164 * (t.n1 + t.n2) * t.n1 * t.n2) // 1000000) AS drifted
 FROM b, t
 """,
 )

@@ -862,7 +862,7 @@ g AS (
   FROM j GROUP BY 1, 2
 )
 SELECT lang_pred, bucket, n_docs, n_tokens,
-       CAST((n_tokens * 1000000)
+       CAST((CAST(n_tokens AS HUGEINT) * 1000000)
             // sum(n_tokens) OVER (PARTITION BY lang_pred) AS BIGINT)
          AS lang_share_q6
 FROM g
@@ -905,9 +905,12 @@ def corpus_ccnet_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "n_docs",
         "n_tokens",
+        # DECIMAL(38,0) route: n_tokens * 10^6 wraps int64 once a
+        # (lang, bucket) group passes ~9.2e12 tokens — inside 100 TB scale
         F.expr(
-            "CAST((n_tokens * CAST(1000000 AS BIGINT))"
-            " div (sum(n_tokens) OVER (PARTITION BY lang_pred)) AS BIGINT)"
+            "CAST((CAST(n_tokens AS DECIMAL(38,0)) * CAST(1000000 AS DECIMAL(38,0)))"
+            " div (CAST(sum(n_tokens) OVER (PARTITION BY lang_pred)"
+            " AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("lang_share_q6"),
     )
 

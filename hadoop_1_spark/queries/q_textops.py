@@ -915,7 +915,7 @@ def _bm25_oracle() -> str:
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     return f"""
 WITH t AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
-d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+d AS (SELECT doc_id, CAST(coalesce(len(toks), 0) AS BIGINT) AS dl FROM t),
 tot AS (SELECT CAST(count(*) AS HUGEINT) AS nd,
                CAST(coalesce(sum(dl), 0) AS HUGEINT) AS tt FROM d),
 tf AS (

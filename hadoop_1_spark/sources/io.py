@@ -409,3 +409,29 @@ def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> Dat
     if schema is not None:
         r = r.schema(schema)
     return r.json(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> None:
+    """CSV sink (header on by default). Quoting/escaping are Spark's
+    RFC-4180 defaults; use parquet/ORC for anything typed — CSV is the
+    interchange/export path only."""
+    df.write.mode("overwrite").option("header", header).option("sep", sep).csv(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    sep: str = ",",
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """CSV scan. Pass a DDL ``schema`` in production (inference = an
+    extra full pass, same rule as read_jsonl). ``mode`` is the
+    bad-record policy — PERMISSIVE (null out bad fields), DROPMALFORMED
+    (skip the row: the SkipBadRecords idiom for self-describing text),
+    or FAILFAST."""
+    r = spark.read.option("header", header).option("sep", sep).option("mode", mode)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.csv(path)

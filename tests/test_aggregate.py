@@ -581,3 +581,20 @@ def test_pearson_corr_listwise_deletion(spark):
     assert all(r["n"] == 2 for r in rows)
     with pytest.raises(ValueError):
         V.pearson_corr(df, ["x"])
+
+
+def test_ks_two_sample_drifted_true(spark):
+    """Disjoint supports at n=40 per side clear the 0.05 bar: d_num =
+    1600, d^2 = 2.56e6 > (1844164*80*1600) div 10^6 = 236_053 -> True.
+    Locks the divided comparison form (exactly equivalent to the
+    textbook cross-multiplication for positive integers, but within
+    DECIMAL(38,0) headroom across the whole int64 scan range)."""
+    from hadoop_1_spark.operators import validate as validate_ops
+
+    rows = [(float(i), "a") for i in range(40)] + [
+        (float(100 + i), "b") for i in range(40)
+    ]
+    ev = spark.createDataFrame(rows, "value double, g string")
+    r = validate_ops.ks_two_sample(ev, "value", "g", "a", "b").collect()[0]
+    assert (r["d_num"], r["ks_q6"]) == (1600, 1_000_000)
+    assert r["drifted"] is True

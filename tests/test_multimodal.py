@@ -95,3 +95,20 @@ def test_audio_chunks_arithmetic(spark):
         (25_000, 55_000, 400_000, 880_000),
         (50_000, 70_000, 800_000, 1_120_000),
     ]
+
+
+def test_audio_chunks_zero_duration_yields_no_rows(spark):
+    """duration_ms = 0 must produce zero chunks, not an illegal-sequence
+    crash (F.sequence(0, -1, stride))."""
+    from hadoop_1_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [(1, "audio", 0, 16_000), (2, "audio", 1000, 16_000)],
+        "media_id long, modality string, duration_ms long, sample_rate int",
+    ).select(
+        "media_id", "modality",
+        F.struct("duration_ms", "sample_rate").alias("meta"),
+    )
+    rows = mm.audio_chunks(media).collect()
+    assert [r["media_id"] for r in rows] == [2]
+    assert (rows[0]["start_ms"], rows[0]["end_ms"]) == (0, 1000)

@@ -361,3 +361,47 @@ def test_jsonl_round_trip(spark, tmp_path):
     hio.write_jsonl(df, path)
     back = hio.read_jsonl(spark, path, "id long, s string, v double")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_csv_round_trip_and_bad_record_modes(spark, tmp_path):
+    """CSV write -> schema'd read round-trip; a malformed row is dropped
+    under DROPMALFORMED (SkipBadRecords idiom) and surfaced as NULLs +
+    _corrupt_record under PERMISSIVE."""
+    from hadoop_1_spark.sources import io as hio
+
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double")
+    path = str(tmp_path / "csv")
+    hio.write_csv(df, path)
+    back = hio.read_csv(spark, path, "id long, s string, v double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    badpath = str(tmp_path / "bad")
+    os.makedirs(badpath)
+    with open(os.path.join(badpath, "part.csv"), "w") as f:
+        f.write("id,s,v\n1,a,1.5\n2,b,not_a_number\n3,c,3.5\n")
+    dropped = hio.read_csv(spark, badpath, "id long, s string, v double",
+                           mode="DROPMALFORMED")
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+    permissive = hio.read_csv(
+        spark, badpath,
+        "id long, s string, v double, _corrupt_record string",
+    )
+    rows = {r["id"]: r for r in permissive.collect()}
+    assert rows[2]["v"] is None and rows[2]["_corrupt_record"] is not None
+    assert rows[1]["_corrupt_record"] is None
+
+
+def test_jsonl_corrupt_record_surfacing(spark, tmp_path):
+    """A non-JSON line lands in _corrupt_record (PERMISSIVE default)
+    instead of failing the scan — the SkipBadRecords contract for
+    self-describing text."""
+    from hadoop_1_spark.sources import io as hio
+
+    p = str(tmp_path / "jl")
+    os.makedirs(p)
+    with open(os.path.join(p, "part.json"), "w") as f:
+        f.write('{"id": 1, "s": "a"}\nTHIS IS NOT JSON\n{"id": 2, "s": "b"}\n')
+    back = hio.read_jsonl(spark, p, "id long, s string, _corrupt_record string")
+    rows = sorted(back.collect(), key=lambda r: (r["id"] is None, r["id"] or 0))
+    assert [r["id"] for r in rows] == [1, 2, None]
+    assert rows[2]["_corrupt_record"] == "THIS IS NOT JSON"

@@ -319,3 +319,21 @@ def test_bm25_topk_semantics(spark):
     den = (2 * dfreq + 1) * (10 * tf * tt + 3 * tt + 9 * dl * nd)
     assert rows[0]["score_q6"] == num // den
     assert rows[0]["rank"] == 1
+
+
+def test_bm25_null_text_is_zero_token_doc(spark):
+    """A NULL-text row stays in N_d as a zero-token document (it must
+    not shift T via size(NULL) = -1) — scores replay the hand formula
+    with nd=3, tt=8 unchanged."""
+    from hadoop_1_spark.operators import textops as T
+
+    df = spark.createDataFrame(
+        [(0, "a A b c"), (1, "b c d e"), (2, None)],
+        "doc_id long, text string",
+    )
+    rows = T.bm25_topk(df, ["a"], k=5).collect()
+    assert [r["doc_id"] for r in rows] == [0]
+    nd, tt, tf, dl, dfreq = 3, 8, 2, 4, 1
+    num = (2 * nd - 2 * dfreq + 1) * 22 * tf * tt * 10**6
+    den = (2 * dfreq + 1) * (10 * tf * tt + 3 * tt + 9 * dl * nd)
+    assert rows[0]["score_q6"] == num // den
