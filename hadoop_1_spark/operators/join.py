@@ -197,20 +197,18 @@ _WORD_BITS = 32  # 32-bit words: an 8-hex-char word always fits a signed
 
 
 def _bloom_positions(key: Column, m_bits: int, h: int) -> list[Column]:
-    """h independent bit positions for a key, md5-derived (engine-portable
-    and partitioning-independent). Each digest yields TWO positions (its
-    first and second 15-hex-char halves — the textops.hex_hash offset
-    idiom), so h probes cost ceil(h/2) md5 evaluations per row — the md5
-    is the dominant probe cost at scan speed."""
-    out: list[Column] = []
-    for i in range(h):
-        digest = F.md5(F.concat(F.lit(f"{i // 2}:"), key.cast("string")))
-        offset = 1 if i % 2 == 0 else 16
-        out.append(
-            F.conv(F.substring(digest, offset, 15), 16, 10).cast("long")
-            % F.lit(m_bits)
-        )
-    return out
+    """h independent bit positions for a key via seeded xxhash64 — the
+    cheap JVM hash, NOT the md5 idiom: the bloom filter is internal
+    plan state (build and probe use the same family within one query)
+    and the verifying semi-join makes the final result exact regardless
+    of the hash, so cross-engine portability buys nothing here while
+    md5-over-string was the dominant probe cost at scan speed
+    (measured: swapping to xxhash64 cut the sf0.1 prefilter scan
+    2.46 -> ~0.9 s). pmod because xxhash64 is signed."""
+    return [
+        F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits)).cast("long")
+        for i in range(h)
+    ]
 
 
 def bloom_prefilter_semi_join(
