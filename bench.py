@@ -146,6 +146,10 @@ BENCH_QUERIES = [
     "corpus_ccnet_mix",        # CCNet lang x perplexity-bucket mix report
     "corpus_split_leak_report",# winnowing train/eval contamination audit
     "mm_audio_chunks",         # strided ASR chunk plan (metadata-only)
+    "embedding_normalize_mrl", # Matryoshka trim + L2 normalize (q9 codes)
+    "feature_winsorize",       # exact P1/P99 clipping report (rank scan)
+    "events_negative_sample",  # deterministic implicit-feedback negatives
+    "embedding_pq_codes",      # product-quantization codebooks (4x16)
 ]
 
 

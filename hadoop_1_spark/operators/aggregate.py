@@ -756,3 +756,80 @@ def mann_whitney_auc(
         )
         .alias("auc_q6"),
     )
+
+
+def winsorize_report(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p_lo: int = 1,
+    p_hi: int = 99,
+) -> DataFrame:
+    """EXACT winsorization (percentile clipping) report per group — the
+    outlier-taming step of feature preprocessing, computed on the
+    repo-wide q6 integer grid with the collapsed-value rank scan (the
+    equidepth/CDF machinery), no approximate percentiles anywhere.
+
+    Boundary rule: the p-th percentile is the SMALLEST distinct value
+    whose cumulative count satisfies cum*100 >= n*p (exact
+    cross-multiplication — no float division); lo = p_lo-th, hi =
+    p_hi-th. Per group the report ships n, the exact q6 boundaries,
+    the clipped-row counts on each side, and the winsorized sum
+    sum(clamp(v, lo, hi)) as a DECIMAL STRING (a q6 value sum passes
+    2^53 at web scale; the decimal-string rule from the registry
+    contract).
+
+    Shape at 100 TB: the corpus collapses to per-(group, distinct-q6)
+    counts FIRST (map-side combine), so the rank windows and the
+    boundary join run over the collapsed relation, never rows. One
+    row-level shuffle (the collapse), bounded everything after."""
+    from pyspark.sql.window import Window
+
+    q = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col),
+        F.floor(F.col(value_col).cast("double") * 1000000)
+        .cast("bigint")
+        .alias("_vq"),
+    )
+    per = q.groupBy(group_col, "_vq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("_vq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    c = per.select(
+        group_col,
+        "_vq",
+        "_c",
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    b = c.groupBy(group_col).agg(
+        F.min(F.when(F.col("_cum") * 100 >= F.col("_n") * p_lo, F.col("_vq"))).alias("_lo"),
+        F.min(F.when(F.col("_cum") * 100 >= F.col("_n") * p_hi, F.col("_vq"))).alias("_hi"),
+        F.max("_n").alias("_gn"),
+    )
+    j = per.join(b, group_col)
+    d38 = "decimal(38,0)"
+    return j.groupBy(group_col).agg(
+        F.max("_gn").cast("bigint").alias("n"),
+        F.max("_lo").cast("bigint").alias("lo_q6"),
+        F.max("_hi").cast("bigint").alias("hi_q6"),
+        F.sum(F.when(F.col("_vq") < F.col("_lo"), F.col("_c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_clip_lo"),
+        F.sum(F.when(F.col("_vq") > F.col("_hi"), F.col("_c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_clip_hi"),
+        F.sum(
+            F.expr(
+                f"CAST(greatest(least(_vq, _hi), _lo) AS {d38}) * CAST(_c AS {d38})"
+            )
+        )
+        .cast(d38)
+        .cast("string")
+        .alias("winsorized_sum_q6"),
+    )

@@ -110,3 +110,47 @@ def weighted_systematic(
             F.col("_cum").cast("bigint").alias("cum_wt"),
         )
     )
+
+
+def negative_sample(
+    positives: DataFrame,
+    universe: DataFrame,
+    k: int,
+    user_col: str = "user_id",
+    item_col: str = "item",
+) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    (recommender / contrastive data prep): for every user present in
+    ``positives``, pick ``k`` items from ``universe`` the user has NOT
+    interacted with, ranked by md5(user:item) — a uniform-at-random
+    draw under a portable hash, so any engine (and any rerun) selects
+    the SAME negatives, and resampling is a seed-string change away.
+
+    Shape at 100 TB: universe is the item catalog — broadcast when it
+    fits (the common case: catalogs are millions, interactions are
+    billions); the anti-join against positives is the big relation and
+    keys on (user, item); the rank window partitions per user over
+    |catalog| candidates. For a catalog too big to broadcast, pre-hash
+    both sides on item and let the anti-join shuffle — same plan minus
+    the broadcast hint; the md5 ranking is unchanged."""
+    from pyspark.sql.window import Window
+
+    pos = positives.select(user_col, item_col).distinct()
+    users = pos.select(user_col).distinct()
+    cand = users.crossJoin(F.broadcast(universe.select(item_col).distinct()))
+    neg = cand.join(pos, [user_col, item_col], "left_anti")
+    w = Window.partitionBy(user_col).orderBy(
+        F.md5(
+            F.concat(
+                F.col(user_col).cast("string"),
+                F.lit(":"),
+                F.col(item_col).cast("string"),
+            )
+        ),
+        F.col(item_col),
+    )
+    return (
+        neg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(user_col, item_col, "rank")
+    )

@@ -1069,3 +1069,103 @@ def rrf_fuse(a: DataFrame, b: DataFrame, k: int, c: int = 60) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rrf_q9", "rank")
     )
+
+
+def normalize_embeddings(
+    emb: DataFrame,
+    dims: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L2-normalize the embedding column, optionally after truncating to
+    the first ``dims`` coordinates (the Matryoshka-representation trim:
+    MRL-trained embeddings keep most quality at a prefix, so storage and
+    ANN cost drop proportionally; re-normalizing the prefix is the
+    standard recipe). Unit-norm inputs are what cosine ANN assumes —
+    dot product == cosine, so the downstream index skips per-row norms.
+
+    Determinism: the norm uses the repo's fixed-order dot-chain fold
+    (dedup.dot_chain — same float op order in Spark and the oracle);
+    each normalized coordinate ships as the q9 integer
+    floor(x/nrm * 10^9 + 0.5) — floor(x+0.5) rounds half toward +inf
+    for both signs, the quantize_embeddings rule — so the csv is pure
+    integers (float-to-string formatting differs between engines at
+    the scientific-notation threshold; integers never do). The zero
+    vector emits zero codes with norm_q9 = 0 rather than dividing by
+    zero.
+
+    Output: (id, norm_q9 — the ORIGINAL (truncated) norm for QA,
+    ncsv_q9 — comma-joined q9 integer codes as ONE string).
+
+    Shape: one narrow projection inside whole-stage codegen — no
+    shuffle, scales as a pure map at any corpus size."""
+    from hadoop_1_spark.operators.dedup import dot_chain
+
+    d = F.col(vec_col)
+    if dims is not None:
+        d = F.slice(F.col(vec_col), 1, dims)
+    trunc = F.expr("_t")
+    nrm = F.sqrt(dot_chain(trunc, trunc, dims if dims is not None else 64))
+    code = lambda x: F.floor(  # noqa: E731
+        x.cast("double") / F.col("_n") * 1000000000.0 + 0.5
+    ).cast("bigint")
+    return (
+        emb.select(F.col(id_col), d.alias("_t"))
+        .select(
+            id_col,
+            "_t",
+            F.round(nrm, 9).alias("norm_q9"),
+            nrm.alias("_n"),
+        )
+        .select(
+            id_col,
+            "norm_q9",
+            F.when(
+                F.col("_n") == 0,
+                F.concat_ws(",", F.transform("_t", lambda x: F.lit(0).cast("bigint"))),
+            )
+            .otherwise(F.concat_ws(",", F.transform("_t", code)))
+            .alias("ncsv_q9"),
+        )
+    )
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = 4,
+    subdim: int = 16,
+    k: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes: split the vector into ``m`` contiguous
+    subspaces of ``subdim`` dims, train an independent deterministic
+    k-means codebook (k centroids) per subspace, and emit each vector's
+    per-subspace nearest-centroid ids — the classic PQ compression
+    (Jegou et al. 2011): m log2(k)-bit codes replace 4*subdim*m bytes
+    (here 4 x 4 bits vs 256 bytes, 64x), completing the ANN stack next
+    to the IVF coarse quantizer (cells) and the int8 scalar quantizer.
+
+    Training is kmeans_train_assign per subspace — md5-seeded,
+    fixed-order distance folds, decimal-exact means — so the full
+    codebook construction replays in the oracle's SQL verbatim (the
+    same _kmeans_ctes chain pointed at a subspace slice).
+
+    Shape at 100 TB: each subspace training scans the (projected)
+    corpus with the kmeans shapes (broadcast centroids, one
+    aggregation per round); the final code table is m int columns
+    joined on the id — co-partitioned equi-joins. PQ training
+    classically runs on a SAMPLE; compose with sampling.md5_filter
+    upstream when the corpus is large."""
+    out = None
+    for i in range(m):
+        sub = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), i * subdim + 1, subdim).alias(vec_col),
+        )
+        a = kmeans_train_assign(
+            sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dims=subdim
+        ).select(id_col, F.col("cluster").cast("int").alias(f"c{i}"))
+        out = a if out is None else out.join(a, id_col)
+    return out

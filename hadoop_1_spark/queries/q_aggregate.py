@@ -1227,3 +1227,102 @@ def feature_corr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _load(spark, sf_dir, "lineitem")
     return V.pearson_corr(li, CORR_COLS)
+
+
+@register(
+    "feature_winsorize",
+    oracle="""
+WITH q AS (
+  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL
+),
+per AS (SELECT event_type, vq, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY 1, 2),
+cw AS (
+  SELECT event_type, vq, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY vq) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM per
+),
+b AS (
+  SELECT event_type,
+         min(CASE WHEN cum * 100 >= n * 1 THEN vq END) AS lo,
+         min(CASE WHEN cum * 100 >= n * 99 THEN vq END) AS hi,
+         max(n) AS gn
+  FROM cw GROUP BY 1
+)
+SELECT per.event_type,
+       CAST(max(gn) AS BIGINT) AS n,
+       CAST(max(lo) AS BIGINT) AS lo_q6,
+       CAST(max(hi) AS BIGINT) AS hi_q6,
+       CAST(sum(CASE WHEN vq < lo THEN c ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       CAST(sum(CASE WHEN vq > hi THEN c ELSE 0 END) AS BIGINT) AS n_clip_hi,
+       CAST(CAST(sum(CAST(greatest(least(vq, hi), lo) AS HUGEINT) * c) AS HUGEINT)
+            AS VARCHAR) AS winsorized_sum_q6
+FROM per JOIN b USING (event_type)
+GROUP BY 1
+""",
+)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact P1/P99 winsorization report over events.value per event
+    type: cross-multiplied percentile boundaries on the collapsed q6
+    relation, clipped-row counts, and the winsorized sum as a decimal
+    string (aggregate.winsorize_report — the feature-preprocessing
+    outlier tamer)."""
+    ev = _load(spark, sf_dir, "events")
+    return agg.winsorize_report(ev, "value", "event_type")
+
+
+NEG_K = 3
+
+
+@register(
+    "events_negative_sample",
+    oracle=f"""
+WITH pos AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    AND props IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+),
+uni AS (
+  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE props IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+users AS (SELECT DISTINCT user_id FROM pos),
+cand AS (SELECT u.user_id, i.item FROM users u CROSS JOIN uni i),
+neg AS (
+  SELECT c.user_id, c.item FROM cand c
+  LEFT JOIN pos p ON c.user_id = p.user_id AND c.item = p.item
+  WHERE p.user_id IS NULL
+),
+r AS (
+  SELECT user_id, item,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY md5(CAST(user_id AS VARCHAR) || ':' || CAST(item AS VARCHAR)),
+                                     item) AS rn
+  FROM neg
+)
+SELECT user_id, item, CAST(rn AS INT) AS rank FROM r WHERE rn <= {NEG_K}
+""",
+)
+def events_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback negative sampling: for every purchasing user,
+    3 deterministic md5-ranked item negatives drawn from the catalog
+    (props.k) minus the user's purchases — the recommender/contrastive
+    training-pair generator (sampling.negative_sample)."""
+    from hadoop_1_spark.operators import sampling
+
+    ev = _load(spark, sf_dir, "events")
+    item = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    pos = ev.where(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("props").isNotNull()
+        & item.isNotNull()
+    ).select("user_id", item.alias("item"))
+    uni = ev.where(F.col("props").isNotNull() & item.isNotNull()).select(
+        item.alias("item")
+    )
+    return sampling.negative_sample(pos, uni, k=NEG_K)

@@ -179,14 +179,18 @@ seeds{i + 1} AS (SELECT cid, cvec FROM seeds{i} UNION ALL SELECT cid, cvec FROM 
 
 
 def _kmeans_ctes(
-    k: int = KM_K, iters: int = KM_ITERS, dims: int = 64, init: str = "hash"
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    dims: int = 64,
+    init: str = "hash",
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
 ) -> list[str]:
     """CTE chain replaying kmeans_train_assign exactly (same seeds, same
     fixed-order distance chain, same decimal-exact centroid means); the
     final assignment lives in CTE ``afinal(vec_id, embedding, cid)``.
-    Shared by the cluster_kmeans oracle and the SemDeDup oracle.
-    ``init`` mirrors the operator knob: 'hash' (smallest-k md5 draw) or
-    'kmeanspp' (farthest-first traversal, _kmeanspp_seed_ctes)."""
+    Shared by the cluster_kmeans oracle, the SemDeDup oracle, and (via
+    ``source_sql`` — the body of the ``e`` CTE, e.g. a subspace slice
+    for product quantization) the PQ codebook oracle."""
     dist = similarity.sql_l2_chain("e.embedding", "s.cvec", dims)
     mean_list = ", ".join(
         f"CAST(sum(CAST(CAST(embedding[{d}] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)"
@@ -202,7 +206,7 @@ def _kmeans_ctes(
     FROM e CROSS JOIN {cents} s) WHERE rn = 1
 )"""
 
-    ctes = ["e AS (SELECT vec_id, embedding FROM embeddings)"]
+    ctes = [f"e AS ({source_sql})"]
     if init == "kmeanspp":
         ctes.extend(_kmeanspp_seed_ctes(k, dims))
     else:
@@ -663,3 +667,78 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
     ).select(*emb.columns)
     return similarity.lsh_ann_topk(corpus, emb.where("vec_id < 10"), k=K, nbits=NBITS)
+
+
+MRL_DIMS = 32
+
+from hadoop_1_spark.operators.dedup import sql_dot_chain as _sdc  # noqa: E402
+
+
+@register(
+    "embedding_normalize_mrl",
+    oracle=f"""
+WITH t AS (SELECT vec_id, embedding[1:{MRL_DIMS}] AS tv FROM embeddings),
+n AS (SELECT vec_id, tv, sqrt({_sdc("tv", "tv", MRL_DIMS)}) AS nrm FROM t)
+SELECT vec_id, round(nrm, 9) AS norm_q9,
+       CASE WHEN nrm = 0
+            THEN array_to_string(list_transform(tv, x -> 0), ',')
+            ELSE array_to_string(list_transform(tv,
+                   x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 1000000000 + 0.5) AS BIGINT)), ',')
+       END AS ncsv_q9
+FROM n
+""",
+)
+def embedding_normalize_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka trim + L2 normalization: truncate to the first 32
+    coordinates and renormalize (unit-norm inputs let the cosine ANN
+    use raw dot products — dot == cosine). Coordinates ship as exact q9
+    integer codes (floor(x+0.5), the quantize rule) so the cross-engine
+    hash never trips on float-to-string formatting. See
+    similarity.normalize_embeddings."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.normalize_embeddings(emb, dims=MRL_DIMS)
+
+
+PQ_M = 4
+PQ_SUBDIM = 16
+PQ_K = 16
+PQ_ITERS = 1
+
+
+def _pq_oracle() -> str:
+    subs = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        chain = ",\n".join(
+            _kmeans_ctes(
+                k=PQ_K,
+                iters=PQ_ITERS,
+                dims=PQ_SUBDIM,
+                source_sql=(
+                    f"SELECT vec_id, embedding[{lo}:{hi}] AS embedding"
+                    " FROM embeddings"
+                ),
+            )
+        )
+        subs.append(
+            f"(WITH {chain}\n SELECT vec_id, CAST(cid AS INT) AS c{m} FROM afinal) s{m}"
+        )
+    from_clause = subs[0] + "".join(
+        f"\nJOIN {s} USING (vec_id)" for s in subs[1:]
+    )
+    cols = ", ".join(f"c{m}" for m in range(PQ_M))
+    return f"SELECT vec_id, {cols} FROM {from_clause}"
+
+
+@register("embedding_pq_codes", oracle=_pq_oracle())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (4 subspaces x 16 dims, 16-centroid
+    codebooks): per-vector nearest-centroid ids per subspace — 64x
+    compression, the third leg of the ANN stack (IVF cells + int8 +
+    PQ). The oracle replays all four subspace codebook trainings with
+    the parameterized kmeans CTE chain (subquery-local WITH per
+    subspace). See similarity.pq_codes."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.pq_codes(
+        emb, m=PQ_M, subdim=PQ_SUBDIM, k=PQ_K, iters=PQ_ITERS
+    )

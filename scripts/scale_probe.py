@@ -112,6 +112,10 @@ QUERIES = [
     "corpus_ccnet_mix",
     "corpus_split_leak_report",
     "mm_audio_chunks",
+    "embedding_normalize_mrl",
+    "feature_winsorize",
+    "events_negative_sample",
+    "embedding_pq_codes",
 ]
 
 

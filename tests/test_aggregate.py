@@ -598,3 +598,44 @@ def test_ks_two_sample_drifted_true(spark):
     r = validate_ops.ks_two_sample(ev, "value", "g", "a", "b").collect()[0]
     assert (r["d_num"], r["ks_q6"]) == (1600, 1_000_000)
     assert r["drifted"] is True
+
+
+def test_feature_winsorize_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "feature_winsorize")
+
+
+def test_winsorize_report_hand(spark):
+    """100 values 1..100 in one group: P1 = 1, P99 = 99 (cum*100 >= n*p
+    rule), one row clipped high (100 -> 99), none low; winsorized sum =
+    5050 - 1 = 5049 (q6-scaled)."""
+    rows = [(float(i), "g") for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "value double, t string")
+    r = agg.winsorize_report(df, "value", "t").collect()[0]
+    assert (r["n"], r["lo_q6"], r["hi_q6"]) == (100, 1_000_000, 99_000_000)
+    assert (r["n_clip_lo"], r["n_clip_hi"]) == (0, 1)
+    assert r["winsorized_sum_q6"] == str(5049 * 1_000_000)
+
+
+def test_negative_sample_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "events_negative_sample")
+
+
+def test_negative_sample_contract(spark):
+    """Exactly k negatives per positive-holding user, never one of the
+    user's own positives, and a rerun returns identical rows (the
+    md5-determinism contract)."""
+    from hadoop_1_spark.operators import sampling
+
+    pos = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "user_id long, item long"
+    )
+    uni = spark.createDataFrame([(i,) for i in range(10, 20)], "item long")
+    a = sampling.negative_sample(pos, uni, k=3).collect()
+    b = sampling.negative_sample(pos, uni, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_user = {}
+    for r in a:
+        by_user.setdefault(r["user_id"], []).append(r["item"])
+    assert len(by_user[1]) == 3 and len(by_user[2]) == 3
+    assert not {10, 11} & set(by_user[1])
+    assert 10 not in by_user[2]

@@ -462,3 +462,43 @@ def test_filtered_topk_respects_predicate(spark, duck):
         "neighbor_id",
     )
     assert bad.count() == 0
+
+
+def test_embedding_normalize_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "embedding_normalize_mrl")
+
+
+def test_normalize_embeddings_semantics(spark):
+    """3-4-0 vector truncated to 2 dims -> norm 3 (only the prefix
+    counts), codes = q9 of (1, 0); full-width norm is 5; the zero
+    vector emits zero codes with norm 0."""
+    emb = spark.createDataFrame(
+        [(1, [3.0, 0.0, 4.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in similarity.normalize_embeddings(emb, dims=2).collect()}
+    assert got[1]["norm_q9"] == 3.0
+    assert got[1]["ncsv_q9"] == "1000000000,0"
+    assert got[2]["norm_q9"] == 0.0
+    assert got[2]["ncsv_q9"] == "0,0"
+    full = {r["vec_id"]: r for r in similarity.normalize_embeddings(emb, dims=3).collect()}
+    assert full[1]["norm_q9"] == 5.0
+    assert full[1]["ncsv_q9"] == "600000000,0,800000000"
+
+
+def test_embedding_pq_codes_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "embedding_pq_codes")
+
+
+def test_pq_codes_shape_and_range(spark):
+    """One code column per subspace, every code in [0, k); identical
+    subspace content -> identical codes (the codebooks are trained per
+    subspace, deterministically)."""
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = similarity.pq_codes(emb, m=2, subdim=32, k=4, iters=1)
+    assert got.columns == ["vec_id", "c0", "c1"]
+    rows = got.collect()
+    assert len(rows) == emb.count()
+    assert all(0 <= r[c] < 4 for r in rows for c in ("c0", "c1"))
