@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "feature_winsorize",       # exact P1/P99 clipping report (rank scan)
     "events_negative_sample",  # deterministic implicit-feedback negatives
     "embedding_pq_codes",      # product-quantization codebooks (4x16)
+    "sim_pq_topk",             # PQ asymmetric-distance scan + exact rerank
 ]
 
 

@@ -448,6 +448,7 @@ def kmeans_train_assign(
     cache_points: bool = False,
     init: str = "hash",
     keep_vector: bool = False,
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd k-means over the embedding column -> (id,
     cluster). Trains the coarse quantizer the IVF probe assumes exists
@@ -577,10 +578,23 @@ def kmeans_train_assign(
             cols.append(F.col(vec_col))
         return a.select(*cols, F.col("cid").cast("int").alias("cluster"))
 
+    # return_centroids consumers (PQ's asymmetric-distance tables) get
+    # the FINAL codebook — the centroids the returned assignment was
+    # computed against — as (values, cids); a bounded k x dims driver
+    # read of the connected_components-scalar kind, not a data collect.
+    def cent_values(cdf: DataFrame) -> tuple[list[list[float]], list[int]]:
+        rows = {r["cid"]: list(r["cvec"]) for r in cdf.collect()}
+        cids = sorted(rows)
+        return [rows[c] for c in cids], cids
+
     if not use_arrow:
         for _ in range(iters):
             cents = update(assign(cents))
-        return _out(assign(cents))
+        final = _out(assign(cents))
+        if return_centroids:
+            cvals, cids = cent_values(cents)
+            return final, cvals, cids
+        return final
 
     # Arrow fast path (default): the l2 folds above are interpreted by
     # Catalyst; kmeans_assign_udf does the same math dimension-by-dimension
@@ -591,11 +605,6 @@ def kmeans_train_assign(
     # kind, NOT a data collect; every centroid value is still computed by
     # the JVM (decimal sums + one cast + one division), so the constants
     # match the expression path exactly.
-    def cent_values(cdf: DataFrame) -> tuple[list[list[float]], list[int]]:
-        rows = {r["cid"]: list(r["cvec"]) for r in cdf.collect()}
-        cids = sorted(rows)
-        return [rows[c] for c in cids], cids
-
     def assign_arrow(cvals: list[list[float]], cids: list[int]) -> DataFrame:
         return emb.select(
             F.col(id_col),
@@ -606,7 +615,10 @@ def kmeans_train_assign(
     cvals, cids = cent_values(cents)
     for _ in range(iters):
         cvals, cids = cent_values(update(assign_arrow(cvals, cids)))
-    return _out(assign_arrow(cvals, cids))
+    final = _out(assign_arrow(cvals, cids))
+    if return_centroids:
+        return final, cvals, cids
+    return final
 
 
 def quantize_arrays(
@@ -1169,3 +1181,108 @@ def pq_codes(
         ).select(id_col, F.col("cluster").cast("int").alias(f"c{i}"))
         out = a if out is None else out.join(a, id_col)
     return out
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 20,
+    m: int = 4,
+    subdim: int = 16,
+    kcb: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: train the per-subspace
+    codebooks (pq_codes' construction, centroids returned), build per-
+    query lookup tables d(query_sub, centroid), score every corpus
+    vector as the SUM of m table lookups over its codes — never
+    touching the corpus floats — then rerank the shortlist under the
+    exact cosine contract (candidate sets oracle-checked, the
+    quantized_topk discipline). This is the scan IVF-PQ systems run:
+    O(m) adds per candidate against a |queries| x m x k LUT.
+
+    Determinism: LUT distances are the fixed-order l2 fold (the oracle
+    replays sql_l2_chain on the SQL-recomputed codebooks — identical
+    doubles); the ADC sum is the left-associated d0 + d1 + d2 + d3 in
+    both engines; shortlist ties break (adist ASC, neighbor ASC).
+
+    Shape at 100 TB: codes are m ints per vector (the 64x-compressed
+    relation is all the scan reads); LUTs are broadcast literals; the
+    shortlist cut is a per-query window over the candidate relation;
+    only the <= |queries| * rerank survivors touch full vectors."""
+    from pyspark.sql.window import Window
+
+    def sub(df: DataFrame, i: int):
+        return F.slice(F.col(vec_col), i * subdim + 1, subdim)
+
+    codes = None
+    luts: list[DataFrame] = []
+    for i in range(m):
+        strain = corpus.select(F.col(id_col), sub(corpus, i).alias(vec_col))
+        a, cvals, cids = kmeans_train_assign(
+            strain,
+            k=kcb,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            dims=subdim,
+            return_centroids=True,
+        )
+        a = a.select(id_col, F.col("cluster").cast("int").alias(f"c{i}"))
+        codes = a if codes is None else codes.join(a, id_col)
+        cents = corpus.sparkSession.createDataFrame(
+            [(c, v) for c, v in zip(cids, cvals)], "cid int, cvec array<double>"
+        )
+        qs = queries.select(
+            F.col(id_col).alias("query_id"), sub(queries, i).alias("_qs")
+        )
+        luts.append(
+            qs.crossJoin(F.broadcast(cents)).select(
+                "query_id",
+                F.col("cid").alias(f"c{i}"),
+                l2_chain(F.col("_qs"), F.col("cvec")).alias(f"_d{i}"),
+            )
+        )
+    cand = codes.crossJoin(
+        F.broadcast(queries.select(F.col(id_col).alias("query_id")))
+    ).where(F.col("query_id") != F.col(id_col))
+    for i in range(m):
+        cand = cand.join(F.broadcast(luts[i]), ["query_id", f"c{i}"])
+    adist = F.col("_d0")
+    for i in range(1, m):
+        adist = adist + F.col(f"_d{i}")
+    cand = cand.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), adist.alias("_adist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("_adist"), F.asc("neighbor_id")
+    )
+    short = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    nrm = _norm(F.col(vec_col))
+    qside = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), nrm.alias("qn")
+    )
+    cside = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), nrm.alias("cn")
+    )
+    rer = (
+        short.join(F.broadcast(qside), "query_id")
+        .join(cside, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_chain(F.col("qv"), F.col("cv"), DIMS)
+                / (F.col("qn") * F.col("cn")),
+                9,
+            ).alias("cosine"),
+        )
+    )
+    return _topk(rer, k)

@@ -742,3 +742,95 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_codes(
         emb, m=PQ_M, subdim=PQ_SUBDIM, k=PQ_K, iters=PQ_ITERS
     )
+
+
+PQ_RERANK = 20
+
+
+def _pq_adc_oracle() -> str:
+    """Replays the full ADC pipeline: four subspace codebook trainings
+    (codes from afinal, the codebook from the final-round centroid CTE),
+    per-query L2 lookup tables on the SQL-recomputed codebooks, the
+    left-associated 4-term ADC sum, the (adist, neighbor) shortlist cut,
+    and the exact cosine rerank — so the CANDIDATE SETS of the
+    compressed scan, not just final scores, must match."""
+    code_tables, cb_tables, lut_ctes = [], [], []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        chain = ",\n".join(
+            _kmeans_ctes(
+                k=PQ_K,
+                iters=PQ_ITERS,
+                dims=PQ_SUBDIM,
+                source_sql=(
+                    f"SELECT vec_id, embedding[{lo}:{hi}] AS embedding"
+                    " FROM embeddings"
+                ),
+            )
+        )
+        code_tables.append(
+            f"(WITH {chain}\n SELECT vec_id, CAST(cid AS INT) AS c{m} FROM afinal) s{m}"
+        )
+        cb_tables.append(
+            f"(WITH {chain}\n SELECT cid, cvec FROM c{PQ_ITERS - 1})"
+        )
+        dist = similarity.sql_l2_chain("q.qs", "cb.cvec", PQ_SUBDIM)
+        lut_ctes.append(
+            f"""lut{m} AS (
+  SELECT q.query_id, cb.cid AS c{m}, {dist} AS d
+  FROM (SELECT vec_id AS query_id, embedding[{lo}:{hi}] AS qs
+        FROM embeddings WHERE vec_id < 10) q
+  CROSS JOIN {cb_tables[m]} cb
+)"""
+        )
+    codes_from = code_tables[0] + "".join(
+        f"\nJOIN {s} USING (vec_id)" for s in code_tables[1:]
+    )
+    lut_joins = "\n".join(
+        f"JOIN lut{m} ON lut{m}.query_id = qq.query_id AND lut{m}.c{m} = x.c{m}"
+        for m in range(PQ_M)
+    )
+    adist = " + ".join(f"lut{m}.d" for m in range(PQ_M))
+    return f"""
+WITH codes AS (SELECT * FROM {codes_from}),
+{",".join(lut_ctes)},
+cand AS (
+  SELECT qq.query_id, x.vec_id AS neighbor_id, {adist} AS adist
+  FROM codes x
+  CROSS JOIN (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 10) qq
+  {lut_joins}
+  WHERE qq.query_id <> x.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY adist ASC, neighbor_id ASC) <= {PQ_RERANK}
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, {_NRM} AS qn FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, {_NRM} AS cn FROM embeddings),
+p AS (
+  SELECT s.query_id, s.neighbor_id, q.qv, c.cv, q.qn, c.cn
+  FROM short s JOIN q USING (query_id) JOIN c USING (neighbor_id)
+),
+{_COSINE_CTES}
+{_FINAL}
+"""
+
+
+@register("sim_pq_topk", oracle=_pq_adc_oracle())
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5: the 64x-compressed candidate scan
+    (m=4 LUT adds per vector, corpus floats untouched) reranked under
+    the exact cosine contract — the scan IVF-PQ systems run, closing
+    the ANN stack. See similarity.pq_adc_topk."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(
+        emb,
+        emb.where("vec_id < 10"),
+        k=K,
+        rerank=PQ_RERANK,
+        m=PQ_M,
+        subdim=PQ_SUBDIM,
+        kcb=PQ_K,
+        iters=PQ_ITERS,
+    )

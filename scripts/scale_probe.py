@@ -116,6 +116,7 @@ QUERIES = [
     "feature_winsorize",
     "events_negative_sample",
     "embedding_pq_codes",
+    "sim_pq_topk",
 ]
 
 

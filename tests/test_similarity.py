@@ -502,3 +502,34 @@ def test_pq_codes_shape_and_range(spark):
     rows = got.collect()
     assert len(rows) == emb.count()
     assert all(0 <= r[c] < 4 for r in rows for c in ("c0", "c1"))
+
+
+def test_sim_pq_topk_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sim_pq_topk")
+
+
+def test_pq_adc_contract_and_recall(spark):
+    """5 ranked rows per query, never the query itself; the compressed
+    scan must beat random candidate selection clearly. On these
+    UNCLUSTERED synthetic embeddings PQ recall is inherently modest
+    (measured ~14% at 4x16/16 codebooks, rerank 20/500) — the floor
+    here is ~2x the random-shortlist expectation (E[hits] ~ 2 of 50),
+    catching a broken LUT/code join without pinning a data-dependent
+    quality number; exactness of the scan itself is the oracle's job."""
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where("vec_id < 10")
+    got = similarity.pq_adc_topk(emb, q, k=5, rerank=20)
+    rows = got.collect()
+    per = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        per.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    hits = sum((r["query_id"], r["neighbor_id"]) in exact for r in rows)
+    assert hits >= 4
