@@ -197,16 +197,24 @@ _WORD_BITS = 32  # 32-bit words: an 8-hex-char word always fits a signed
 
 
 def _bloom_positions(key: Column, m_bits: int, h: int) -> list[Column]:
-    """h independent bit positions for a key via seeded xxhash64 — the
-    cheap JVM hash, NOT the md5 idiom: the bloom filter is internal
-    plan state (build and probe use the same family within one query)
-    and the verifying semi-join makes the final result exact regardless
-    of the hash, so cross-engine portability buys nothing here while
-    md5-over-string was the dominant probe cost at scan speed
-    (measured: swapping to xxhash64 cut the sf0.1 prefilter scan
-    2.46 -> ~0.9 s). pmod because xxhash64 is signed."""
+    """h independent bit positions for a key via seeded xxhash64 over the
+    STRING-cast key — the cheap JVM hash, NOT the md5 idiom: the bloom
+    filter is internal plan state (build and probe use the same family
+    within one query), so cross-engine portability buys nothing here,
+    while md5 (digest + hex + conv parse) was the dominant probe cost at
+    scan speed (swapping to xxhash64 cut the sf0.1 prefilter scan
+    2.46 -> ~1.1 s). The string cast is LOAD-BEARING, not a leftover:
+    xxhash64 hashes an int via 4 bytes and a bigint via 8, so raw-typed
+    hashing would produce systematic FALSE NEGATIVES — silently dropped
+    true matches the verify join cannot resurrect — whenever the build
+    and probe key types differ (int vs bigint, string vs numeric); the
+    cast canonicalizes both sides the way md5(cast) always did
+    (regression: test_bloom_prefilter_mixed_key_types). pmod because
+    xxhash64 is signed."""
     return [
-        F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits)).cast("long")
+        F.pmod(F.xxhash64(F.lit(i), key.cast("string")), F.lit(m_bits)).cast(
+            "long"
+        )
         for i in range(h)
     ]
 

@@ -118,13 +118,15 @@ def negative_sample(
     k: int,
     user_col: str = "user_id",
     item_col: str = "item",
+    seed: str = "",
 ) -> DataFrame:
     """Deterministic negative sampling for implicit-feedback training
     (recommender / contrastive data prep): for every user present in
     ``positives``, pick ``k`` items from ``universe`` the user has NOT
-    interacted with, ranked by md5(user:item) — a uniform-at-random
+    interacted with, ranked by md5(seed:user:item) — a uniform-at-random
     draw under a portable hash, so any engine (and any rerun) selects
-    the SAME negatives, and resampling is a seed-string change away.
+    the SAME negatives; pass a different ``seed`` string (e.g. the
+    epoch number) for an independent redraw.
 
     Shape at 100 TB: universe is the item catalog — broadcast when it
     fits (the common case: catalogs are millions, interactions are
@@ -142,6 +144,7 @@ def negative_sample(
     w = Window.partitionBy(user_col).orderBy(
         F.md5(
             F.concat(
+                F.lit(f"{seed}:"),
                 F.col(user_col).cast("string"),
                 F.lit(":"),
                 F.col(item_col).cast("string"),

@@ -449,7 +449,7 @@ def kmeans_train_assign(
     init: str = "hash",
     keep_vector: bool = False,
     return_centroids: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, list[list[float]], list[int]]:
     """Deterministic Lloyd k-means over the embedding column -> (id,
     cluster). Trains the coarse quantizer the IVF probe assumes exists
     ("offline centroids") and the clustering stage of SemDeDup-style
@@ -685,6 +685,43 @@ def quantize_embeddings(
     )
 
 
+def _exact_rerank(
+    short: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The exact-rerank contract shared by every two-stage ANN
+    (quantized_topk, pq_adc_topk): join the (query_id, neighbor_id)
+    shortlist back to full vectors, score with the fixed-order dot fold
+    + round-9 cosine, cut to top-k with the (cosine DESC, neighbor ASC)
+    tie-break. ONE implementation so the rerank discipline can never
+    diverge between operators."""
+    nrm = _norm(F.col(vec_col))
+    qside = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), nrm.alias("qn")
+    )
+    cside = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), nrm.alias("cn")
+    )
+    rer = (
+        short.join(F.broadcast(qside), "query_id")
+        .join(cside, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_chain(F.col("qv"), F.col("cv"), DIMS)
+                / (F.col("qn") * F.col("cn")),
+                9,
+            ).alias("cosine"),
+        )
+    )
+    return _topk(rer, k)
+
+
 def quantized_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -746,25 +783,7 @@ def quantized_topk(
         .where(F.col("_rn") <= rerank)
         .select("query_id", "neighbor_id", "qscore")
     )
-    nrm = _norm(F.col(vec_col))
-    qside = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), nrm.alias("qn")
-    )
-    cside = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), nrm.alias("cn")
-    )
-    rer = (
-        short.join(F.broadcast(qside), "query_id")
-        .join(cside, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot_chain(F.col("qv"), F.col("cv"), DIMS) / (F.col("qn") * F.col("cn")), 9
-            ).alias("cosine"),
-        )
-    )
-    return _topk(rer, k)
+    return _exact_rerank(short, corpus, queries, k, id_col, vec_col)
 
 
 def negative_mine_topk(
@@ -1117,7 +1136,9 @@ def normalize_embeddings(
     if dims is not None:
         d = F.slice(F.col(vec_col), 1, dims)
     trunc = F.expr("_t")
-    nrm = F.sqrt(dot_chain(trunc, trunc, dims if dims is not None else 64))
+    # dot_chain's dims arg only parameterizes its SQL twin; the fold is
+    # length-agnostic, so no per-dims branch is needed here
+    nrm = F.sqrt(dot_chain(trunc, trunc))
     code = lambda x: F.floor(  # noqa: E731
         x.cast("double") / F.col("_n") * 1000000000.0 + 0.5
     ).cast("bigint")
@@ -1150,7 +1171,8 @@ def pq_codes(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    return_centroids: bool = False,
+) -> DataFrame | tuple[DataFrame, list[tuple[list[list[float]], list[int]]]]:
     """Product-quantization codes: split the vector into ``m`` contiguous
     subspaces of ``subdim`` dims, train an independent deterministic
     k-means codebook (k centroids) per subspace, and emit each vector's
@@ -1169,17 +1191,33 @@ def pq_codes(
     aggregation per round); the final code table is m int columns
     joined on the id — co-partitioned equi-joins. PQ training
     classically runs on a SAMPLE; compose with sampling.md5_filter
-    upstream when the corpus is large."""
+    upstream when the corpus is large.
+
+    ``return_centroids=True`` additionally returns the per-subspace
+    codebooks as [(cvals, cids), ...] — what pq_adc_topk's lookup
+    tables consume; ONE training loop feeds both codes and search so
+    the codebooks can never diverge."""
     out = None
+    books: list[tuple[list[list[float]], list[int]]] = []
     for i in range(m):
         sub = emb.select(
             F.col(id_col),
             F.slice(F.col(vec_col), i * subdim + 1, subdim).alias(vec_col),
         )
-        a = kmeans_train_assign(
-            sub, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dims=subdim
-        ).select(id_col, F.col("cluster").cast("int").alias(f"c{i}"))
+        a, cvals, cids = kmeans_train_assign(
+            sub,
+            k=k,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            dims=subdim,
+            return_centroids=True,
+        )
+        books.append((cvals, cids))
+        a = a.select(id_col, F.col("cluster").cast("int").alias(f"c{i}"))
         out = a if out is None else out.join(a, id_col)
+    if return_centroids:
+        return out, books
     return out
 
 
@@ -1215,29 +1253,26 @@ def pq_adc_topk(
     only the <= |queries| * rerank survivors touch full vectors."""
     from pyspark.sql.window import Window
 
-    def sub(df: DataFrame, i: int):
+    def sub(i: int):
         return F.slice(F.col(vec_col), i * subdim + 1, subdim)
 
-    codes = None
+    codes, books = pq_codes(
+        corpus,
+        m=m,
+        subdim=subdim,
+        k=kcb,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        return_centroids=True,
+    )
     luts: list[DataFrame] = []
-    for i in range(m):
-        strain = corpus.select(F.col(id_col), sub(corpus, i).alias(vec_col))
-        a, cvals, cids = kmeans_train_assign(
-            strain,
-            k=kcb,
-            iters=iters,
-            id_col=id_col,
-            vec_col=vec_col,
-            dims=subdim,
-            return_centroids=True,
-        )
-        a = a.select(id_col, F.col("cluster").cast("int").alias(f"c{i}"))
-        codes = a if codes is None else codes.join(a, id_col)
+    for i, (cvals, cids) in enumerate(books):
         cents = corpus.sparkSession.createDataFrame(
             [(c, v) for c, v in zip(cids, cvals)], "cid int, cvec array<double>"
         )
         qs = queries.select(
-            F.col(id_col).alias("query_id"), sub(queries, i).alias("_qs")
+            F.col(id_col).alias("query_id"), sub(i).alias("_qs")
         )
         luts.append(
             qs.crossJoin(F.broadcast(cents)).select(
@@ -1265,24 +1300,4 @@ def pq_adc_topk(
         .where(F.col("_rn") <= rerank)
         .select("query_id", "neighbor_id")
     )
-    nrm = _norm(F.col(vec_col))
-    qside = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), nrm.alias("qn")
-    )
-    cside = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), nrm.alias("cn")
-    )
-    rer = (
-        short.join(F.broadcast(qside), "query_id")
-        .join(cside, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot_chain(F.col("qv"), F.col("cv"), DIMS)
-                / (F.col("qn") * F.col("cn")),
-                9,
-            ).alias("cosine"),
-        )
-    )
-    return _topk(rer, k)
+    return _exact_rerank(short, corpus, queries, k, id_col, vec_col)

@@ -1300,7 +1300,7 @@ neg AS (
 r AS (
   SELECT user_id, item,
          row_number() OVER (PARTITION BY user_id
-                            ORDER BY md5(CAST(user_id AS VARCHAR) || ':' || CAST(item AS VARCHAR)),
+                            ORDER BY md5(':' || CAST(user_id AS VARCHAR) || ':' || CAST(item AS VARCHAR)),
                                      item) AS rn
   FROM neg
 )

@@ -671,14 +671,11 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MRL_DIMS = 32
 
-from hadoop_1_spark.operators.dedup import sql_dot_chain as _sdc  # noqa: E402
-
-
 @register(
     "embedding_normalize_mrl",
     oracle=f"""
 WITH t AS (SELECT vec_id, embedding[1:{MRL_DIMS}] AS tv FROM embeddings),
-n AS (SELECT vec_id, tv, sqrt({_sdc("tv", "tv", MRL_DIMS)}) AS nrm FROM t)
+n AS (SELECT vec_id, tv, sqrt({sql_dot_chain("tv", "tv", MRL_DIMS)}) AS nrm FROM t)
 SELECT vec_id, round(nrm, 9) AS norm_q9,
        CASE WHEN nrm = 0
             THEN array_to_string(list_transform(tv, x -> 0), ',')
@@ -705,8 +702,12 @@ PQ_K = 16
 PQ_ITERS = 1
 
 
-def _pq_oracle() -> str:
-    subs = []
+def _pq_subspace_sql() -> tuple[list[str], list[str]]:
+    """Per-subspace (kmeans CTE chain, aliased code derived-table) pairs
+    — the ONE place the PQ training SQL is constructed, shared by the
+    codes oracle and the ADC-search oracle so they can never train
+    different codebooks."""
+    chains, code_tables = [], []
     for m in range(PQ_M):
         lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
         chain = ",\n".join(
@@ -720,14 +721,23 @@ def _pq_oracle() -> str:
                 ),
             )
         )
-        subs.append(
+        chains.append(chain)
+        code_tables.append(
             f"(WITH {chain}\n SELECT vec_id, CAST(cid AS INT) AS c{m} FROM afinal) s{m}"
         )
-    from_clause = subs[0] + "".join(
-        f"\nJOIN {s} USING (vec_id)" for s in subs[1:]
+    return chains, code_tables
+
+
+def _pq_codes_from(code_tables: list[str]) -> str:
+    return code_tables[0] + "".join(
+        f"\nJOIN {s} USING (vec_id)" for s in code_tables[1:]
     )
+
+
+def _pq_oracle() -> str:
+    _, code_tables = _pq_subspace_sql()
     cols = ", ".join(f"c{m}" for m in range(PQ_M))
-    return f"SELECT vec_id, {cols} FROM {from_clause}"
+    return f"SELECT vec_id, {cols} FROM {_pq_codes_from(code_tables)}"
 
 
 @register("embedding_pq_codes", oracle=_pq_oracle())
@@ -754,38 +764,21 @@ def _pq_adc_oracle() -> str:
     left-associated 4-term ADC sum, the (adist, neighbor) shortlist cut,
     and the exact cosine rerank — so the CANDIDATE SETS of the
     compressed scan, not just final scores, must match."""
-    code_tables, cb_tables, lut_ctes = [], [], []
+    chains, code_tables = _pq_subspace_sql()
+    lut_ctes = []
     for m in range(PQ_M):
         lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
-        chain = ",\n".join(
-            _kmeans_ctes(
-                k=PQ_K,
-                iters=PQ_ITERS,
-                dims=PQ_SUBDIM,
-                source_sql=(
-                    f"SELECT vec_id, embedding[{lo}:{hi}] AS embedding"
-                    " FROM embeddings"
-                ),
-            )
-        )
-        code_tables.append(
-            f"(WITH {chain}\n SELECT vec_id, CAST(cid AS INT) AS c{m} FROM afinal) s{m}"
-        )
-        cb_tables.append(
-            f"(WITH {chain}\n SELECT cid, cvec FROM c{PQ_ITERS - 1})"
-        )
+        cb_table = f"(WITH {chains[m]}\n SELECT cid, cvec FROM c{PQ_ITERS - 1})"
         dist = similarity.sql_l2_chain("q.qs", "cb.cvec", PQ_SUBDIM)
         lut_ctes.append(
             f"""lut{m} AS (
   SELECT q.query_id, cb.cid AS c{m}, {dist} AS d
   FROM (SELECT vec_id AS query_id, embedding[{lo}:{hi}] AS qs
         FROM embeddings WHERE vec_id < 10) q
-  CROSS JOIN {cb_tables[m]} cb
+  CROSS JOIN {cb_table} cb
 )"""
         )
-    codes_from = code_tables[0] + "".join(
-        f"\nJOIN {s} USING (vec_id)" for s in code_tables[1:]
-    )
+    codes_from = _pq_codes_from(code_tables)
     lut_joins = "\n".join(
         f"JOIN lut{m} ON lut{m}.query_id = qq.query_id AND lut{m}.c{m} = x.c{m}"
         for m in range(PQ_M)

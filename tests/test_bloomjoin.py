@@ -53,3 +53,19 @@ def test_null_keys_never_match(spark):
         r["k"] for r in J.bloom_prefilter_semi_join(big, small, "k").collect()
     )
     assert got == [1]
+
+
+def test_bloom_prefilter_mixed_key_types(spark):
+    """Build side int, probe side bigint, same values: every true match
+    must survive. Guards the canonicalizing string cast inside
+    _bloom_positions — raw-typed xxhash64 hashes int (4 bytes) and
+    bigint (8 bytes) differently, which produced systematic false
+    negatives (0 of 5 matches) when this cast was briefly removed."""
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.operators import join as J
+
+    big = spark.range(0, 100).select(F.col("id").cast("bigint").alias("k"))
+    small = spark.createDataFrame([(i,) for i in range(5)], "k int")
+    got = sorted(r["k"] for r in J.bloom_prefilter_semi_join(big, small, "k").collect())
+    assert got == [0, 1, 2, 3, 4]
