@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "events_negative_sample",  # deterministic implicit-feedback negatives
     "embedding_pq_codes",      # product-quantization codebooks (4x16)
     "sim_pq_topk",             # PQ asymmetric-distance scan + exact rerank
+    "sim_pq_topk_scan",        # same scan over a parked index (scan-only cost)
 ]
 
 

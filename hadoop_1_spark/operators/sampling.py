@@ -130,30 +130,75 @@ def negative_sample(
 
     Shape at 100 TB: universe is the item catalog — broadcast when it
     fits (the common case: catalogs are millions, interactions are
-    billions); the anti-join against positives is the big relation and
-    keys on (user, item); the rank window partitions per user over
-    |catalog| candidates. For a catalog too big to broadcast, pre-hash
-    both sides on item and let the anti-join shuffle — same plan minus
-    the broadcast hint; the md5 ranking is unchanged."""
+    billions). The naive shape ranks ALL |catalog| candidates per user
+    through a shuffle+window — O(users x items) intermediate rows, the
+    one super-linear row in the r5 scale probe. Instead the candidate
+    grid is PRE-THINNED inside the broadcast nested-loop join itself:
+    only pairs whose ranking hash falls below a threshold chosen from
+    the catalog size (expected ~``max(64, 8k)`` survivors per user)
+    reach the shuffle. This is EXACT, not approximate: thinning keeps
+    every candidate with hash < t, so whenever a user retains >= k
+    non-positive survivors the true k smallest hashes are all among
+    them; the rare user with fewer survivors (hash-unlucky or
+    positives-dominated) is detected by a per-user count and re-ranked
+    against the full catalog — a fallback whose input is |short users|
+    x |catalog|, vanishingly small by construction. Per-pair hash
+    evaluation remains O(users x items) compute but streams through
+    the join operator without materializing rows."""
     from pyspark.sql.window import Window
 
     pos = positives.select(user_col, item_col).distinct()
     users = pos.select(user_col).distinct()
-    cand = users.crossJoin(F.broadcast(universe.select(item_col).distinct()))
-    neg = cand.join(pos, [user_col, item_col], "left_anti")
-    w = Window.partitionBy(user_col).orderBy(
-        F.md5(
-            F.concat(
-                F.lit(f"{seed}:"),
-                F.col(user_col).cast("string"),
-                F.lit(":"),
-                F.col(item_col).cast("string"),
-            )
-        ),
-        F.col(item_col),
+    catalog = universe.select(item_col).distinct()
+    rank_hash = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.col(user_col).cast("string"),
+            F.lit(":"),
+            F.col(item_col).cast("string"),
+        )
     )
-    return (
-        neg.withColumn("rank", F.row_number().over(w).cast("int"))
+    w = Window.partitionBy(user_col).orderBy(rank_hash, F.col(item_col))
+
+    def ranked_topk(cand: DataFrame) -> DataFrame:
+        neg = cand.join(pos, [user_col, item_col], "left_anti")
+        return (
+            neg.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select(user_col, item_col, "rank")
+        )
+
+    n_items = catalog.count()  # bounded driver value: the broadcastable side
+    target = max(64, 8 * k)
+    if n_items <= 2 * target:
+        # Small catalog: the grid is already ~target-sized per user.
+        return ranked_topk(users.crossJoin(F.broadcast(catalog)))
+
+    # Threshold on the first 8 hex chars of the ranking hash (uniform in
+    # [0, 16^8)); predicate is pushed into the BroadcastNestedLoopJoin so
+    # non-survivors are never materialized.
+    t_hex = format(min(16**8 - 1, (target * 16**8) // n_items + 1), "08x")
+    thin = (
+        users.crossJoin(F.broadcast(catalog))
+        .where(F.substring(rank_hash, 1, 8) < F.lit(t_hex))
+    )
+    # One materialization of the thinned grid: both the survivor count and
+    # the ranked output read it, and without the pin each would replay the
+    # full O(users x items) hash scan inside the nested-loop join.
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    neg_thin = persist_tracked(thin.join(pos, [user_col, item_col], "left_anti"))
+    survivors = neg_thin.groupBy(user_col).agg(F.count("*").alias("_n"))
+    # Users with >= k thinned non-positive survivors are exactly ranked by
+    # the thinned set; the rest re-rank against the full catalog.
+    short = users.join(
+        survivors.where(F.col("_n") >= k), user_col, "left_anti"
+    )
+    full_part = ranked_topk(short.crossJoin(F.broadcast(catalog)))
+    thin_part = (
+        neg_thin.join(F.broadcast(short), user_col, "left_anti")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
         .select(user_col, item_col, "rank")
     )
+    return thin_part.unionByName(full_part)

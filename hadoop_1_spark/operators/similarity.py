@@ -1251,11 +1251,6 @@ def pq_adc_topk(
     relation is all the scan reads); LUTs are broadcast literals; the
     shortlist cut is a per-query window over the candidate relation;
     only the <= |queries| * rerank survivors touch full vectors."""
-    from pyspark.sql.window import Window
-
-    def sub(i: int):
-        return F.slice(F.col(vec_col), i * subdim + 1, subdim)
-
     codes, books = pq_codes(
         corpus,
         m=m,
@@ -1266,6 +1261,31 @@ def pq_adc_topk(
         vec_col=vec_col,
         return_centroids=True,
     )
+    return _pq_adc_scan(
+        codes, books, corpus, queries, k, rerank, m, subdim, id_col, vec_col
+    )
+
+
+def _pq_adc_scan(
+    codes: DataFrame,
+    books: list[tuple[list[list[float]], list[int]]],
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    rerank: int,
+    m: int,
+    subdim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The ADC scan proper (LUT build -> m-lookup sum -> shortlist ->
+    exact rerank), shared by pq_adc_topk (trains inline) and
+    pq_adc_topk_scan (loads parked codes/codebooks) so the two can never
+    score differently."""
+
+    def sub(i: int):
+        return F.slice(F.col(vec_col), i * subdim + 1, subdim)
+
     luts: list[DataFrame] = []
     for i, (cvals, cids) in enumerate(books):
         cents = corpus.sparkSession.createDataFrame(
@@ -1301,3 +1321,80 @@ def pq_adc_topk(
         .select("query_id", "neighbor_id")
     )
     return _exact_rerank(short, corpus, queries, k, id_col, vec_col)
+
+
+def pq_park(
+    corpus: DataFrame,
+    path: str,
+    m: int = 4,
+    subdim: int = 16,
+    kcb: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train the PQ index ONCE and park it: ``{path}/codes`` (id + m int
+    code columns) and ``{path}/codebooks`` (sub, cid, cvec) as parquet.
+    This is how PQ runs in production — index build is an offline job,
+    search loads the artifact — whereas pq_adc_topk retrains per call
+    because its oracle must replay training. Parking separates the two
+    costs so the scan (the shape that matters at 100 TB: a running
+    service answers queries against a prebuilt index) is measurable in
+    isolation (round-5 verdict: 2.5 s of sim_pq_topk's 4.0 s bench row
+    was training)."""
+    codes, books = pq_codes(
+        corpus,
+        m=m,
+        subdim=subdim,
+        k=kcb,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        return_centroids=True,
+    )
+    spark = corpus.sparkSession
+    rows = [
+        (s, int(c), [float(x) for x in v])
+        for s, (cvals, cids) in enumerate(books)
+        for c, v in zip(cids, cvals)
+    ]
+    spark.createDataFrame(
+        rows, "sub int, cid int, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def pq_adc_topk_scan(
+    corpus: DataFrame,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    rerank: int = 20,
+    m: int = 4,
+    subdim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ADC top-k against a PARKED index (pq_park's artifact): load the
+    m*kcb codebook rows (bounded driver collect — the codebook IS the
+    broadcastable model), read the 64x-compressed code relation, and run
+    the shared _pq_adc_scan. Produces bit-identical results to
+    pq_adc_topk when the parked index was trained by pq_park on the same
+    corpus (training is deterministic: md5 seeds, fixed-order folds,
+    decimal-exact means).
+
+    Shape at 100 TB: the scan reads m ints per corpus vector from
+    parquet (column-pruned), LUTs are broadcast; corpus floats are
+    touched only by the <= |queries| * rerank survivors."""
+    spark = corpus.sparkSession
+    cb = spark.read.parquet(f"{path}/codebooks").collect()
+    books: list[tuple[list[list[float]], list[int]]] = []
+    for s in range(m):
+        sub_rows = sorted(
+            ((r["cid"], list(r["cvec"])) for r in cb if r["sub"] == s)
+        )
+        books.append(([v for _, v in sub_rows], [c for c, _ in sub_rows]))
+    codes = spark.read.parquet(f"{path}/codes")
+    return _pq_adc_scan(
+        codes, books, corpus, queries, k, rerank, m, subdim, id_col, vec_col
+    )

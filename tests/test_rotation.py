@@ -84,20 +84,55 @@ def test_operator_edit_changes_only_its_queries():
 
 
 def test_rotation_rank_order():
-    """failed < own-dirty < core-dirty < clean, LRU within each rank."""
+    """failed < own-dirty < core-dirty < clean; within own-dirty, earlier
+    registration epochs first (new queries never displace backlog); LRU
+    within each rank."""
     order = list(entry.queries())
     last, failed = entry._correctness_history()
     dirty, core_dirty = entry._dirty_queries()
+    epochs = entry._registration_epochs()
+    new_epoch = max(epochs.values(), default=0) + 1
 
     def rank(n: str) -> tuple:
         return (
             0 if failed.get(n) else 1,
             0 if n in dirty else (1 if n in core_dirty else 2),
+            epochs.get(n, new_epoch) if n in dirty else 0,
             last.get(n, 0),
+            0 if n in entry._PRIORITY else 1,
             n,
         )
 
     assert order == sorted(order, key=rank)
+
+
+def test_new_registration_queues_behind_backlog(monkeypatch, tmp_path):
+    """A name registered this round (epoch > backlog's) sorts after every
+    recorded never-verified name, even though both are dirty with no
+    CORRECTNESS history."""
+    import json
+
+    epochs = entry._registration_epochs()
+    assert epochs, "REGISTERED.json must exist and be non-empty"
+    backlog_epoch = min(epochs.values())
+
+    last, failed = entry._correctness_history()
+    dirty, _ = entry._dirty_queries()
+    never = [n for n in dirty if n not in last and n in epochs]
+    if not never:
+        pytest.skip("no never-verified backlog to compare against")
+
+    # Simulate a brand-new registration: present in the registry order
+    # input but absent from REGISTERED.json -> it gets the sentinel epoch.
+    sample = never[0]
+    new_epoch = max(epochs.values()) + 1
+    assert (epochs.get(sample, new_epoch) if sample in dirty else 0) <= backlog_epoch or (
+        epochs[sample] <= new_epoch
+    )
+    # The rank tuple of a recorded backlog name beats an unrecorded one.
+    rank_backlog = (1, 0, epochs[sample], 0, 1, sample)
+    rank_new = (1, 0, new_epoch, 0, 1, "aaa_brand_new")
+    assert rank_backlog < rank_new
 
 
 def test_verified_manifest_matches_current_scheme():

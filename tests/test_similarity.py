@@ -533,3 +533,32 @@ def test_pq_adc_contract_and_recall(spark):
     }
     hits = sum((r["query_id"], r["neighbor_id"]) in exact for r in rows)
     assert hits >= 4
+
+
+def test_pq_scan_matches_inline_training(spark, tmp_path):
+    """pq_adc_topk_scan over a parked index is bit-identical to
+    pq_adc_topk's inline-training run on the same corpus — the parked
+    artifact (codes + codebooks parquet) round-trips the trained model
+    exactly, so the production shape (offline build, online scan) can
+    never drift from the oracled retrain shape."""
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where("vec_id < 10")
+    path = str(tmp_path / "pq_index")
+    similarity.pq_park(emb, path, m=4, subdim=16, kcb=16, iters=1)
+    got = sorted(
+        map(tuple, similarity.pq_adc_topk_scan(
+            emb, q, path, k=5, rerank=20, m=4, subdim=16
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, similarity.pq_adc_topk(
+            emb, q, k=5, rerank=20, m=4, subdim=16, kcb=16, iters=1
+        ).collect())
+    )
+    assert got == want
+
+
+def test_sim_pq_topk_scan_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sim_pq_topk_scan")
