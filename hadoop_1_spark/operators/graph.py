@@ -61,34 +61,45 @@ def pagerank(edges: DataFrame, iters: int = 3) -> DataFrame:
     # O(edges)
     ew = persist_tracked(edges.join(deg, "src").repartition(F.col("dst")))
     base = ((DAMP_DEN - DAMP_NUM) * SCALE) // DAMP_DEN  # 0.15 * SCALE exactly
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(SCALE).cast("bigint").alias("rank")
+    damped = (
+        F.lit(base).cast("bigint")
+        + F.expr(f"({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN}")
+    ).cast("bigint")
+    # round 1 starts uniform (rank = SCALE for every node), so the first
+    # contribution sum needs no rank join at all; each later round fuses
+    # the damping update INTO the edge join — the node-sized contribution
+    # relation (keyed by dst = node) is broadcast straight onto the
+    # persisted edge relation and the new rank is computed inline, instead
+    # of first materializing a ranks relation via a separate deg-join
+    # (round-6: one broadcast join + one aggregation per round, down from
+    # two joins; the agg stays shuffle-free against ew's dst partitioning)
+    contrib = (
+        ew.select(F.col("dst"), F.expr(f"{SCALE} div outdeg").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("s"))
     )
-    for _ in range(iters):
-        # ranks and contrib are node-sized — broadcast them explicitly so
-        # every iteration streams the persisted edge relation with no
-        # edge-side shuffle (the derived ranks relation has no stats, so
-        # without the hint later iterations fall back to SMJ and
-        # re-exchange the edges each round)
+    for _ in range(iters - 1):
+        prev = contrib.select(F.col("dst").alias("node"), F.col("s"))
         contrib = (
-            ew.join(F.broadcast(ranks), ew["src"] == ranks["node"])
-            .select(F.col("dst"), F.expr("rank div outdeg").alias("c"))
+            ew.join(F.broadcast(prev), ew["src"] == prev["node"], "left")
+            .select(
+                F.col("dst"),
+                F.expr(
+                    f"(cast({base} as bigint)"
+                    f" + ({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN})"
+                    " div outdeg"
+                ).alias("c"),
+            )
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            deg.join(F.broadcast(contrib), deg["src"] == contrib["dst"], "left")
-            .select(
-                F.col("src").alias("node"),
-                (
-                    F.lit(base).cast("bigint")
-                    + F.expr(f"({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN}")
-                ).cast("bigint").alias("rank"),
-            )
-        )
     return (
-        ranks.join(deg, ranks["node"] == deg["src"])
-        .select("node", F.col("rank").alias("rank_fp"), "outdeg")
+        deg.join(F.broadcast(contrib), deg["src"] == contrib["dst"], "left")
+        .select(
+            F.col("src").alias("node"),
+            damped.alias("rank_fp"),
+            "outdeg",
+        )
     )
 
 

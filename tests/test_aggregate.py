@@ -639,3 +639,37 @@ def test_negative_sample_contract(spark):
     assert len(by_user[1]) == 3 and len(by_user[2]) == 3
     assert not {10, 11} & set(by_user[1])
     assert 10 not in by_user[2]
+
+
+def test_negative_sample_thinned_path_is_exact(spark):
+    """Catalog (500 items) above the thinning cutoff (2 * max(64, 8k)):
+    the hash-thinned shape must return exactly what a full ranking would
+    — including for a user whose positives saturate the catalog (498 of
+    500: thinned survivors < k, so the short-user fallback re-ranks the
+    full catalog and returns the only 2 legal negatives)."""
+    import hashlib
+
+    from hadoop_1_spark.operators import sampling
+
+    items = list(range(1000, 1500))
+    pos_rows = [(1, 1000), (1, 1001), (2, 1250)]
+    # user 3: every item except the last two is a positive
+    pos_rows += [(3, i) for i in items[:-2]]
+    pos = spark.createDataFrame(pos_rows, "user_id long, item long")
+    uni = spark.createDataFrame([(i,) for i in items], "item long")
+    got = sorted(
+        map(tuple, sampling.negative_sample(pos, uni, k=3).collect())
+    )
+
+    def md5(u: int, i: int) -> str:
+        return hashlib.md5(f":{u}:{i}".encode()).hexdigest()
+
+    want = []
+    by_user = {}
+    for u, i in pos_rows:
+        by_user.setdefault(u, set()).add(i)
+    for u, p in by_user.items():
+        ranked = sorted((md5(u, i), i) for i in items if i not in p)
+        want += [(u, i, r + 1) for r, (_, i) in enumerate(ranked[:3])]
+    assert got == sorted(want)
+    assert sum(1 for u, _, _ in got if u == 3) == 2  # only 2 legal negatives
