@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "embedding_pq_codes",      # product-quantization codebooks (4x16)
     "sim_pq_topk",             # PQ asymmetric-distance scan + exact rerank
     "sim_pq_topk_scan",        # same scan over a parked index (scan-only cost)
+    "recordio_roundtrip",      # .jr record codec round-trip (CSV + binary)
 ]
 
 

@@ -85,6 +85,7 @@ from hadoop_1_spark.queries import (  # noqa: E402,F401
     q_join,
     q_multimodal,
     q_pipelines,
+    q_recordio,
     q_setops,
     q_similarity,
     q_sort,
