@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "sim_pq_topk",             # PQ asymmetric-distance scan + exact rerank
     "sim_pq_topk_scan",        # same scan over a parked index (scan-only cost)
     "recordio_roundtrip",      # .jr record codec round-trip (CSV + binary)
+    "pipe_typedbytes_kv",      # -io typedbytes external-process leg
 ]
 
 

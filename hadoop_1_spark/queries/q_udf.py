@@ -177,3 +177,36 @@ def udtf_tag_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.select(
         "doc_id", F.col("pos"), F.col("token"), F.col("tok_len")
     )
+
+
+@register(
+    "pipe_typedbytes_kv",
+    oracle="""
+SELECT upper(source) AS key,
+       CAST(count(*) AS BIGINT) AS n,
+       min(CAST(doc_id AS VARCHAR)) AS min_doc
+FROM documents
+GROUP BY 1
+""",
+)
+def pipe_typedbytes_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`-io typedbytes` end-to-end (round-5 verdict #6): (doc_id, source)
+    rows framed as typedbytes VECTOR records into an external script that
+    speaks the wire format with its OWN struct-level implementation
+    (ext/tb_upper_kv.py — no shared code with the engine codec), whose
+    typedbytes output is decoded back with the streaming (key, value)
+    contract; reduce = Catalyst count/min. Any framing asymmetry breaks
+    the oracle hash. Reference: contrib/streaming typedbytes
+    Type.java:27-37, TypedBytesOutputReader."""
+    import sys
+
+    from hadoop_1_spark.ext import asset_path
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    kv = pipes.subprocess_map_typedbytes(
+        docs, [sys.executable, asset_path("tb_upper_kv.py")]
+    )
+    return kv.groupBy(F.col("key")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("value").alias("min_doc"),
+    )

@@ -63,3 +63,11 @@ def test_udtf_tag_spans_matches_oracle(spark, duck):
     from tests.conftest import assert_query_matches_oracle
 
     assert_query_matches_oracle(spark, duck, "udtf_tag_spans")
+
+
+def test_pipe_typedbytes_kv_matches_oracle(spark, duck):
+    """End-to-end -io typedbytes leg: engine encoder -> independent
+    struct-level script decoder/encoder -> engine decoder, hash-checked."""
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "pipe_typedbytes_kv")
