@@ -438,3 +438,91 @@ def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _load(spark, sf_dir, "events")
     return skew.skew_key_report(ev, "event_type", top_n=10, target_rows_per_task=5000)
+
+
+@register(
+    "history_parse_roundtrip",
+    oracle="""
+SELECT CASE WHEN event_id % 2 = 0 THEN 'MAP' ELSE 'REDUCE' END AS task_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(k, 0.5), 6) AS p50_runtime,
+       CAST(sum(user_id) AS BIGINT) AS counter_sum,
+       TRUE AS all_state_ok
+FROM (SELECT event_id, user_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+WHERE k IS NOT NULL
+GROUP BY 1
+""",
+)
+def history_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JobHistory grammar end-to-end (mapred/JobHistory.java line format
+    + mapred/Counters.java compact counters): every events row is written
+    as a Task record — TASKID, TASK_TYPE, START/FINISH_TIME, a
+    STATE_STRING packed with every escaped character class ('"', '=',
+    '.', backslash), and a COUNTERS compact string carrying user_id —
+    then parsed back with the real parser inside the same Arrow batch.
+    Aggregates (runtime CDF point, counter sums) come from the PARSED
+    records; all_state_ok asserts the nasty string survived. The oracle
+    recomputes from the table directly, so any grammar asymmetry
+    hash-mismatches. See operators/jobhistory.py."""
+    import pandas as pd
+
+    from hadoop_1_spark.operators import jobhistory as jh
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .select(
+            "event_id", "user_id", "event_type",
+            F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"),
+            F.unix_millis(F.col("ts")).alias("start_ms"),
+        )
+        .where(F.col("k").isNotNull())
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            types, runtimes, csums, oks = [], [], [], []
+            for eid, uid, etype, k, start in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"],
+                pdf["k"], pdf["start_ms"],
+            ):
+                eid, uid, k, start = int(eid), int(uid), int(k), int(start)
+                ttype = "MAP" if eid % 2 == 0 else "REDUCE"
+                state = f'{etype} q="v" a=b c.d\\e.'
+                rec = jh.format_record("Task", {
+                    "TASKID": f"task_{eid}",
+                    "TASK_TYPE": ttype,
+                    "START_TIME": str(start),
+                    "FINISH_TIME": str(start + k),
+                    "STATE_STRING": state,
+                    "COUNTERS": jh.make_counters_compact(
+                        [("org.example.G{r}[a]", "USERS(x)", uid)]
+                    ),
+                })
+                parsed = jh.parse_records(rec + "\n")
+                assert len(parsed) == 1 and parsed[0][0] == "Task"
+                kv = parsed[0][1]
+                counters = jh.parse_counters(kv["COUNTERS"])
+                types.append(kv["TASK_TYPE"])
+                runtimes.append(int(kv["FINISH_TIME"]) - int(kv["START_TIME"]))
+                csums.append(sum(v for _, _, v in counters))
+                oks.append(
+                    kv["STATE_STRING"] == state
+                    and counters == [("org.example.G{r}[a]", "USERS(x)", uid)]
+                )
+            yield pd.DataFrame({
+                "task_type": types, "runtime": runtimes,
+                "cval": csums, "ok": oks,
+            })
+
+    parsed = ev.mapInPandas(
+        roundtrip,
+        schema="task_type string, runtime bigint, cval bigint, ok boolean",
+    )
+    return parsed.groupBy("task_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.percentile(F.col("runtime"), F.lit(0.5)), 6).alias("p50_runtime"),
+        F.sum("cval").cast("long").alias("counter_sum"),
+        F.bool_and("ok").alias("all_state_ok"),
+    )

@@ -117,6 +117,11 @@ QUERIES = [
     "events_negative_sample",
     "embedding_pq_codes",
     "sim_pq_topk",
+    # round-6 block
+    "sim_pq_topk_scan",
+    "recordio_roundtrip",
+    "pipe_typedbytes_kv",
+    "history_parse_roundtrip",
 ]
 
 
