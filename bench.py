@@ -143,6 +143,9 @@ BENCH_QUERIES = [
     "tpch_q3_topk",            # TPC-H Q3 star join + decimal-exact top-10
     "tpch_q5_local_volume",    # TPC-H Q5 six-way snowflake join
     "tpch_q18_large_orders",   # TPC-H Q18 HAVING semi-join
+    "tpch_q6_forecast",        # TPC-H Q6 pure pushed-filter scan-agg
+    "tpch_q10_returns",        # TPC-H Q10 returned-item top-20
+    "tpch_q14_promo",          # TPC-H Q14 conditional revenue share
     "corpus_ccnet_mix",        # CCNet lang x perplexity-bucket mix report
     "corpus_split_leak_report",# winnowing train/eval contamination audit
     "mm_audio_chunks",         # strided ASR chunk plan (metadata-only)

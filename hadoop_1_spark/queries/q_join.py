@@ -616,3 +616,178 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name", "c_custkey", "o_orderkey", "orderdate_us",
         F.col("_tp").cast("string").alias("totalprice"), "sum_qty",
     )
+
+
+Q6_LO_US = 852076800000000   # 1997-01-01 UTC, epoch micros
+Q6_HI_US = 883612800000000   # 1998-01-01 UTC
+Q6_QTY = 24
+
+
+@register(
+    "tpch_q6_forecast",
+    oracle=f"""
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8))
+            AS VARCHAR) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE epoch_us(l_shipdate) >= {Q6_LO_US}
+  AND epoch_us(l_shipdate) < {Q6_HI_US}
+  AND CAST(l_discount AS DECIMAL(18,4)) BETWEEN 0.05 AND 0.07
+  AND CAST(l_quantity AS DECIMAL(18,4)) < {Q6_QTY}
+""",
+)
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-aggregate —
+    three range predicates (ship year, discount band, quantity cap) and
+    one decimal-exact product sum, no join, no group. The benchmark's
+    filter-pushdown shape: all three predicates reach the parquet scan
+    and the aggregation is a single map-side-combined fold.
+
+    Shape at 100 TB: one pass over lineitem, partial aggregation per
+    partition, one 1-row exchange."""
+    li = _load(spark, sf_dir, "lineitem")
+    dp = F.col("l_extendedprice").cast("decimal(18,4)")
+    dd = F.col("l_discount").cast("decimal(18,4)")
+    dq = F.col("l_quantity").cast("decimal(18,4)")
+    return (
+        li.where(
+            (F.unix_micros(F.col("l_shipdate")) >= Q6_LO_US)
+            & (F.unix_micros(F.col("l_shipdate")) < Q6_HI_US)
+            & dd.between(0.05, 0.07)
+            & (dq < Q6_QTY)
+        )
+        .agg(
+            F.sum(dp * dd).cast("decimal(38,8)").cast("string").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+Q10_LO_US = 867715200000000  # 1997-07-01 UTC, epoch micros
+Q10_HI_US = 875664000000000  # 1997-10-01 UTC
+Q10_K = 20
+
+
+@register(
+    "tpch_q10_returns",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8))
+            AS VARCHAR) AS revenue,
+       CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS VARCHAR) AS acctbal,
+       n_name,
+       CAST(row_number() OVER (
+            ORDER BY CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) DESC,
+                     c_custkey ASC) AS INT) AS rank
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND epoch_us(o_orderdate) >= {Q10_LO_US}
+  AND epoch_us(o_orderdate) < {Q10_HI_US}
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+QUALIFY rank <= {Q10_K}
+""",
+)
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): quarter-windowed orders x
+    returned lineitems attributed back to customers and their nation —
+    the lost-revenue ranking. Top-20 by decimal-exact revenue with the
+    c_custkey tiebreak making the LIMIT boundary deterministic.
+
+    Shape at 100 TB: the returnflag filter pushes to the lineitem scan,
+    the date window to orders; nation broadcasts; the top-20 is a
+    TakeOrdered over the grouped relation, never a global sort."""
+    from pyspark.sql.window import Window
+
+    cu = _load(spark, sf_dir, "customer")
+    od = _load(spark, sf_dir, "orders").where(
+        (F.unix_micros(F.col("o_orderdate")) >= Q10_LO_US)
+        & (F.unix_micros(F.col("o_orderdate")) < Q10_HI_US)
+    )
+    li = _load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    na = _load(spark, sf_dir, "nation")
+    dp = F.col("l_extendedprice").cast("decimal(18,4)")
+    dd = F.col("l_discount").cast("decimal(18,4)")
+    g = (
+        cu.join(od, cu["c_custkey"] == od["o_custkey"])
+        .join(li, od["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy(
+            "c_custkey", "c_name",
+            F.col("c_acctbal").cast("decimal(18,4)").alias("_ab"),
+            "n_name",
+        )
+        .agg(F.sum(dp * (F.lit(1) - dd)).cast("decimal(38,8)").alias("_rev"))
+    )
+    top = g.orderBy(F.desc("_rev"), F.asc("c_custkey")).limit(Q10_K)
+    w = Window.orderBy(F.desc("_rev"), F.asc("c_custkey"))
+    return top.select(
+        "c_custkey", "c_name",
+        F.col("_rev").cast("string").alias("revenue"),
+        F.col("_ab").cast("string").alias("acctbal"),
+        "n_name",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+Q14_LO_US = 873072000000000  # 1997-09-01 UTC, epoch micros
+Q14_HI_US = 875664000000000  # 1997-10-01 UTC
+
+
+@register(
+    "tpch_q14_promo",
+    oracle=f"""
+SELECT CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                          THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                               * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                          ELSE 0 END) AS DECIMAL(38,8)) AS VARCHAR) AS promo_revenue,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8))
+            AS VARCHAR) AS total_revenue,
+       round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                   * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                              ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6)
+         AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE epoch_us(l_shipdate) >= {Q14_LO_US}
+  AND epoch_us(l_shipdate) < {Q14_HI_US}
+""",
+)
+def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): month-windowed lineitem x part with
+    a conditional revenue split — promo share of revenue. Numerator and
+    denominator ship as decimal-exact strings; the percentage is the one
+    double division, rounded to 6 (both engines divide the identical
+    decimal-exact sums, so the quotient bits match).
+
+    Shape at 100 TB: the date window pushes to the lineitem scan; part
+    joins on partkey (broadcast under AQE when the projected two columns
+    fit); one 1-row aggregation."""
+    li = _load(spark, sf_dir, "lineitem").where(
+        (F.unix_micros(F.col("l_shipdate")) >= Q14_LO_US)
+        & (F.unix_micros(F.col("l_shipdate")) < Q14_HI_US)
+    )
+    pa = _load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dp = F.col("l_extendedprice").cast("decimal(18,4)")
+    dd = F.col("l_discount").cast("decimal(18,4)")
+    rev = dp * (F.lit(1) - dd)
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    agg = li.join(pa, li["l_partkey"] == pa["p_partkey"]).agg(
+        F.sum(promo).cast("decimal(38,8)").alias("_pr"),
+        F.sum(rev).cast("decimal(38,8)").alias("_tr"),
+    )
+    return agg.select(
+        F.col("_pr").cast("string").alias("promo_revenue"),
+        F.col("_tr").cast("string").alias("total_revenue"),
+        F.round(
+            F.lit(100.0) * F.col("_pr").cast("double") / F.col("_tr").cast("double"), 6
+        ).alias("promo_pct"),
+    )

@@ -122,6 +122,9 @@ QUERIES = [
     "recordio_roundtrip",
     "pipe_typedbytes_kv",
     "history_parse_roundtrip",
+    "tpch_q6_forecast",
+    "tpch_q10_returns",
+    "tpch_q14_promo",
 ]
 
 

