@@ -43,27 +43,26 @@ _PAIR_RE = re.compile(r'(\w+)="((?:\\.|[^"\\])*)"')
 _COUNTER_ESCAPES = ("{", "}", "[", "]", "(", ")")
 
 
+_ESCAPE_TABLE = {ord(c): ESCAPE_CHAR + c for c in (ESCAPE_CHAR,) + CHARS_TO_ESCAPE}
+_UNESCAPE_RE = re.compile(r"\\(.)", re.DOTALL)
+
+
 def escape_string(s: str, chars: tuple[str, ...] = CHARS_TO_ESCAPE) -> str:
     """StringUtils.escapeString parity: backslash-escape the escape char
-    itself and every char in ``chars``."""
-    out = []
-    for c in s:
-        if c == ESCAPE_CHAR or c in chars:
-            out.append(ESCAPE_CHAR)
-        out.append(c)
-    return "".join(out)
+    itself and every char in ``chars`` (one C-level translate pass for
+    the default char set — this runs per record in the write seam)."""
+    if chars is CHARS_TO_ESCAPE:
+        return s.translate(_ESCAPE_TABLE)
+    table = {ord(c): ESCAPE_CHAR + c for c in (ESCAPE_CHAR,) + chars}
+    return s.translate(table)
 
 
 def unescape_string(s: str, chars: tuple[str, ...] = CHARS_TO_ESCAPE) -> str:
-    out, i = [], 0
-    while i < len(s):
-        if s[i] == ESCAPE_CHAR and i + 1 < len(s):
-            out.append(s[i + 1])
-            i += 2
-        else:
-            out.append(s[i])
-            i += 1
-    return "".join(out)
+    """Inverse: drop each backslash, keep the escaped char (chars is
+    accepted for signature parity — any escaped char unescapes)."""
+    if ESCAPE_CHAR not in s:
+        return s
+    return _UNESCAPE_RE.sub(r"\1", s)
 
 
 def format_record(rec_type: str, kv: dict[str, str]) -> str:
