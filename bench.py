@@ -146,6 +146,11 @@ BENCH_QUERIES = [
     "tpch_q6_forecast",        # TPC-H Q6 pure pushed-filter scan-agg
     "tpch_q10_returns",        # TPC-H Q10 returned-item top-20
     "tpch_q14_promo",          # TPC-H Q14 conditional revenue share
+    "tpch_q7_nation_volume",   # TPC-H Q7 double-nation-role join
+    "tpch_q8_market_share",    # TPC-H Q8 widest snowflake + share
+    "tpch_q13_order_distribution",  # TPC-H Q13 outer-join count histogram
+    "tpch_q15_top_supplier",   # TPC-H Q15 view + scalar-max subquery
+    "tpch_q17_small_quantity", # TPC-H Q17 decorrelated 0.2*avg filter
     "corpus_ccnet_mix",        # CCNet lang x perplexity-bucket mix report
     "corpus_split_leak_report",# winnowing train/eval contamination audit
     "mm_audio_chunks",         # strided ASR chunk plan (metadata-only)

@@ -791,3 +791,314 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0) * F.col("_pr").cast("double") / F.col("_tr").cast("double"), 6
         ).alias("promo_pct"),
     )
+
+
+Q7_N1, Q7_N2 = "NATION_1", "NATION_2"
+Q7_LO_US = 820454400000000  # 1996-01-01 UTC, epoch micros
+Q7_HI_US = 883612800000000  # 1998-01-01 UTC
+
+
+@register(
+    "tpch_q7_nation_volume",
+    oracle=f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8))
+            AS VARCHAR) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ((ns.n_name = '{Q7_N1}' AND nc.n_name = '{Q7_N2}')
+    OR (ns.n_name = '{Q7_N2}' AND nc.n_name = '{Q7_N1}'))
+  AND epoch_us(l_shipdate) >= {Q7_LO_US}
+  AND epoch_us(l_shipdate) < {Q7_HI_US}
+GROUP BY 1, 2, 3
+""",
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bidirectional trade volume between two
+    nations by ship year — the double-nation-dimension join (the nation
+    table joins TWICE under different roles, supplier's and customer's,
+    with a disjunctive cross-role predicate).
+
+    Shape at 100 TB: both nation legs broadcast; the OR predicate
+    evaluates after the two cheap dimension joins, never widening the
+    fact-side shuffle; the date window pushes to the lineitem scan."""
+    su = _load(spark, sf_dir, "supplier")
+    li = _load(spark, sf_dir, "lineitem").where(
+        (F.unix_micros(F.col("l_shipdate")) >= Q7_LO_US)
+        & (F.unix_micros(F.col("l_shipdate")) < Q7_HI_US)
+    )
+    od = _load(spark, sf_dir, "orders")
+    cu = _load(spark, sf_dir, "customer")
+    na = _load(spark, sf_dir, "nation")
+    ns = na.select(
+        F.col("n_nationkey").alias("_ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = na.select(
+        F.col("n_nationkey").alias("_nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    dp = F.col("l_extendedprice").cast("decimal(18,4)")
+    dd = F.col("l_discount").cast("decimal(18,4)")
+    j = (
+        su.join(li, su["s_suppkey"] == li["l_suppkey"])
+        .join(od, od["o_orderkey"] == li["l_orderkey"])
+        .join(cu, cu["c_custkey"] == od["o_custkey"])
+        .join(F.broadcast(ns), su["s_nationkey"] == F.col("_ns_key"))
+        .join(F.broadcast(nc), cu["c_nationkey"] == F.col("_nc_key"))
+        .where(
+            ((F.col("supp_nation") == Q7_N1) & (F.col("cust_nation") == Q7_N2))
+            | ((F.col("supp_nation") == Q7_N2) & (F.col("cust_nation") == Q7_N1))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation",
+        F.year(F.col("l_shipdate")).cast("int").alias("l_year"),
+    ).agg(
+        F.sum(dp * (F.lit(1) - dd)).cast("decimal(38,8)").cast("string").alias("revenue")
+    )
+
+
+Q8_REGION = "AMERICA"
+Q8_NATION = "NATION_1"
+Q8_TYPE = "ECONOMY"
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(CAST(sum(CASE WHEN ns.n_name = '{Q8_NATION}'
+                          THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                               * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                          ELSE 0 END) AS DECIMAL(38,8)) AS VARCHAR) AS nation_volume,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8))
+            AS VARCHAR) AS total_volume,
+       round(CAST(sum(CASE WHEN ns.n_name = '{Q8_NATION}'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                           * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                      ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6)
+         AS mkt_share
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey
+WHERE r_name = '{Q8_REGION}'
+  AND p_type = '{Q8_TYPE}'
+  AND epoch_us(o_orderdate) >= {Q7_LO_US}
+  AND epoch_us(o_orderdate) < {Q7_HI_US}
+GROUP BY 1
+""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): a supplier nation's share of a
+    region's order volume for one part type, by order year — the widest
+    snowflake in the suite (part, lineitem, orders, customer, supplier,
+    two nation roles, region). Numerator/denominator ship decimal-exact;
+    the share is one rounded double division of identical sums.
+
+    Shape at 100 TB: part-type and region filters push to leaf scans,
+    dimensions broadcast; only lineitem/orders/customer shuffle."""
+    pa = _load(spark, sf_dir, "part").where(F.col("p_type") == Q8_TYPE)
+    li = _load(spark, sf_dir, "lineitem")
+    od = _load(spark, sf_dir, "orders").where(
+        (F.unix_micros(F.col("o_orderdate")) >= Q7_LO_US)
+        & (F.unix_micros(F.col("o_orderdate")) < Q7_HI_US)
+    )
+    cu = _load(spark, sf_dir, "customer")
+    su = _load(spark, sf_dir, "supplier")
+    na = _load(spark, sf_dir, "nation")
+    re = _load(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
+    ns = na.select(
+        F.col("n_nationkey").alias("_ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = na.select(
+        F.col("n_nationkey").alias("_nc_key"), F.col("n_regionkey").alias("_nc_reg")
+    )
+    dp = F.col("l_extendedprice").cast("decimal(18,4)")
+    dd = F.col("l_discount").cast("decimal(18,4)")
+    vol = dp * (F.lit(1) - dd)
+    nvol = F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(F.lit(0))
+    j = (
+        F.broadcast(pa).join(li, pa["p_partkey"] == li["l_partkey"])
+        .join(od, od["o_orderkey"] == li["l_orderkey"])
+        .join(cu, cu["c_custkey"] == od["o_custkey"])
+        .join(su, su["s_suppkey"] == li["l_suppkey"])
+        .join(F.broadcast(ns), su["s_nationkey"] == F.col("_ns_key"))
+        .join(F.broadcast(nc), cu["c_nationkey"] == F.col("_nc_key"))
+        .join(F.broadcast(re), F.col("_nc_reg") == re["r_regionkey"])
+    )
+    g = j.groupBy(F.year(F.col("o_orderdate")).cast("int").alias("o_year")).agg(
+        F.sum(nvol).cast("decimal(38,8)").alias("_nv"),
+        F.sum(vol).cast("decimal(38,8)").alias("_tv"),
+    )
+    return g.select(
+        "o_year",
+        F.col("_nv").cast("string").alias("nation_volume"),
+        F.col("_tv").cast("string").alias("total_volume"),
+        F.round(F.col("_nv").cast("double") / F.col("_tv").cast("double"), 6).alias("mkt_share"),
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    oracle="""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS INT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution): LEFT-join count per
+    customer (zero-order customers MUST appear — the outer-join-then-
+    count-non-null idiom), then the histogram of those counts. (The
+    reference query's o_comment NOT LIKE filter is dropped: the fixture
+    has no o_comment column; the join/distribution shape is the point.)
+
+    Shape at 100 TB: one equi-join shuffle on custkey with map-side
+    partial counts, then a bounded second aggregation (distinct order
+    counts are O(hundreds))."""
+    cu = _load(spark, sf_dir, "customer").select("c_custkey")
+    od = _load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per = (
+        cu.join(od, cu["c_custkey"] == od["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("int").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+Q15_LO_US = 852076800000000  # 1997-01-01 UTC, epoch micros
+Q15_HI_US = 859852800000000  # 1997-04-01 UTC
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8))
+           AS total_revenue
+  FROM lineitem
+  WHERE epoch_us(l_shipdate) >= {Q15_LO_US}
+    AND epoch_us(l_shipdate) < {Q15_HI_US}
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS VARCHAR) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the view-then-scalar-subquery shape —
+    quarterly revenue per supplier, keep the supplier(s) AT the maximum
+    (ties all returned, per the spec; decimal equality is exact so the
+    boundary is deterministic).
+
+    Shape at 100 TB: the revenue relation is supplier-sized; its max is
+    a 1-row broadcast joined back — the view is computed ONCE and read
+    twice via persist, not recomputed per leg."""
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    li = _load(spark, sf_dir, "lineitem").where(
+        (F.unix_micros(F.col("l_shipdate")) >= Q15_LO_US)
+        & (F.unix_micros(F.col("l_shipdate")) < Q15_HI_US)
+    )
+    dp = F.col("l_extendedprice").cast("decimal(18,4)")
+    dd = F.col("l_discount").cast("decimal(18,4)")
+    rev = persist_tracked(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.sum(dp * (F.lit(1) - dd)).cast("decimal(38,8)").alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    su = _load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == mx["_mx"])
+        .join(su, su["s_suppkey"] == rev["supplier_no"])
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_revenue").cast("string").alias("total_revenue"),
+        )
+    )
+
+
+Q17_BRAND = "Brand#23"
+
+
+@register(
+    "tpch_q17_small_quantity",
+    oracle=f"""
+WITH pl AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+),
+avgq AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sq,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM pl GROUP BY 1
+)
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,8))
+            AS VARCHAR) AS sum_extprice,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 6)
+         AS avg_yearly
+FROM pl JOIN avgq USING (l_partkey)
+WHERE CAST(l_quantity AS DECIMAL(18,4)) * 5 * cnt < sq
+""",
+)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the correlated scalar
+    subquery — keep lineitems whose quantity is under 20% of their
+    part's average. Decorrelated to a per-part aggregate + self-join
+    (what Catalyst does to the correlated form), with the 0.2*avg
+    comparison made EXACT by cross-multiplying: qty < 0.2*(sum/cnt)
+    <=> 5*qty*cnt < sum — no division, pure decimal/integer arithmetic,
+    so the boundary rows match the oracle bit-for-bit. (The reference
+    query's p_container filter is dropped: no such column; brand alone
+    keeps the shape.)
+
+    Shape at 100 TB: part-brand filter pushes into the broadcast part
+    leg; ONE shuffle on l_partkey feeds both the per-part aggregate and
+    the rejoin (same key). Output is a 1-row summary."""
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    pa = _load(spark, sf_dir, "part").where(F.col("p_brand") == Q17_BRAND)
+    li = _load(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,4)")
+    pl = persist_tracked(
+        li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"]).select(
+            "l_partkey", "l_quantity", "l_extendedprice"
+        )
+    )
+    avgq = pl.groupBy("l_partkey").agg(
+        F.sum(dq).cast("decimal(38,4)").alias("sq"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    dp = F.col("l_extendedprice").cast("decimal(18,4)")
+    j = pl.join(avgq, "l_partkey").where(dq * 5 * F.col("cnt") < F.col("sq"))
+    return j.agg(
+        F.sum(dp).cast("decimal(38,8)").cast("string").alias("sum_extprice"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(F.sum(dp).cast("double") / F.lit(7.0), 6).alias("avg_yearly"),
+    )

@@ -125,6 +125,11 @@ QUERIES = [
     "tpch_q6_forecast",
     "tpch_q10_returns",
     "tpch_q14_promo",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
 ]
 
 

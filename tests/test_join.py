@@ -355,3 +355,42 @@ def test_tpch_q14_pct_consistent(spark):
     pr, tr = Decimal(r["promo_revenue"]), Decimal(r["total_revenue"])
     assert 0 < pr < tr
     assert abs(float(100 * pr / tr) - r["promo_pct"]) < 1e-5
+
+
+def test_tpch_q7_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "tpch_q7_nation_volume")
+
+
+def test_tpch_q8_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "tpch_q8_market_share")
+
+
+def test_tpch_q13_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "tpch_q13_order_distribution")
+
+
+def test_tpch_q13_zero_order_customers_present(spark):
+    """The LEFT join must surface customers with no orders as c_count=0
+    whenever such customers exist (outer-join-then-count idiom)."""
+    from hadoop_1_spark import registry
+    from tests.conftest import SF_DIR
+
+    rows = {r["c_count"]: r["custdist"]
+            for r in registry.QUERIES["tpch_q13_order_distribution"](spark, SF_DIR).collect()}
+    import duckdb
+
+    con = duckdb.connect()
+    zero = con.execute(
+        f"""SELECT count(*) FROM read_parquet('{SF_DIR}/customer.parquet') c
+            WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{SF_DIR}/orders.parquet') o
+                              WHERE o.o_custkey = c.c_custkey)"""
+    ).fetchone()[0]
+    assert rows.get(0, 0) == zero
+
+
+def test_tpch_q15_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "tpch_q15_top_supplier")
+
+
+def test_tpch_q17_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "tpch_q17_small_quantity")
