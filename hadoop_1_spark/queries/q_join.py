@@ -420,6 +420,7 @@ def sample_universe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SEGMENT = "BUILDING"
 Q3_CUT_US = 896659200000000  # 1998-06-01 UTC, epoch micros
+Q3_CUT_TS = "1998-06-01 00:00:00"
 Q3_K = 10
 
 
@@ -440,8 +441,8 @@ FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = '{Q3_SEGMENT}'
-  AND epoch_us(o_orderdate) < {Q3_CUT_US}
-  AND epoch_us(l_shipdate) > {Q3_CUT_US}
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 QUALIFY rank <= {Q3_K}
 """,
@@ -463,10 +464,10 @@ def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cu = _load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == Q3_SEGMENT)
     od = _load(spark, sf_dir, "orders").where(
-        F.unix_micros(F.col("o_orderdate")) < Q3_CUT_US
+        F.col("o_orderdate") < F.lit(Q3_CUT_TS).cast("timestamp_ntz")
     )
     li = _load(spark, sf_dir, "lineitem").where(
-        F.unix_micros(F.col("l_shipdate")) > Q3_CUT_US
+        F.col("l_shipdate") > F.lit(Q3_CUT_TS).cast("timestamp_ntz")
     )
     dp = F.col("l_extendedprice").cast("decimal(18,4)")
     dd = F.col("l_discount").cast("decimal(18,4)")
@@ -495,7 +496,9 @@ def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_REGION = "ASIA"
 Q5_LO_US = 820454400000000  # 1996-01-01 UTC, epoch micros
+Q5_LO_TS = "1996-01-01 00:00:00"
 Q5_HI_US = 852076800000000  # 1997-01-01 UTC
+Q5_HI_TS = "1997-01-01 00:00:00"
 
 
 @register(
@@ -512,8 +515,8 @@ JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = '{Q5_REGION}'
-  AND epoch_us(o_orderdate) >= {Q5_LO_US}
-  AND epoch_us(o_orderdate) < {Q5_HI_US}
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
 """,
 )
@@ -531,8 +534,8 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters outside join conditions."""
     cu = _load(spark, sf_dir, "customer")
     od = _load(spark, sf_dir, "orders").where(
-        (F.unix_micros(F.col("o_orderdate")) >= Q5_LO_US)
-        & (F.unix_micros(F.col("o_orderdate")) < Q5_HI_US)
+        (F.col("o_orderdate") >= F.lit(Q5_LO_TS).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(Q5_HI_TS).cast("timestamp_ntz"))
     )
     li = _load(spark, sf_dir, "lineitem")
     su = _load(spark, sf_dir, "supplier")
@@ -619,7 +622,9 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q6_LO_US = 852076800000000   # 1997-01-01 UTC, epoch micros
+Q6_LO_TS = "1997-01-01 00:00:00"
 Q6_HI_US = 883612800000000   # 1998-01-01 UTC
+Q6_HI_TS = "1998-01-01 00:00:00"
 Q6_QTY = 24
 
 
@@ -631,10 +636,10 @@ SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
             AS VARCHAR) AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem
-WHERE epoch_us(l_shipdate) >= {Q6_LO_US}
-  AND epoch_us(l_shipdate) < {Q6_HI_US}
-  AND CAST(l_discount AS DECIMAL(18,4)) BETWEEN 0.05 AND 0.07
-  AND CAST(l_quantity AS DECIMAL(18,4)) < {Q6_QTY}
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+  AND l_quantity < {Q6_QTY}
 """,
 )
 def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,13 +654,16 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _load(spark, sf_dir, "lineitem")
     dp = F.col("l_extendedprice").cast("decimal(18,4)")
     dd = F.col("l_discount").cast("decimal(18,4)")
-    dq = F.col("l_quantity").cast("decimal(18,4)")
     return (
         li.where(
-            (F.unix_micros(F.col("l_shipdate")) >= Q6_LO_US)
-            & (F.unix_micros(F.col("l_shipdate")) < Q6_HI_US)
-            & dd.between(0.05, 0.07)
-            & (dq < Q6_QTY)
+            (F.col("l_shipdate") >= F.lit(Q6_LO_TS).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(Q6_HI_TS).cast("timestamp_ntz"))
+            # raw-double comparisons so all three predicates PUSH to the
+            # parquet scan (a decimal cast would block row-group skipping;
+            # both engines compare the same stored double to the same
+            # double literal, so the boundary is still engine-identical)
+            & F.col("l_discount").between(F.lit(0.05), F.lit(0.07))
+            & (F.col("l_quantity") < F.lit(float(Q6_QTY)))
         )
         .agg(
             F.sum(dp * dd).cast("decimal(38,8)").cast("string").alias("revenue"),
@@ -665,7 +673,9 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q10_LO_US = 867715200000000  # 1997-07-01 UTC, epoch micros
+Q10_LO_TS = "1997-07-01 00:00:00"
 Q10_HI_US = 875664000000000  # 1997-10-01 UTC
+Q10_HI_TS = "1997-10-01 00:00:00"
 Q10_K = 20
 
 
@@ -687,8 +697,8 @@ JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 JOIN nation ON c_nationkey = n_nationkey
 WHERE l_returnflag = 'R'
-  AND epoch_us(o_orderdate) >= {Q10_LO_US}
-  AND epoch_us(o_orderdate) < {Q10_HI_US}
+  AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 QUALIFY rank <= {Q10_K}
 """,
@@ -706,8 +716,8 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cu = _load(spark, sf_dir, "customer")
     od = _load(spark, sf_dir, "orders").where(
-        (F.unix_micros(F.col("o_orderdate")) >= Q10_LO_US)
-        & (F.unix_micros(F.col("o_orderdate")) < Q10_HI_US)
+        (F.col("o_orderdate") >= F.lit(Q10_LO_TS).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(Q10_HI_TS).cast("timestamp_ntz"))
     )
     li = _load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     na = _load(spark, sf_dir, "nation")
@@ -736,7 +746,9 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q14_LO_US = 873072000000000  # 1997-09-01 UTC, epoch micros
+Q14_LO_TS = "1997-09-01 00:00:00"
 Q14_HI_US = 875664000000000  # 1997-10-01 UTC
+Q14_HI_TS = "1997-10-01 00:00:00"
 
 
 @register(
@@ -757,8 +769,8 @@ SELECT CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
                         * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6)
          AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE epoch_us(l_shipdate) >= {Q14_LO_US}
-  AND epoch_us(l_shipdate) < {Q14_HI_US}
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
 """,
 )
 def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -772,8 +784,8 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins on partkey (broadcast under AQE when the projected two columns
     fit); one 1-row aggregation."""
     li = _load(spark, sf_dir, "lineitem").where(
-        (F.unix_micros(F.col("l_shipdate")) >= Q14_LO_US)
-        & (F.unix_micros(F.col("l_shipdate")) < Q14_HI_US)
+        (F.col("l_shipdate") >= F.lit(Q14_LO_TS).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(Q14_HI_TS).cast("timestamp_ntz"))
     )
     pa = _load(spark, sf_dir, "part").select("p_partkey", "p_type")
     dp = F.col("l_extendedprice").cast("decimal(18,4)")
@@ -795,7 +807,9 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q7_N1, Q7_N2 = "NATION_1", "NATION_2"
 Q7_LO_US = 820454400000000  # 1996-01-01 UTC, epoch micros
+Q7_LO_TS = "1996-01-01 00:00:00"
 Q7_HI_US = 883612800000000  # 1998-01-01 UTC
+Q7_HI_TS = "1998-01-01 00:00:00"
 
 
 @register(
@@ -814,8 +828,8 @@ JOIN nation ns ON s_nationkey = ns.n_nationkey
 JOIN nation nc ON c_nationkey = nc.n_nationkey
 WHERE ((ns.n_name = '{Q7_N1}' AND nc.n_name = '{Q7_N2}')
     OR (ns.n_name = '{Q7_N2}' AND nc.n_name = '{Q7_N1}'))
-  AND epoch_us(l_shipdate) >= {Q7_LO_US}
-  AND epoch_us(l_shipdate) < {Q7_HI_US}
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY 1, 2, 3
 """,
 )
@@ -830,8 +844,8 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-side shuffle; the date window pushes to the lineitem scan."""
     su = _load(spark, sf_dir, "supplier")
     li = _load(spark, sf_dir, "lineitem").where(
-        (F.unix_micros(F.col("l_shipdate")) >= Q7_LO_US)
-        & (F.unix_micros(F.col("l_shipdate")) < Q7_HI_US)
+        (F.col("l_shipdate") >= F.lit(Q7_LO_TS).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(Q7_HI_TS).cast("timestamp_ntz"))
     )
     od = _load(spark, sf_dir, "orders")
     cu = _load(spark, sf_dir, "customer")
@@ -896,8 +910,8 @@ JOIN nation nc ON c_nationkey = nc.n_nationkey
 JOIN region ON nc.n_regionkey = r_regionkey
 WHERE r_name = '{Q8_REGION}'
   AND p_type = '{Q8_TYPE}'
-  AND epoch_us(o_orderdate) >= {Q7_LO_US}
-  AND epoch_us(o_orderdate) < {Q7_HI_US}
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY 1
 """,
 )
@@ -913,8 +927,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = _load(spark, sf_dir, "part").where(F.col("p_type") == Q8_TYPE)
     li = _load(spark, sf_dir, "lineitem")
     od = _load(spark, sf_dir, "orders").where(
-        (F.unix_micros(F.col("o_orderdate")) >= Q7_LO_US)
-        & (F.unix_micros(F.col("o_orderdate")) < Q7_HI_US)
+        (F.col("o_orderdate") >= F.lit(Q7_LO_TS).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(Q7_HI_TS).cast("timestamp_ntz"))
     )
     cu = _load(spark, sf_dir, "customer")
     su = _load(spark, sf_dir, "supplier")
@@ -986,7 +1000,9 @@ def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q15_LO_US = 852076800000000  # 1997-01-01 UTC, epoch micros
+Q15_LO_TS = "1997-01-01 00:00:00"
 Q15_HI_US = 859852800000000  # 1997-04-01 UTC
+Q15_HI_TS = "1997-04-01 00:00:00"
 
 
 @register(
@@ -998,8 +1014,8 @@ WITH revenue AS (
                   * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8))
            AS total_revenue
   FROM lineitem
-  WHERE epoch_us(l_shipdate) >= {Q15_LO_US}
-    AND epoch_us(l_shipdate) < {Q15_HI_US}
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
   GROUP BY 1
 )
 SELECT s_suppkey, s_name, CAST(total_revenue AS VARCHAR) AS total_revenue
@@ -1019,8 +1035,8 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_1_spark.operators.caching import persist_tracked
 
     li = _load(spark, sf_dir, "lineitem").where(
-        (F.unix_micros(F.col("l_shipdate")) >= Q15_LO_US)
-        & (F.unix_micros(F.col("l_shipdate")) < Q15_HI_US)
+        (F.col("l_shipdate") >= F.lit(Q15_LO_TS).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(Q15_HI_TS).cast("timestamp_ntz"))
     )
     dp = F.col("l_extendedprice").cast("decimal(18,4)")
     dd = F.col("l_discount").cast("decimal(18,4)")
