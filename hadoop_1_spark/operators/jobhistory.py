@@ -78,7 +78,10 @@ def parse_records(text: str) -> list[tuple[str, dict[str, str]]]:
     to the previous record until one ends with an unescaped `` .``)."""
     records: list[tuple[str, dict[str, str]]] = []
     buf: list[str] = []
-    for line in text.splitlines():
+    # split on \r\n | \r | \n ONLY (Java LineReader's boundaries) — NOT
+    # str.splitlines(), which also breaks on \x0b/\x1c-\x1e/ /...
+    # and would corrupt values containing those control characters
+    for line in re.split(r"\r\n|\r|\n", text):
         buf.append(line)
         t = line.rstrip()
         if not t.endswith(LINE_DELIM) or t.endswith(ESCAPE_CHAR + LINE_DELIM):

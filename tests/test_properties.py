@@ -633,3 +633,137 @@ def test_lm_score_matches_python_replay(spark, train_texts, doc_texts):
         sinv = sum((D * 1_000_000) // (counts.get(tok, 0) + 1) for tok in toks)
         mean = sinv // max(len(toks), 1)
         assert got[i] == (len(toks), bits, mean), (i, t, got[i])
+
+
+# ---------------------------------------------------------------------------
+# Round-6 codecs: record I/O, typedbytes, JobHistory escaping, HAR hashing
+# (pure-Python wire codecs — no Spark session needed, so examples are cheap)
+
+from pyspark.sql.types import (  # noqa: E402
+    ArrayType, BinaryType, BooleanType, ByteType, DoubleType, IntegerType,
+    LongType, MapType, StringType, StructField, StructType,
+)
+
+from hadoop_1_spark.operators import jobhistory as jh  # noqa: E402
+from hadoop_1_spark.operators import typedbytes as tb  # noqa: E402
+from hadoop_1_spark.sources import har, recordio  # noqa: E402
+
+_REC_SCHEMA = StructType([
+    StructField("b", BooleanType()),
+    StructField("y", ByteType()),
+    StructField("i", IntegerType()),
+    StructField("l", LongType()),
+    StructField("d", DoubleType()),
+    StructField("s", StringType()),
+    StructField("buf", BinaryType()),
+    StructField("v", ArrayType(StringType())),
+    StructField("m", MapType(StringType(), LongType())),
+    StructField("n", StructType([StructField("x", StringType())])),
+])
+
+_rec_values = st.tuples(
+    st.booleans(),
+    st.integers(min_value=-128, max_value=127),
+    st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=20),
+    st.binary(max_size=16),
+    st.lists(st.text(max_size=8), max_size=4),
+    st.dictionaries(st.text(max_size=6), st.integers(-(2**40), 2**40), max_size=4),
+    st.tuples(st.text(max_size=10)),
+)
+
+
+@given(_rec_values)
+@settings(max_examples=120, deadline=None)
+def test_recordio_csv_roundtrip_property(val):
+    line = recordio.csv_encode(val, _REC_SCHEMA)
+    assert "\n" not in line and "\r" not in line  # line framing holds
+    assert recordio.csv_decode(line, _REC_SCHEMA) == val
+
+
+@given(_rec_values)
+@settings(max_examples=120, deadline=None)
+def test_recordio_binary_roundtrip_property(val):
+    buf = recordio.binary_encode(val, _REC_SCHEMA)
+    assert recordio.binary_decode(buf, _REC_SCHEMA) == val
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=200, deadline=None)
+def test_vlong_roundtrip_property(i):
+    out = bytearray()
+    recordio.write_vlong(out, i)
+    got, pos = recordio.read_vlong(bytes(out), 0)
+    assert got == i and pos == len(out)
+    # zero-compression invariant: small magnitudes are small encodings
+    if -112 <= i <= 127:
+        assert len(out) == 1
+
+
+_tb_value = st.recursive(
+    st.one_of(
+        st.booleans(),
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=12),
+        st.binary(max_size=12),
+    ),
+    lambda children: st.one_of(
+        st.lists(children, max_size=3),
+        st.tuples(children, children),
+        st.dictionaries(st.text(max_size=5), children, max_size=3),
+    ),
+    max_leaves=8,
+)
+
+
+@given(st.lists(_tb_value, max_size=5))
+@settings(max_examples=120, deadline=None)
+def test_typedbytes_stream_roundtrip_property(vals):
+    payload = b"".join(tb.encode(v) for v in vals)
+    assert tb.decode_all(payload) == vals
+
+
+@given(st.text(max_size=40), st.text(alphabet='ab"=.\\\n', max_size=20))
+@settings(max_examples=120, deadline=None)
+def test_jobhistory_record_roundtrip_property(plain, nasty):
+    """Round-trip up to the reference's own lossiness: Java's readLine +
+    append('\\n') reassembly normalizes \\r / \\r\\n boundaries inside
+    multi-line values to \\n (JobHistory.parseHistoryFromFS) — ours does
+    identically; everything else survives byte-exact."""
+    kv = {"A": plain, "B": nasty, "C": plain + nasty}
+    norm = {k: v.replace("\r\n", "\n").replace("\r", "\n") for k, v in kv.items()}
+    recs = jh.parse_records(jh.format_record("Task", kv) + "\n")
+    assert recs == [("Task", norm)]
+
+
+@given(st.lists(st.tuples(st.text(alphabet="ab{}[]()\\g", min_size=1, max_size=8),
+                          st.text(alphabet="ab{}[]()c", min_size=1, max_size=8),
+                          st.integers(-(2**40), 2**40)),
+                min_size=0, max_size=5))
+@settings(max_examples=100, deadline=None)
+def test_counters_compact_roundtrip_property(triples):
+    # group names must be unique per make/parse order contract
+    seen, uniq = set(), []
+    for g, c, v in triples:
+        if g not in seen:
+            seen.add(g)
+            uniq.append((g, c, v))
+    compact = jh.make_counters_compact(uniq)
+    assert jh.parse_counters(compact) == uniq
+
+
+@given(st.text(max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_har_hash_is_java_hashcode_masked(s):
+    h = 0
+    for c in s:
+        # same UTF-16 unit iteration Java uses
+        for unit in ([ord(c)] if ord(c) < 0x10000 else
+                     [0xD800 + ((ord(c) - 0x10000) >> 10),
+                      0xDC00 + ((ord(c) - 0x10000) & 0x3FF)]):
+            h = (31 * h + unit) & 0xFFFFFFFF
+    signed = h - (1 << 32) if h >= (1 << 31) else h
+    assert har.har_hash(s) == signed & 0x7FFFFFFF
