@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "mm_features",         # Arrow mapInPandas over binary blobs
     "rumen_cdf",           # JSON parse + percentile CDFs
     "stream_tumbling_counts",  # Structured Streaming windowed agg
+    "stream_outer_join",       # stream-stream LEFT OUTER interval join
     "pipe_wordcount",      # external-process mapper (API-overhead shape)
     "gridmix_three_stage",     # gridmix job-1: staged keep-% pipeline
     "gridmix_varkv_sort",      # gridmix job-2: variable-KV total-order sort

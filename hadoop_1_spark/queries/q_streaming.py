@@ -314,3 +314,41 @@ def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_s.p99_q6").alias("p99_q6"),
         )
     )
+
+
+@register(
+    "stream_outer_join",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+e AS (SELECT * FROM events WHERE event_type = 'error'),
+wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM e))
+              - INTERVAL 30 MINUTES AS w)
+SELECT p.event_id AS l_id, p.user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS l_ts_us,
+       e.event_id AS r_id,
+       CAST(epoch_us(e.ts) AS BIGINT) AS r_ts_us
+FROM p JOIN e
+  ON p.user_id = e.user_id
+ AND e.ts >= p.ts - INTERVAL 10 MINUTES AND e.ts <= p.ts
+UNION ALL
+SELECT p.event_id, p.user_id, CAST(epoch_us(p.ts) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM p, wm
+WHERE p.ts < wm.w
+  AND NOT EXISTS (SELECT 1 FROM e WHERE e.user_id = p.user_id
+                  AND e.ts >= p.ts - INTERVAL 10 MINUTES AND e.ts <= p.ts)
+""",
+)
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase, with its
+    same-user errors from the preceding 10 minutes OR a null-padded row
+    once the global watermark proves no match can arrive. The oracle
+    replays both legs including the watermark cutoff for unmatched
+    lefts (min of both streams' max ts minus the 30-minute delay) —
+    the emit-safety rule that makes streaming outer joins incremental.
+    See streaming.interval_join_outer."""
+    p = streaming.read_events_stream(spark, sf_dir).where("event_type = 'purchase'")
+    e = streaming.read_events_stream(spark, sf_dir).where("event_type = 'error'")
+    return streaming.run_to_table(
+        streaming.interval_join_outer(p, e), spark, "append"
+    )

@@ -211,6 +211,50 @@ def interval_join(
     )
 
 
+def interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: interval_join's matches
+    PLUS a null-padded row for every left event that finds no right match
+    — emitted only once the global watermark (the MIN of both streams'
+    watermarks) passes the left row's last possible match time, which is
+    what makes outer results safe to emit incrementally (Structured
+    Streaming's outer-join contract; the final no-data micro-batch
+    flushes the tail whose eviction time the terminal watermark passed).
+
+    Determinism note for the finite harness: left rows whose join window
+    is NOT below the terminal watermark are withheld (they might still
+    match a future event, as far as the engine knows) — the oracle must
+    apply the same cutoff: unmatched lefts qualify iff l_ts < min(max
+    left ts, max right ts) - watermark. State stays bounded exactly as in
+    the inner form: the closed range condition lets each side drop
+    buffered rows once the opposite watermark passes them."""
+    l = left.select(
+        F.col("event_id").alias("l_id"), F.col(key), F.col("ts").alias("l_ts")
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col("event_id").alias("r_id"),
+        F.col(key).alias("_rkey"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col(key) == F.col("_rkey"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {gap}"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    return l.join(r, cond, "leftOuter").select(
+        "l_id",
+        key,
+        F.unix_micros("l_ts").alias("l_ts_us"),
+        "r_id",
+        F.unix_micros("r_ts").alias("r_ts_us"),
+    )
+
+
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
