@@ -519,3 +519,69 @@ def read_records_csv(spark, path: str, schema: StructType):
             )
 
     return lines.mapInPandas(decode, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Versioned read (record versioning, src/test/ddl/test.jr RecRecordOld vs
+# RecRecordNew; runtime support lives in org.apache.hadoop.record.meta —
+# RecordTypeInfo lets a reader skip/ignore fields whose name or type no
+# longer matches its own schema)
+
+
+def _compatible(w: DataType, r: DataType) -> bool:
+    """Same type, or a lossless numeric widening (byte->int->long,
+    float->double) — what a versioned reader can carry without guessing."""
+    if w == r:
+        return True
+    widen = {
+        ByteType(): (IntegerType(), LongType()),
+        IntegerType(): (LongType(),),
+        FloatType(): (DoubleType(),),
+    }
+    if type(w) in (ByteType, IntegerType, FloatType) and r in widen.get(w, ()):
+        return True
+    if isinstance(w, ArrayType) and isinstance(r, ArrayType):
+        return _compatible(w.elementType, r.elementType)
+    if isinstance(w, MapType) and isinstance(r, MapType):
+        return _compatible(w.keyType, r.keyType) and _compatible(w.valueType, r.valueType)
+    if isinstance(w, StructType) and isinstance(r, StructType):
+        return True  # projected recursively; per-field rules apply there
+    return False
+
+
+def _project(value, w: DataType, r: DataType):
+    if isinstance(w, StructType) and isinstance(r, StructType):
+        by_name = {f.name: (i, f.dataType) for i, f in enumerate(w.fields)}
+        out = []
+        for f in r.fields:
+            hit = by_name.get(f.name)
+            if hit is None or not _compatible(hit[1], f.dataType):
+                out.append(None)  # unknown/retyped field -> reader default
+            else:
+                out.append(_project(value[hit[0]], hit[1], f.dataType))
+        return tuple(out)
+    if isinstance(w, ArrayType) and isinstance(r, ArrayType):
+        return [_project(v, w.elementType, r.elementType) for v in value]
+    if isinstance(w, MapType) and isinstance(r, MapType):
+        return {
+            _project(k, w.keyType, r.keyType): _project(v, w.valueType, r.valueType)
+            for k, v in value.items()
+        }
+    if isinstance(w, FloatType) and isinstance(r, DoubleType):
+        return float(value)
+    if isinstance(w, (ByteType, IntegerType)) and isinstance(r, (IntegerType, LongType)):
+        return int(value)
+    return value
+
+
+def binary_decode_versioned(
+    buf: bytes, writer: StructType, reader: StructType
+):
+    """Versioned record read: decode the bytes with the WRITER's schema
+    (the wire layout is positional — only the writer knows it), then
+    project into the READER's schema by field NAME: matching compatible
+    fields carry over (with lossless numeric widening), renamed/retyped/
+    removed fields become None defaults, reader-only fields are None.
+    This is the RecRecordOld -> RecRecordNew evolution contract the
+    reference's versioning tests exercise."""
+    return _project(binary_decode(buf, writer), writer, reader)

@@ -176,3 +176,50 @@ def test_read_records_csv_spark(spark, schemas, tmp_path):
     assert rows[1]["mapVal"] == {"k1": "v1", "k2": "v,2"}
     assert bytes(rows[1]["bufferVal"]) == b"\x00\xffab"
     assert rows[1]["vectorVal"] == ["x", "", "y,z"]
+
+
+def test_versioned_read_old_to_new():
+    """RecRecordOld -> RecRecordNew evolution (src/test/ddl/test.jr):
+    renamed field (name -> name2) defaults to None, retyped fields
+    (vector<long> -> vector<int>, float -> int) default to None,
+    compatible fields (inner record, strvec, mvec2) carry over, and the
+    widened direction (vector<int> written, vector<long> read) carries."""
+    old = recordio.parse_jr("""
+module t {
+  class Leaf { ustring s; }
+  class Old {
+    ustring name;
+    vector<int> ivec;
+    Leaf inner;
+    vector<vector<vector<ustring>>> strvec;
+    float i1;
+    map<byte, ustring> map1;
+    vector<map<int, long>> mvec2;
+  }
+}""")["t.Old"]
+    new = recordio.parse_jr("""
+module t {
+  class Leaf { ustring s; }
+  class New {
+    ustring name2;
+    Leaf inner;
+    vector<long> ivec;
+    vector<vector<vector<ustring>>> strvec;
+    int i1;
+    map<long, ustring> map1;
+    vector<map<int, long>> mvec2;
+  }
+}""")["t.New"]
+    val = ("old-name", [1, 2], ("leaf",), [[["a"]]], 1.5,
+           {3: "x"}, [{7: 70}])
+    buf = recordio.binary_encode(val, old)
+    got = recordio.binary_decode_versioned(buf, old, new)
+    assert got == (
+        None,            # name2: renamed, no match
+        ("leaf",),       # inner: compatible nested record
+        [1, 2],          # ivec: int written, long read -> widened
+        [[["a"]]],       # strvec: identical
+        None,            # i1: float -> int is NOT lossless -> default
+        {3: "x"},        # map1: byte -> long key widening IS lossless
+        [{7: 70}],       # mvec2: identical
+    )
