@@ -147,9 +147,13 @@ def negative_sample(
     the join operator without materializing rows."""
     from pyspark.sql.window import Window
 
+    from hadoop_1_spark.operators.caching import persist_tracked
+
     pos = positives.select(user_col, item_col).distinct()
     users = pos.select(user_col).distinct()
-    catalog = universe.select(item_col).distinct()
+    # pinned: the sizing count action below would otherwise re-run the
+    # universe scan + distinct that every downstream grid also needs
+    catalog = persist_tracked(universe.select(item_col).distinct())
     rank_hash = F.md5(
         F.concat(
             F.lit(f"{seed}:"),
@@ -185,8 +189,6 @@ def negative_sample(
     # One materialization of the thinned grid: both the survivor count and
     # the ranked output read it, and without the pin each would replay the
     # full O(users x items) hash scan inside the nested-loop join.
-    from hadoop_1_spark.operators.caching import persist_tracked
-
     neg_thin = persist_tracked(thin.join(pos, [user_col, item_col], "left_anti"))
     survivors = neg_thin.groupBy(user_col).agg(F.count("*").alias("_n"))
     # Users with >= k thinned non-positive survivors are exactly ranked by
