@@ -70,11 +70,18 @@ def _correctness_history() -> tuple[dict[str, int], dict[str, bool]]:
     return last, failed
 
 
-def _module_files(modname: str) -> list[str]:
+def _module_files(modname: str, stop: frozenset[str] = frozenset()) -> list[str]:
     """Transitive repo-relative source files behind a query's module: the
     module itself plus every ``hadoop_1_spark.*`` module its source (or
     its imports' sources, recursively) mentions — textual scan, so imports
-    local to function bodies are included too."""
+    local to function bodies are included too. ``from hadoop_1_spark.pkg
+    import mod_a, mod_b as b`` resolves the imported names as candidate
+    submodules too (round-7: the prefix-only scan left e.g. operators/
+    graph.py out of every closure, so edits there never dirtied their
+    queries). Files in ``stop`` are included but their imports are not
+    followed — query closures stop at the core boundary, otherwise
+    registry.py's query-wiring imports would pull every q_* module into
+    every closure."""
     import re
 
     base = os.path.dirname(os.path.abspath(__file__))
@@ -98,20 +105,40 @@ def _module_files(modname: str) -> list[str]:
         if path is None:
             continue
         files.add(path)
+        if path in stop:
+            continue
         with open(os.path.join(base, path), encoding="utf-8") as fh:
             src = fh.read()
         stack.extend(re.findall(r"(?:from|import)\s+(hadoop_1_spark(?:\.\w+)*)", src))
+        for pkg, names in re.findall(
+            r"from\s+(hadoop_1_spark(?:\.\w+)*)\s+import\s+(\([^)]*\)|[^\n]*)", src
+        ):
+            for ident in re.findall(r"[A-Za-z_]\w*", names):
+                if ident == "as":
+                    continue
+                stack.append(f"{pkg}.{ident}")
     return sorted(files)
 
 
 def _core_files() -> list[str]:
-    """The engine-core closure shared by EVERY query: registry.py (the
-    dispatch every entry point goes through) plus whatever it reaches
-    (session.py load seam, package __init__s). Hashed SEPARATELY from the
-    per-query closures so an edit here marks queries "core-dirty" — their
-    own drain rank in the rotation — instead of erasing all verification
-    state at once (round-4 verdict #1)."""
-    return _module_files("hadoop_1_spark.registry")
+    """The engine-core seam shared by EVERY query: registry.py (the
+    dispatch every entry point goes through), session.py (the load seam),
+    and the package __init__s. Hashed SEPARATELY from the per-query
+    closures so an edit here marks queries "core-dirty" — their own drain
+    rank in the rotation — instead of erasing all verification state at
+    once (round-4 verdict #1). An explicit list rather than an import walk:
+    a walk from registry.py would leak its per-query wiring imports
+    (``from hadoop_1_spark.queries import q_*``) into core now that
+    from-imports resolve submodules (round-7)."""
+    import glob
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    files = ["hadoop_1_spark/registry.py", "hadoop_1_spark/session.py"]
+    files += [
+        os.path.relpath(p, base)
+        for p in glob.glob(os.path.join(base, "hadoop_1_spark/**/__init__.py"), recursive=True)
+    ]
+    return sorted(f for f in files if os.path.exists(os.path.join(base, f)))
 
 
 def _digest_files(files, read=None) -> str:
@@ -143,9 +170,9 @@ def query_digest(name: str, read=None) -> str:
     HEAD:...`` reader to pin the verified snapshot)."""
     import inspect
 
-    core = set(_core_files())
+    core = frozenset(_core_files())
     fn = inspect.unwrap(registry.QUERIES[name])
-    files = [f for f in _module_files(fn.__module__) if f not in core]
+    files = [f for f in _module_files(fn.__module__, stop=core) if f not in core]
     return _digest_files(files, read)
 
 
@@ -211,28 +238,22 @@ def _dirty_queries() -> tuple[set[str], set[str]]:
     return dirty, core_dirty
 
 
-# Exact oracled twins of the two rows-only sketch queries (round-5 verdict
-# item 4): fronted within the never-verified rank so they reach the driver's
-# bounded window despite alphabetizing near the end of the backlog.
-_PRIORITY = frozenset({"uniq_count_hll", "uniq_count_kmv"})
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordered so the driver's bounded verification window re-checks what
     most needs it: (1) queries whose latest CORRECTNESS row failed,
-    (2) queries whose OWN implementing source changed since last verified
-    — within this rank, earlier registration epochs first, so freshly
-    registered queries never displace the never-verified backlog,
-    (3) queries verified before the last engine-core edit (core-dirty),
-    (4) least-recently-verified; LRU round then name breaks ties within
+    (2) never-verified queries (no driver row ever) — earlier registration
+    epochs first, so freshly registered queries never displace the
+    never-verified backlog, (3) verified queries whose OWN implementing
+    source changed since last verified, LRU first (round-7: these rank
+    BELOW the never-verified backlog — they carry a past green driver row,
+    a never-checked query carries none, so a source edit elsewhere in the
+    tree can no longer push backlog names out of the bounded window),
+    (4) queries verified before the last engine-core edit (core-dirty),
+    (5) least-recently-verified; LRU round then name breaks ties within
     each rank, so a core edit drains deterministically across consecutive
-    bounded windows. Names in ``_PRIORITY`` jump their alphabetical slot
-    within the never-verified rank (round-5 verdict #4: the exact oracled
-    twins of the two rows-only sketch queries must get a driver-green row
-    this round, and 'u'-names would otherwise alphabetize out of the
-    bounded window).
+    bounded windows.
     """
     qs = dict(registry.QUERIES)
     try:
@@ -248,10 +269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             qs,
             key=lambda n: (
                 0 if failed.get(n) else 1,
-                0 if n in dirty else (1 if n in core_dirty else 2),
-                epochs.get(n, new_epoch) if n in dirty else 0,
+                (0 if n not in last else 1) if n in dirty else (2 if n in core_dirty else 3),
+                epochs.get(n, new_epoch) if (n in dirty and n not in last) else 0,
                 last.get(n, 0),
-                0 if n in _PRIORITY else 1,
                 n,
             ),
         )

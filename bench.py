@@ -222,6 +222,27 @@ def main() -> None:
         }
         for name, t in times.items()
     }
+    # Full per-row table to a committed file (round-6 verdict #3): the
+    # driver's BENCH_rN.json keeps only a 2000-char tail, so round-over-
+    # round per-row comparison needs its own artifact. N = current round
+    # (latest CORRECTNESS round + 1); override with SPARK_GRAFT_BENCH_OUT.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path is None:
+        import glob
+
+        base = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(base, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+        ]
+        out_path = os.path.join(
+            base, f"BENCH_LOCAL_r{(max(rounds) if rounds else 0) + 1:02d}.json"
+        )
+    if out_path != "-":
+        with open(out_path, "w", encoding="utf-8") as fh:
+            json.dump({"sf": sf, "rows": rows}, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     print(
         json.dumps(
             {
@@ -238,7 +259,11 @@ def main() -> None:
 
 
 def run_oracles(times: dict[str, float]) -> dict[str, float]:
-    import duckdb
+    try:
+        import duckdb
+    except ImportError:
+        print("bench: duckdb unavailable, skipping oracle timings", file=sys.stderr)
+        return {}
 
     con = duckdb.connect()
     for t in [

@@ -83,10 +83,28 @@ def test_operator_edit_changes_only_its_queries():
     assert entry.core_digest(read=edited) == entry.core_digest(read=_tree_read)
 
 
+def test_from_import_submodules_join_the_closure():
+    """``from hadoop_1_spark.operators import graph`` must pull graph.py
+    into the importing query's closure (round-7 fix: the prefix-only scan
+    resolved only operators/__init__.py, so graph.py edits never dirtied
+    graph_pagerank)."""
+    files = entry._module_files("hadoop_1_spark.queries.q_graph")
+    assert "hadoop_1_spark/operators/graph.py" in files
+
+    def edited(rel: str) -> bytes:
+        data = _tree_read(rel)
+        if rel == "hadoop_1_spark/operators/graph.py":
+            data += b"\n# simulated operator edit\n"
+        return data
+
+    assert entry.query_digest("graph_pagerank", read=edited) != entry.query_digest(
+        "graph_pagerank", read=_tree_read
+    )
+
+
 def test_rotation_rank_order():
-    """failed < own-dirty < core-dirty < clean; within own-dirty, earlier
-    registration epochs first (new queries never displace backlog); LRU
-    within each rank."""
+    """failed < never-verified (by epoch) < own-dirty (LRU) < core-dirty <
+    clean; LRU then name within each rank."""
     order = list(entry.queries())
     last, failed = entry._correctness_history()
     dirty, core_dirty = entry._dirty_queries()
@@ -96,43 +114,50 @@ def test_rotation_rank_order():
     def rank(n: str) -> tuple:
         return (
             0 if failed.get(n) else 1,
-            0 if n in dirty else (1 if n in core_dirty else 2),
-            epochs.get(n, new_epoch) if n in dirty else 0,
+            (0 if n not in last else 1) if n in dirty else (2 if n in core_dirty else 3),
+            epochs.get(n, new_epoch) if (n in dirty and n not in last) else 0,
             last.get(n, 0),
-            0 if n in entry._PRIORITY else 1,
             n,
         )
 
     assert order == sorted(order, key=rank)
 
 
-def test_new_registration_queues_behind_backlog(monkeypatch, tmp_path):
-    """A name registered this round (epoch > backlog's) sorts after every
-    recorded never-verified name, even though both are dirty with no
-    CORRECTNESS history."""
-    import json
-
+def test_new_registration_queues_behind_backlog(monkeypatch):
+    """A name registered this round (absent from REGISTERED.json -> sentinel
+    epoch) sorts after every recorded never-verified name in the REAL
+    ``entry.queries()`` output, and an edited-but-previously-verified query
+    sorts after both (round-7 order: a past green driver row outranks none)."""
     epochs = entry._registration_epochs()
     assert epochs, "REGISTERED.json must exist and be non-empty"
-    backlog_epoch = min(epochs.values())
-
-    last, failed = entry._correctness_history()
+    last, _ = entry._correctness_history()
     dirty, _ = entry._dirty_queries()
-    never = [n for n in dirty if n not in last and n in epochs]
+    never = sorted(n for n in dirty if n not in last and n in epochs)
     if not never:
         pytest.skip("no never-verified backlog to compare against")
+    backlog_name = never[0]
+    verified_name = next(iter(last))
 
-    # Simulate a brand-new registration: present in the registry order
-    # input but absent from REGISTERED.json -> it gets the sentinel epoch.
-    sample = never[0]
-    new_epoch = max(epochs.values()) + 1
-    assert (epochs.get(sample, new_epoch) if sample in dirty else 0) <= backlog_epoch or (
-        epochs[sample] <= new_epoch
+    fake_new = "aaa_brand_new_query"
+    fake_qs = dict(entry.registry.QUERIES)
+    fake_qs[fake_new] = fake_qs[backlog_name]
+    monkeypatch.setattr(entry.registry, "QUERIES", fake_qs)
+    # Force a previously-verified query dirty without touching its source.
+    real_dirty = entry._dirty_queries
+
+    def patched_dirty():
+        d, cd = real_dirty()
+        return d | {fake_new, verified_name}, cd - {verified_name}
+
+    monkeypatch.setattr(entry, "_dirty_queries", patched_dirty)
+
+    order = list(entry.queries())
+    assert order.index(backlog_name) < order.index(fake_new), (
+        "new registration must queue behind the recorded backlog"
     )
-    # The rank tuple of a recorded backlog name beats an unrecorded one.
-    rank_backlog = (1, 0, epochs[sample], 0, 1, sample)
-    rank_new = (1, 0, new_epoch, 0, 1, "aaa_brand_new")
-    assert rank_backlog < rank_new
+    assert order.index(fake_new) < order.index(verified_name), (
+        "never-verified names (even new ones) outrank edited-verified ones"
+    )
 
 
 def test_verified_manifest_matches_current_scheme():
