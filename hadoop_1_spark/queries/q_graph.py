@@ -46,6 +46,40 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.orderBy(F.desc("rank_fp"), F.asc("node")).limit(PR_TOP)
 
 
+_DIRECTED_EDGES_SQL = """
+  SELECT 'p:' || CAST(l_partkey AS VARCHAR) AS src,
+         's:' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL)
+"""
+
+
+@register(
+    "graph_pagerank_dangling",
+    oracle=graph.pagerank_dangling_oracle_sql(
+        _DIRECTED_EDGES_SQL, iters=PR_ITERS, top=PR_TOP
+    ),
+)
+def graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 nodes by 3-round damped PageRank WITH dangling-mass
+    redistribution over the DIRECTED part→supplier graph (distinct
+    lineitem pairs, one direction only — every supplier node is a sink,
+    so the dangling correction is actually load-bearing). Exact integer
+    fixed-point; fully tie-broken top-25 (round-6 verdict #7)."""
+    li = _load(spark, sf_dir, "lineitem")
+    pairs = (
+        li.where(F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    edges = pairs.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    pr = graph.pagerank_dangling(edges, iters=PR_ITERS)
+    return pr.orderBy(F.desc("rank_fp"), F.asc("node")).limit(PR_TOP)
+
+
 TRI_MOD = 4
 
 _TRI_EDGES_SQL = f"""

@@ -36,6 +36,44 @@ def test_outdeg_reported(spark):
     assert out == {"c": 3, "l": 1, "m": 1, "n": 1}
 
 
+def test_iters_zero_returns_uniform_start(spark):
+    """iters=0 is the uniform initial state, not one damped update
+    (round-6 advice: the fused final select used to always apply one)."""
+    pairs = [("c", x) for x in "lmn"] + [(x, "c") for x in "lmn"]
+    out = {r["node"]: r["rank_fp"] for r in graph.pagerank(_edges(spark, pairs), iters=0).collect()}
+    assert out == {n: graph.SCALE for n in "clmn"}
+
+
+def test_dangling_star_hand_computed(spark):
+    """Directed star c -> l,m,n (leaves are sinks). N=4, base=150000.
+    Round 1: dm = 3 * SCALE (the three sinks held SCALE each),
+    share = 3000000 // 4 = 750000.
+    leaf: 150000 + (85 * (1000000 // 3 + 750000)) // 100 = 1070833
+    c:    150000 + (85 * (0 + 750000)) // 100            = 787500"""
+    e = _edges(spark, [("c", "l"), ("c", "m"), ("c", "n")])
+    out = {r["node"]: r["rank_fp"] for r in graph.pagerank_dangling(e, iters=1).collect()}
+    assert out["c"] == 787500
+    assert out["l"] == out["m"] == out["n"] == 1070833
+
+
+def test_dangling_mass_conserved_approximately(spark):
+    """With redistribution, total mass stays ~N*SCALE (floor-division
+    loss < 1/SCALE per node per hop) instead of leaking through sinks."""
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")])
+    rows = graph.pagerank_dangling(e, iters=3).collect()
+    total = sum(r["rank_fp"] for r in rows)
+    assert abs(total - 4 * graph.SCALE) < 4 * 3 * graph.DAMP_DEN
+
+
+def test_dangling_no_sinks_matches_plain(spark):
+    """On a graph where every node has out-edges the correction is a
+    no-op: both variants agree exactly."""
+    pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")]
+    plain = {r["node"]: r["rank_fp"] for r in graph.pagerank(_edges(spark, pairs), iters=3).collect()}
+    dang = {r["node"]: r["rank_fp"] for r in graph.pagerank_dangling(_edges(spark, pairs), iters=3).collect()}
+    assert plain == dang
+
+
 def test_bipartite_edges_shape(spark):
     df = spark.createDataFrame(
         [(1, 10), (1, 10), (2, 10), (2, None)], "a long, b long"
