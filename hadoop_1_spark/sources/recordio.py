@@ -26,8 +26,10 @@ typedbytes codec (operators/typedbytes.py): legacy interop formats are a
 per-row byte protocol, not a relational operator, so the engine decodes
 them at the edge and hands Catalyst a typed DataFrame.
 
-Determinism notes: maps serialize in sorted-key order (the reference uses
-TreeMap — already sorted); float/double CSV text uses Python ``repr``,
+Determinism notes: maps serialize in Java TreeMap key order — string keys
+by UTF-16 code units, matching String.compareTo even for supplementary-
+plane keys (see ``_treemap_items``); float/double CSV text uses Python
+``repr``,
 which round-trips exactly within this codec but renders some magnitudes
 differently from Java's ``Double.toString`` (1e-4 -> ``0.0001`` vs
 ``1.0E-4``) — byte-level cross-engine parity is only claimed where the
@@ -269,6 +271,18 @@ def _csv_unstring(s: str) -> str:
     return "".join(out)
 
 
+def _treemap_items(value, key_type: DataType):
+    """Map entries in Java TreeMap iteration order (the reference
+    serializes maps from a TreeMap). Java orders strings by UTF-16 code
+    units (String.compareTo), which diverges from Python's code-point
+    sort for supplementary-plane keys (U+10000.. encode as surrogate
+    pairs 0xD800.. that sort BELOW 0xE000..0xFFFF code units), so string
+    keys sort by their UTF-16-BE encoding (round-6 advice #2)."""
+    if isinstance(key_type, StringType):
+        return sorted(value.items(), key=lambda kv: kv[0].encode("utf-16-be"))
+    return sorted(value.items())
+
+
 def csv_encode(value, dtype: DataType, top: bool = True) -> str:
     """Encode one value of ``dtype`` to the record-CSV grammar. At top
     level emits the bare comma-joined field list (caller appends the
@@ -282,7 +296,7 @@ def csv_encode(value, dtype: DataType, top: bool = True) -> str:
     if isinstance(dtype, ArrayType):
         return "v{" + ",".join(csv_encode(v, dtype.elementType, False) for v in value) + "}"
     if isinstance(dtype, MapType):
-        items = sorted(value.items())
+        items = _treemap_items(value, dtype.keyType)
         return "m{" + ",".join(
             csv_encode(k, dtype.keyType, False) + "," + csv_encode(v, dtype.valueType, False)
             for k, v in items
@@ -427,7 +441,7 @@ def binary_encode(value, dtype: DataType, out: bytearray | None = None) -> bytes
         for v in value:
             binary_encode(v, dtype.elementType, out)
     elif isinstance(dtype, MapType):
-        items = sorted(value.items())
+        items = _treemap_items(value, dtype.keyType)
         write_vlong(out, len(items))
         for k, v in items:
             binary_encode(k, dtype.keyType, out)

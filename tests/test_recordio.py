@@ -24,6 +24,7 @@ from pyspark.sql.types import (
     LongType,
     MapType,
     StringType,
+    StructField,
     StructType,
 )
 
@@ -104,6 +105,22 @@ def _roundtrip_csv(schemas, name, val):
     line = recordio.csv_encode(val, schema)
     assert "\n" not in line
     return recordio.csv_decode(line, schema)
+
+
+def test_map_keys_sort_by_utf16_code_units():
+    """Java TreeMap order for string keys: U+FFFF sorts BEFORE U+10000
+    (whose surrogate-pair code units 0xD800 0xDC00 are lower), the
+    opposite of Python's code-point sort (round-6 advice #2)."""
+    schema = StructType([StructField("m", MapType(StringType(), StringType()))])
+    val = ({"\U00010000": "astral", "￿": "bmp"},)
+    # astral key first: its leading UTF-16 code unit is a 0xD800 surrogate
+    enc = recordio.csv_encode(val, schema)
+    assert enc.index("astral") < enc.index("bmp")
+    buf = recordio.binary_encode(val, schema)
+    assert buf.index(b"astral") < buf.index(b"bmp")
+    # both codecs still round-trip the astral keys
+    assert recordio.csv_decode(enc, schema) == val
+    assert recordio.binary_decode(buf, schema) == val
 
 
 def test_csv_roundtrip_flat(schemas):
