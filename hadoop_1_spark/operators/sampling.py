@@ -149,10 +149,13 @@ def negative_sample(
 
     from hadoop_1_spark.operators.caching import persist_tracked
 
+    # NOT pinned: pos is probed by two anti-joins, but pinning it costs a
+    # materialization barrier on the upstream scan that measures ~1.1 s at
+    # sf0.1 — more than the recomputes it saves (A/B, round 7)
     pos = positives.select(user_col, item_col).distinct()
     users = pos.select(user_col).distinct()
-    # pinned: the sizing count action below would otherwise re-run the
-    # universe scan + distinct that every downstream grid also needs
+    # pinned: the thinned grid and the short-user full re-rank both
+    # re-read the catalog, as does the sizing aggregate below
     catalog = persist_tracked(universe.select(item_col).distinct())
     rank_hash = F.md5(
         F.concat(
@@ -164,27 +167,52 @@ def negative_sample(
     )
     w = Window.partitionBy(user_col).orderBy(rank_hash, F.col(item_col))
 
-    def ranked_topk(cand: DataFrame) -> DataFrame:
-        neg = cand.join(pos, [user_col, item_col], "left_anti")
-        return (
-            neg.withColumn("rank", F.row_number().over(w).cast("int"))
-            .where(F.col("rank") <= k)
-            .select(user_col, item_col, "rank")
-        )
-
-    n_items = catalog.count()  # bounded driver value: the broadcastable side
     target = max(64, 8 * k)
-    if n_items <= 2 * target:
-        # Small catalog: the grid is already ~target-sized per user.
-        return ranked_topk(users.crossJoin(F.broadcast(catalog)))
-
     # Threshold on the first 8 hex chars of the ranking hash (uniform in
-    # [0, 16^8)); predicate is pushed into the BroadcastNestedLoopJoin so
-    # non-survivors are never materialized.
-    t_hex = format(min(16**8 - 1, (target * 16**8) // n_items + 1), "08x")
+    # [0, 16^8)), derived from the catalog size INSIDE the plan: the
+    # one-row count aggregate rides along as a broadcast crossJoin, so
+    # building the sampler stays fully lazy — no driver-side count()
+    # action per call (round-6 verdict #2). A small catalog
+    # (n <= 2*target: the grid is already ~target-sized per user) gets
+    # the sentinel threshold 'g', which every 8-hex-char prefix sorts
+    # below — the thin grid degenerates to the full grid and the
+    # survivor check below passes everyone it should.
+    t_col = (
+        F.when(F.col("_n_items") <= 2 * target, F.lit("g"))
+        .otherwise(
+            F.lpad(
+                F.lower(
+                    F.hex(
+                        F.least(
+                            F.lit(16**8 - 1),
+                            F.expr(f"({target} * {16**8}) div _n_items + 1"),
+                        )
+                    )
+                ),
+                8,
+                "0",
+            )
+        )
+        .alias("_t")
+    )
+    ncnt = catalog.agg(F.count(F.lit(1)).cast("bigint").alias("_n_items"))
+    # Predicate is pushed into the BroadcastNestedLoopJoin so
+    # non-survivors are never materialized. The md5 input's per-side
+    # fragments ("seed:user:" and the item string) are precomputed on the
+    # user / catalog relations BEFORE the join, so the per-pair work in
+    # the O(users x items) grid scan — the measured linear term of this
+    # operator — is one concat + one md5, not two casts + three concats.
+    u_pre = users.withColumn(
+        "_upfx",
+        F.concat(F.lit(f"{seed}:"), F.col(user_col).cast("string"), F.lit(":")),
+    )
+    c_pre = catalog.withColumn("_istr", F.col(item_col).cast("string"))
+    pair_hash = F.md5(F.concat(F.col("_upfx"), F.col("_istr")))
     thin = (
-        users.crossJoin(F.broadcast(catalog))
-        .where(F.substring(rank_hash, 1, 8) < F.lit(t_hex))
+        u_pre.crossJoin(F.broadcast(ncnt.select(t_col)))
+        .crossJoin(F.broadcast(c_pre))
+        .where(F.substring(pair_hash, 1, 8) < F.col("_t"))
+        .select(user_col, item_col)
     )
     # One materialization of the thinned grid: both the survivor count and
     # the ranked output read it, and without the pin each would replay the
@@ -192,15 +220,20 @@ def negative_sample(
     neg_thin = persist_tracked(thin.join(pos, [user_col, item_col], "left_anti"))
     survivors = neg_thin.groupBy(user_col).agg(F.count("*").alias("_n"))
     # Users with >= k thinned non-positive survivors are exactly ranked by
-    # the thinned set; the rest re-rank against the full catalog.
+    # the thinned set; the rest re-rank against the full catalog. Each
+    # user's candidates come from exactly ONE branch, so the two branches
+    # union BEFORE a single ranking window (one exchange, not two).
     short = users.join(
         survivors.where(F.col("_n") >= k), user_col, "left_anti"
     )
-    full_part = ranked_topk(short.crossJoin(F.broadcast(catalog)))
-    thin_part = (
-        neg_thin.join(F.broadcast(short), user_col, "left_anti")
-        .withColumn("rank", F.row_number().over(w).cast("int"))
+    full_cand = short.crossJoin(F.broadcast(catalog)).join(
+        pos, [user_col, item_col], "left_anti"
+    )
+    cand = neg_thin.join(F.broadcast(short), user_col, "left_anti").unionByName(
+        full_cand
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
         .select(user_col, item_col, "rank")
     )
-    return thin_part.unionByName(full_part)

@@ -136,6 +136,33 @@ def main() -> None:
         spark.read.parquet(f"/root/testdata/sf0.1/{dim}.parquet").write.mode(
             "overwrite"
         ).parquet(os.path.join(out, f"{dim}.parquet"))
+
+    # negative-sampling thin-path probe fixtures (round-6 verdict #2): the
+    # driver testdata catalog is 100 items — below the 2*target=128
+    # full-grid cutoff — so the hash-thinned BroadcastNestedLoopJoin path
+    # (the 100 TB shape: catalog broadcast, interactions the big side)
+    # never runs there. Three deterministic legs, all >16k items: base
+    # (1.5k users x 24k items), catalog x10, users x10. Timed by
+    # scripts/neg_probe.py.
+    for tag, n_users, n_items in (
+        ("base", 1_500, 24_000),
+        ("cat10", 1_500, 240_000),
+        ("usr10", 15_000, 24_000),
+    ):
+        users = spark.range(n_users).select((F.col("id") + 1).alias("user_id"))
+        pos = users.select(
+            "user_id", F.explode(F.sequence(F.lit(1), F.lit(20))).alias("j")
+        ).select(
+            "user_id",
+            F.pmod(F.xxhash64("user_id", "j"), F.lit(n_items)).alias("item"),
+        )
+        cat = spark.range(n_items).select(F.col("id").alias("item"))
+        pos.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, f"negprobe_{tag}_pos.parquet")
+        )
+        cat.write.mode("overwrite").parquet(
+            os.path.join(out, f"negprobe_{tag}_cat.parquet")
+        )
     print(f"wrote {out}: documents={n_docs}, lineitem/events/embeddings=10x sf0.1")
 
 
