@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "gridmix_api_sort_builtin",    # gridmix job-5: same sort, built-in exprs
     "gridmix_api_sort_streaming",  # gridmix job-5: same sort, rdd.pipe framing
     "gridmix_api_sort_pipes",      # gridmix job-5: same sort, Arrow subprocess
+    "gridmix2_mini",               # gridmix2 XML mix: one job per class, one DAG
     "corpus_clean",            # composed LLM-data pipeline (quality+lang+dedup)
     "wordcount_salted",        # skew-safe two-stage aggregation
     "sessionize_events",       # gap-based batch sessionization (1 exchange)

@@ -288,3 +288,259 @@ def gridmix_indirect_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.sum("n").cast("long").alias("n"))
             )
     return state
+
+
+# ---------------------------------------------------------------------------
+# Gridmix2: the XML-configured job MIX (README.gridmix2:20-66). The compiler
+# (operators/gridmix2.py) expands the descriptor into per-job specs; the
+# oracle below re-derives the same expansion in pure SQL from the embedded
+# shipped property table — two independent implementations of
+# GridMixRunner.addJobs + select (GridMixRunner.java:389-434).
+
+def _gridmix2_oracle() -> str:
+    from hadoop_1_spark.operators.gridmix2 import SHIPPED_MIX, SIZES
+
+    red_default = {s: str(r) for s, _, r in SIZES}
+    vals = ",\n  ".join(
+        "('{}','{}',{},{},{},{},{},{})".format(
+            cls,
+            size,
+            ci,
+            si,
+            f"'{jobs}'" if jobs is not None else "NULL",
+            f"'{reds}'" if reds is not None else f"'{red_default[size]}'",
+            moc if moc is not None else 0,
+            oc if oc is not None else 0,
+        )
+        for ci, cls in enumerate(
+            ["streamSort", "javaSort", "webdataScan", "combiner",
+             "monsterQuery", "webdataSort"]
+        )
+        for si, size in enumerate(["small", "medium", "large"])
+        for c2, s2, jobs, reds, moc, oc in SHIPPED_MIX
+        if c2 == cls and s2 == size
+    )
+    return f"""
+WITH props(job, size, job_ord, size_ord, jobs_csv, reduces_csv, n_moc, n_oc) AS (VALUES
+  {vals}
+),
+grp AS (
+  SELECT job, size, job_ord, size_ord, n_moc, n_oc,
+         string_split(jobs_csv, ',') AS js,
+         string_split(reduces_csv, ',') AS rs
+  FROM props
+),
+pairs AS (
+  SELECT job, size, job_ord, size_ord, n_moc, n_oc, gi,
+         CAST(js[gi] AS INT) AS nj, CAST(rs[gi] AS INT) AS red
+  FROM grp, (SELECT unnest(generate_series(1, 5)) AS gi) g
+  WHERE gi <= len(js)
+),
+expanded AS (
+  SELECT job, size, job_ord, size_ord, n_moc, n_oc, red,
+         CAST(row_number() OVER (PARTITION BY job, size ORDER BY gi, e.j) - 1
+              AS INT) AS idx,
+         CAST(COUNT(*) OVER (PARTITION BY job, size) AS INT) AS total
+  FROM pairs, (SELECT unnest(generate_series(1, 100)) AS j) e
+  WHERE e.j <= nj
+)
+SELECT job, size, idx, red AS reducers,
+       CASE WHEN n_moc <= 0 THEN FALSE WHEN n_moc >= total THEN TRUE
+            ELSE idx <= (total - total % n_moc) - 1 AND idx % (total // n_moc) = 0
+       END AS mapoutput_compressed,
+       CASE WHEN n_oc <= 0 THEN FALSE WHEN n_oc >= total THEN TRUE
+            ELSE idx <= (total - total % n_oc) - 1 AND idx % (total // n_oc) = 0
+       END AS output_compressed,
+       CASE WHEN job = 'monsterQuery' THEN 3 ELSE 1 END AS stages
+FROM expanded
+ORDER BY job_ord, size_ord, idx
+"""
+
+
+_GRIDMIX2_XML = (
+    "/root/reference/src/benchmarks/gridmix2/gridmix_config.xml"
+)
+
+
+@register("gridmix2_mix", oracle=_gridmix2_oracle())
+def gridmix2_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gridmix2 mix compilation: parse the reference's shipped
+    gridmix_config.xml (falling back to the embedded copy of its property
+    table) and expand it into the full 172-logical-job submission plan —
+    per-instance reducer counts and the select()-spread compression flags.
+    The oracle re-derives the expansion with SQL set operations from the
+    same property literals, so the Python compiler and the SQL twin check
+    each other."""
+    import os
+
+    from hadoop_1_spark.operators import gridmix2
+
+    conf = (
+        gridmix2.load_config_xml(_GRIDMIX2_XML)
+        if os.path.exists(_GRIDMIX2_XML)
+        else gridmix2.shipped_conf()
+    )
+    rows = [
+        (
+            s["job"], s["size"], s["idx"], s["reducers"],
+            s["mapoutput_compressed"], s["output_compressed"], s["stages"],
+        )
+        for s in gridmix2.compile_mix(conf)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "job string, size string, idx int, reducers int,"
+        " mapoutput_compressed boolean, output_compressed boolean, stages int",
+    )
+
+
+_MINI_SCAN_KEY = "l_orderkey || ':' || l_linenumber"
+
+
+def _mini_sort_row(spark: SparkSession, sf_dir: str, job: str, width: int) -> DataFrame:
+    """One sort-class job of the mini-mix: (first ``width`` words, doc_id)
+    total-order sort + SortValidator reduction -> (job, records, checksum)."""
+    from hadoop_1_spark.operators.textops import ws_tokens
+
+    docs = _load(spark, sf_dir, "documents")
+    kv = docs.select(
+        F.array_join(F.slice(ws_tokens(F.col("text")), 1, width), " ").alias("k"),
+        "doc_id",
+    )
+    return _job5_validate(kv).select(
+        F.lit(job).alias("job"),
+        F.col("records"),
+        F.col("checksum"),
+    )
+
+
+def _mini_sort_oracle(job: str, width: int) -> str:
+    return f"""
+SELECT '{job}' AS job, CAST(count(*) AS BIGINT) AS records,
+       CAST(sum(('0x' || substr(md5(k || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+            AS BIGINT) AS checksum
+FROM (
+  SELECT array_to_string((list_filter(string_split_regex(trim(text), '\\s+'),
+                                      x -> x <> ''))[1:{width}], ' ') AS k,
+         doc_id
+  FROM documents
+)
+"""
+
+
+@register(
+    "gridmix2_mini",
+    oracle=f"""
+{_mini_sort_oracle("streamSort", 5)}
+UNION ALL
+{_mini_sort_oracle("javaSort", 3)}
+UNION ALL
+SELECT 'webdataScan' AS job, CAST(count(*) AS BIGINT) AS records,
+       CAST(sum(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT)
+            AS BIGINT) AS checksum
+FROM lineitem WHERE {_sql_md5_mod(_MINI_SCAN_KEY, 500)} = 0
+UNION ALL
+SELECT 'combiner' AS job, CAST(count(*) AS BIGINT) AS records,
+       CAST(sum(('0x' || substr(md5(token || ':' || CAST(cnt AS VARCHAR)), 1, 8))::BIGINT)
+            AS BIGINT) AS checksum
+FROM (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents WHERE {_sql_md5_mod("doc_id", 10)} = 0)
+  GROUP BY token
+)
+UNION ALL
+SELECT 'monsterQuery' AS job, CAST(count(*) AS BIGINT) AS records,
+       CAST(sum(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 8))::BIGINT)
+            AS BIGINT) AS checksum
+FROM (
+  WITH s0 AS (SELECT l_orderkey AS k, CAST(l_quantity * 100 AS BIGINT) AS v FROM lineitem),
+  s1 AS (SELECT k, v FROM (
+           SELECT k // 5 AS k, CAST(sum(v) AS BIGINT) AS v FROM s0
+           WHERE {_sql_md5_mod("'1:' || k", 10)} = 0 GROUP BY 1)
+         WHERE {_sql_md5_mod("'1r:' || k", 5)} < 2),
+  s2 AS (SELECT k, v FROM (
+           SELECT k // 5 AS k, CAST(sum(v) AS BIGINT) AS v FROM s1
+           WHERE {_sql_md5_mod("'2:' || k", 10)} = 0 GROUP BY 1)
+         WHERE {_sql_md5_mod("'2r:' || k", 5)} < 2),
+  s3 AS (SELECT k, v FROM (
+           SELECT k // 5 AS k, CAST(sum(v) AS BIGINT) AS v FROM s2
+           WHERE {_sql_md5_mod("'3:' || k", 10)} = 0 GROUP BY 1)
+         WHERE {_sql_md5_mod("'3r:' || k", 5)} < 2)
+  SELECT k, v FROM s3
+)
+UNION ALL
+{_mini_sort_oracle("webdataSort", 7)}
+""",
+)
+def gridmix2_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gridmix2 mini-mix: one small-size job per class, the mix's stage
+    structure at driver scale — three validated variable-key sorts
+    (streamSort/javaSort/webdataSort at key widths 5/3/7), the 0.2%
+    webdataScan select, the combiner-heavy wordcount, and monsterQuery's
+    three CHAINED keep-10%/keep-40% stages (GridMixRunner.java:237-276
+    chains them through JobControl; here the chain is lazy plan
+    composition and Catalyst schedules the whole mix as one DAG). One
+    summary row per job: (job, records, checksum)."""
+    from hadoop_1_spark.operators.sampling import md5_mod
+
+    rows = [
+        _mini_sort_row(spark, sf_dir, "streamSort", 5),
+        _mini_sort_row(spark, sf_dir, "javaSort", 3),
+    ]
+    li = _load(spark, sf_dir, "lineitem")
+    chk32 = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")  # noqa: E731
+    scan_key = F.concat_ws(
+        ":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    rows.append(
+        li.where(md5_mod(scan_key, 500) == 0).agg(
+            F.lit("webdataScan").alias("job"),
+            F.count("*").cast("long").alias("records"),
+            F.sum(chk32(F.col("l_orderkey").cast("string"))).cast("long").alias("checksum"),
+        )
+    )
+    from hadoop_1_spark.operators.textops import ws_tokens
+
+    docs = _load(spark, sf_dir, "documents")
+    wc = (
+        docs.where(md5_mod(F.col("doc_id"), 10) == 0)
+        .select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    rows.append(
+        wc.agg(
+            F.lit("combiner").alias("job"),
+            F.count("*").cast("long").alias("records"),
+            F.sum(chk32(F.concat_ws(":", F.col("token"), F.col("cnt").cast("string"))))
+            .cast("long")
+            .alias("checksum"),
+        )
+    )
+    mq = li.select(
+        F.col("l_orderkey").alias("k"),
+        (F.col("l_quantity") * 100).cast("long").alias("v"),
+    )
+    for i in (1, 2, 3):
+        mq = (
+            mq.where(md5_mod(F.concat(F.lit(f"{i}:"), F.col("k").cast("string")), 10) == 0)
+            .groupBy(F.expr("k div 5").alias("k"))
+            .agg(F.sum("v").cast("long").alias("v"))
+            .where(md5_mod(F.concat(F.lit(f"{i}r:"), F.col("k").cast("string")), 5) < 2)
+        )
+    rows.append(
+        mq.agg(
+            F.lit("monsterQuery").alias("job"),
+            F.count("*").cast("long").alias("records"),
+            F.sum(chk32(F.concat_ws(":", F.col("k").cast("string"), F.col("v").cast("string"))))
+            .cast("long")
+            .alias("checksum"),
+        )
+    )
+    rows.append(_mini_sort_row(spark, sf_dir, "webdataSort", 7))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
