@@ -24,10 +24,14 @@ and round-trip proofs, parser for interop) plus the Spark entry points:
 Arrow-batched seam — the same edge-decode discipline as typedbytes and
 record-CSV — and the CDF analytics stay declarative downstream.
 
-The full HadoopLogsAnalyzer is ~10k LoC of which the bulk is state
-machines for pre-0.20 log dialects; this parser targets the 1.x format
-the repo's reference actually writes (VERSION Meta record, escaped
-values), which is what its own HistoryViewer reads back.
+Dialects: the primary target is the 1.x format the reference actually
+writes (VERSION Meta record, escaped values, `` .`` terminators) — what
+its own HistoryViewer reads back. The pre-0.20 dialect (Rumen's ``-v1``
+flag selects between them) differs ONLY in logical-line assembly — a
+trailing-space terminator and '\\f' segment boundaries — and
+``parse_records(version=0)`` supports it; the rest of HadoopLogsAnalyzer's
+~10k LoC is its statistical reducer (CDFs/histograms), covered
+declaratively by the rumen_cdf query.
 """
 
 from __future__ import annotations
@@ -72,31 +76,58 @@ def format_record(rec_type: str, kv: dict[str, str]) -> str:
     return f"{rec_type} {body} {LINE_DELIM}"
 
 
-def parse_records(text: str) -> list[tuple[str, dict[str, str]]]:
+def parse_records(
+    text: str, version: int = 1
+) -> list[tuple[str, dict[str, str]]]:
     """Parse history text into (rec_type, {key: value}) records,
-    reassembling logical lines that span physical lines (a line belongs
-    to the previous record until one ends with an unescaped `` .``)."""
+    reassembling logical lines that span physical lines.
+
+    ``version`` selects the logical-line terminator dialect, Rumen's
+    ``-v1`` switch (HadoopLogsAnalyzer.java:178,428 sets it, :685 picks
+    the marker): version 1 — the 0.20+/1.x JobHistory format this engine
+    writes — ends a record with `` .`` (a physical line not ending in an
+    unescaped dot continues onto the next); version 0 — the pre-0.20
+    JobTracker log dialect — ends a record with a bare trailing space.
+    The KEY="escaped value" grammar is identical in both dialects
+    (ParsedLine.java:47 uses one regex for either version). A form feed
+    marks a concatenated-log segment boundary and force-terminates the
+    record in progress (HadoopLogsAnalyzer.readBalancedLine's '\\f'
+    handling); JobHistory-written 1.x files never contain one."""
     records: list[tuple[str, dict[str, str]]] = []
     buf: list[str] = []
-    # split on \r\n | \r | \n ONLY (Java LineReader's boundaries) — NOT
-    # str.splitlines(), which also breaks on \x0b/\x1c-\x1e/ /...
-    # and would corrupt values containing those control characters
-    for line in re.split(r"\r\n|\r|\n", text):
-        buf.append(line)
-        t = line.rstrip()
-        if not t.endswith(LINE_DELIM) or t.endswith(ESCAPE_CHAR + LINE_DELIM):
-            continue
+
+    def flush() -> None:
+        if not buf:
+            return
         logical = "\n".join(buf)
-        buf = []
+        buf.clear()
         idx = logical.find(" ")
         if idx <= 0:
-            continue
+            return
         rec_type = logical[:idx]
         kv = {
             m.group(1): unescape_string(m.group(2))
             for m in _PAIR_RE.finditer(logical[idx + 1 :])
         }
         records.append((rec_type, kv))
+
+    # split on \r\n | \r | \n ONLY (Java LineReader's boundaries) — NOT
+    # str.splitlines(), which also breaks on \x0b/\x1c-\x1e/ /...
+    # and would corrupt values containing those control characters
+    for line in re.split(r"\r\n|\r|\n", text):
+        if "\f" in line:
+            flush()
+            line = line[line.rfind("\f") + 1 :]
+            if not line:
+                continue
+        buf.append(line)
+        if version == 0:
+            if line.endswith(" "):
+                flush()
+        else:
+            t = line.rstrip()
+            if t.endswith(LINE_DELIM) and not t.endswith(ESCAPE_CHAR + LINE_DELIM):
+                flush()
     return records
 
 

@@ -86,3 +86,35 @@ def test_history_parse_roundtrip_matches_oracle(spark, duck):
     from tests.conftest import assert_query_matches_oracle
 
     assert_query_matches_oracle(spark, duck, "history_parse_roundtrip")
+
+
+def test_pre020_dialect_trailing_space_terminator():
+    """version 0 (pre-0.20 JT logs): a record ends with a bare trailing
+    space; a line without one continues onto the next (joined with \\n)."""
+    text = (
+        'Job JOBID="job_1" USER="alice" \n'
+        'Task TASKID="t_1"\n'
+        'START_TIME="5" \n'
+        'Task TASKID="t_2" '
+    )
+    recs = jh.parse_records(text, version=0)
+    assert [r[0] for r in recs] == ["Job", "Task", "Task"]
+    assert recs[0][1] == {"JOBID": "job_1", "USER": "alice"}
+    assert recs[1][1] == {"TASKID": "t_1", "START_TIME": "5"}
+    assert recs[2][1] == {"TASKID": "t_2"}
+    # the same text under the 1.x dialect has no ' .' terminator at all
+    assert jh.parse_records(text, version=1) == []
+
+
+def test_formfeed_segment_boundary_terminates_record():
+    """A form feed (concatenated-log segment marker) force-terminates the
+    record in progress in either dialect."""
+    text = (
+        'Job JOBID="job_1"\n'
+        "\fJobtracker START_TIME=\"1\" \n"
+        'Job JOBID="job_2" '
+    )
+    recs = jh.parse_records(text, version=0)
+    assert [r[0] for r in recs] == ["Job", "Jobtracker", "Job"]
+    assert recs[0][1] == {"JOBID": "job_1"}
+    assert recs[2][1] == {"JOBID": "job_2"}
