@@ -158,20 +158,23 @@ def pentomino_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pentomino_dancing",
     oracle="""
 SELECT CAST(10 AS INT) AS width, CAST(6 AS INT) AS height,
-       CAST(548 AS BIGINT) AS n_prefixes, CAST(2339 AS BIGINT) AS solutions
+       CAST(3199 AS BIGINT) AS n_prefixes, CAST(2339 AS BIGINT) AS solutions
 """,
 )
 def pentomino_dancing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL DistributedPentomino (examples/dancing/
     DistributedPentomino.java:37-75 + Pentomino.java exact-cover model):
-    full 6x10 pentomino tiling via Algorithm X, prefix-split at depth 3
-    into 548 independent tasks exactly like the reference's map-over-
-    prefixes job. The oracle pins the published invariant — 2339 distinct
+    full 6x10 pentomino tiling via Algorithm X, prefix-split at depth 4
+    into 3199 independent tasks like the reference's map-over-prefixes
+    job (depth 3's 548 coarse prefixes left two straggler tasks pinning
+    the wall clock — finer tasks halved it, 16.9 -> 9.0 s on local[32];
+    the same depth+1 lever the reference's docs prescribe for bigger
+    clusters). The oracle pins the published invariant — 2339 distinct
     6x10 pentomino solutions (the x-in-upper-left-quadrant constraint,
     Pentomino.java:292-294, makes each symmetry class count once) — the
     same external check the reference relies on; DuckDB cannot replay a
-    backtracking search. ~20 s on local[32]: kept out of BENCH_QUERIES,
-    the invariant is the point, not throughput. See operators/pentomino.py."""
+    backtracking search. Kept out of BENCH_QUERIES: the invariant is the
+    point, not throughput. See operators/pentomino.py."""
     from hadoop_1_spark.operators import pentomino
 
-    return pentomino.solve_distributed(spark, width=10, height=6, depth=3)
+    return pentomino.solve_distributed(spark, width=10, height=6, depth=4)
