@@ -153,6 +153,15 @@ BENCH_QUERIES = [
     "tpch_q13_order_distribution",  # TPC-H Q13 outer-join count histogram
     "tpch_q15_top_supplier",   # TPC-H Q15 view + scalar-max subquery
     "tpch_q17_small_quantity", # TPC-H Q17 decorrelated 0.2*avg filter
+    "tpch_q1_pricing",         # TPC-H Q1 full pricing summary (r7)
+    "tpch_q4_priority",        # TPC-H Q4 correlated-EXISTS semi join
+    "tpch_q9_profit",          # TPC-H Q9 5-way snowflake profit
+    "tpch_q12_shipmode",       # TPC-H Q12 dual conditional counts
+    "tpch_q16_supplier_cnt",   # TPC-H Q16 NOT-IN + count distinct
+    "tpch_q19_disjunctive",    # TPC-H Q19 three-armed OR join residual
+    "tpch_q20_part_promotion", # TPC-H Q20 nested semi-join chain
+    "tpch_q21_waiting",        # TPC-H Q21 EXISTS/NOT-EXISTS self joins
+    "tpch_q22_global_sales",   # TPC-H Q22 scalar-subquery + anti join
     "corpus_ccnet_mix",        # CCNet lang x perplexity-bucket mix report
     "corpus_split_leak_report",# winnowing train/eval contamination audit
     "mm_audio_chunks",         # strided ASR chunk plan (metadata-only)

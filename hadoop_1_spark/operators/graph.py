@@ -153,7 +153,7 @@ def pagerank_dangling(edges: DataFrame, iters: int = 3) -> DataFrame:
     ew = persist_tracked(edges.select("src", "dst").repartition(F.col("dst")))
     base = ((DAMP_DEN - DAMP_NUM) * SCALE) // DAMP_DEN
     ranks = nd.select("node", "outdeg", F.lit(SCALE).cast("bigint").alias("rank"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             ew.join(F.broadcast(ranks), ew["src"] == ranks["node"])
             .select(F.col("dst"), F.expr("rank div outdeg").alias("c"))
@@ -176,6 +176,12 @@ def pagerank_dangling(edges: DataFrame, iters: int = 3) -> DataFrame:
                 ).alias("rank"),
             )
         )
+        if i < iters - 1:
+            # pin the node-sized state each round: without the lineage
+            # break every round's plan re-derives all prior rounds (the
+            # contribution join AND the dangling aggregate each replay the
+            # previous ranks), compounding to ~200 exchanges by round 3
+            ranks = persist_tracked(ranks)
     return ranks.select("node", F.col("rank").alias("rank_fp"), "outdeg")
 
 

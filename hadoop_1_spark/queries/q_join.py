@@ -1118,3 +1118,529 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         F.round(F.sum(dp).cast("double") / F.lit(7.0), 6).alias("avg_yearly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H family completion (round 7). The driver testdata is a simplified
+# TPC-H: no partsupp table and no l_commitdate/l_receiptdate/l_shipmode/
+# p_container/c_phone columns. Q2 and Q11 are partsupp-only and stay out of
+# scope (SURVEY §2.4 note); the rest of the family is implemented with the
+# reference plan SHAPES intact and the missing columns adapted to present
+# ones — each adaptation documented on the query. Decimal discipline as the
+# rest of the family: sums as DECIMAL strings, comparisons cross-multiplied,
+# discount/tax as DECIMAL(6,4) so chained products stay inside precision 38
+# in BOTH engines.
+
+Q1_CUT_TS = "1998-09-02 00:00:00"
+
+
+@register(
+    "tpch_q1_pricing",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,8)) AS VARCHAR) AS sum_disc_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                     * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,12)) AS VARCHAR) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUT_TS}'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report), the full column set: per
+    (returnflag, linestatus) over shipped-by-cutoff lineitems — quantity /
+    base / discounted / charged sums (exact decimals shipped as strings;
+    disc and tax cast to DECIMAL(6,4) so the 3-factor charge product is
+    (34,12) in Spark and (33,12) in DuckDB, exact in both) and the three
+    averages (round(double/count, 6), division identical in both engines).
+
+    Shape at 100 TB: the benchmark's map-side-combine yardstick — one
+    pushed-filter scan, partial aggregation per partition, a 4-row
+    exchange."""
+    li = _load(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(12,4)")
+    dp = F.col("l_extendedprice").cast("decimal(18,4)")
+    dd = F.col("l_discount").cast("decimal(6,4)")
+    dt = F.col("l_tax").cast("decimal(6,4)")
+    one = F.lit(1).cast("decimal(5,4)")
+    cnt = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(Q1_CUT_TS).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dq).cast("decimal(38,4)").cast("string").alias("sum_qty"),
+            F.sum(dp).cast("decimal(38,4)").cast("string").alias("sum_base_price"),
+            F.sum(dp * (one - dd)).cast("decimal(38,8)").cast("string").alias("sum_disc_price"),
+            F.sum(dp * (one - dd) * (one + dt)).cast("decimal(38,12)").cast("string").alias("sum_charge"),
+            F.round(F.sum(dq).cast("double") / cnt, 6).alias("avg_qty"),
+            F.round(F.sum(dp).cast("double") / cnt, 6).alias("avg_price"),
+            F.round(F.sum(dd).cast("double") / cnt, 6).alias("avg_disc"),
+            cnt.cast("bigint").alias("count_order"),
+        )
+    )
+
+
+Q4_LO_TS = "1997-07-01 00:00:00"
+Q4_HI_TS = "1997-10-01 00:00:00"
+Q4_LATE_DAYS = 60
+
+
+@register(
+    "tpch_q4_priority",
+    oracle=f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_LO_TS}' AND o_orderdate < TIMESTAMP '{Q4_HI_TS}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): one quarter of orders, counted
+    per priority when EXISTS a late lineitem. The reference's lateness is
+    l_commitdate < l_receiptdate (columns absent here); adapted to
+    l_shipdate > o_orderdate + 60 days — same correlated-EXISTS shape,
+    which decorrelates to a LEFT SEMI join with a non-equi residual.
+
+    Shape at 100 TB: the date window pushes to the orders scan; ONE
+    shuffle pair on orderkey for the semi join (lineitem is never wider
+    than (orderkey, shipdate) after pruning); 5-row output."""
+    od = _load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q4_LO_TS).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(Q4_HI_TS).cast("timestamp_ntz"))
+    )
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = od.join(
+        li,
+        (od["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > od["o_orderdate"] + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_count")
+    )
+
+
+Q9_NAME_PREFIX = "red"
+
+
+@register(
+    "tpch_q9_profit",
+    oracle=f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                     - (CAST(p_retailprice AS DECIMAL(12,4)) * CAST(0.6 AS DECIMAL(6,4)))
+                       * CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,12))
+            AS VARCHAR) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '{Q9_NAME_PREFIX}%'
+GROUP BY n_name, year(o_orderdate)
+""",
+)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit): profit per (supplier nation, order
+    year) over name-filtered parts. The reference's cost leg is
+    ps_supplycost * quantity (no partsupp table here); adapted to a fixed
+    0.6 * p_retailprice unit cost — the 5-way snowflake (3 broadcast dims
+    + the orderkey shuffle) and the year(extract)-grouped exact-decimal
+    profit sum keep Q9's plan shape.
+
+    Shape at 100 TB: part (name-filtered), supplier and nation broadcast;
+    lineitem⋈orders is the one big shuffle; group keys are 25 nations x
+    ~7 years, so the final exchange is trivial."""
+    li = _load(spark, sf_dir, "lineitem")
+    pa = _load(spark, sf_dir, "part").where(F.col("p_name").startswith(Q9_NAME_PREFIX))
+    su = _load(spark, sf_dir, "supplier")
+    od = _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    na = _load(spark, sf_dir, "nation")
+    dp = F.col("l_extendedprice").cast("decimal(18,4)")
+    dd = F.col("l_discount").cast("decimal(6,4)")
+    dq = F.col("l_quantity").cast("decimal(12,4)")
+    one = F.lit(1).cast("decimal(5,4)")
+    cost_rate = F.lit("0.6").cast("decimal(6,4)")
+    amount = dp * (one - dd) - (F.col("p_retailprice").cast("decimal(12,4)") * cost_rate) * dq
+    return (
+        li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+        .join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("decimal(38,12)").cast("string").alias("sum_profit"))
+    )
+
+
+Q12_YEAR_LO = "1997-01-01 00:00:00"
+Q12_YEAR_HI = "1998-01-01 00:00:00"
+Q12_LATE_DAYS = 30
+
+
+@register(
+    "tpch_q12_shipmode",
+    oracle=f"""
+SELECT l_linestatus AS ship_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_YEAR_LO}'
+  AND l_shipdate < TIMESTAMP '{Q12_YEAR_HI}'
+  AND l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+GROUP BY l_linestatus
+""",
+)
+def tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority): per shipping class,
+    how many late lines belonged to high- vs low-priority orders. The
+    reference classes by l_shipmode with a commit/receipt lateness chain
+    (columns absent here); adapted to l_linestatus classes and
+    l_shipdate > o_orderdate + 30 days within the 1997 ship year — the
+    same join + dual conditional-count shape.
+
+    Shape at 100 TB: both date predicates push to the lineitem scan; one
+    orderkey shuffle join (the priority column is the only orders column
+    kept); 2-row output from map-side-combined CASE sums."""
+    od = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q12_YEAR_LO).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(Q12_YEAR_HI).cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        od.join(
+            li,
+            (od["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > od["o_orderdate"] + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS")),
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+Q16_EXCL_BRAND = "Brand#1"
+Q16_SIZES = (1, 4, 7, 10, 13, 16, 19, 22)
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    oracle=f"""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}'
+  AND p_size IN {Q16_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier count
+    per (brand, type, size) for a size list minus one brand, excluding
+    black-listed suppliers via NOT IN. Two adaptations: the part-supplier
+    relation is the distinct (l_partkey, l_suppkey) pairs of lineitem (no
+    partsupp table), and the complaint blacklist is s_acctbal < 0 (no
+    s_comment column) — the NOT-IN anti-join + distinct-count shape is
+    the point.
+
+    Shape at 100 TB: the blacklist is supplier-sized and broadcast as a
+    LEFT ANTI join; the pair-distinct and the count-distinct share the
+    same (partkey-major) shuffle; part is a broadcast dim with both
+    filters pushed."""
+    li = _load(spark, sf_dir, "lineitem")
+    pa = _load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != Q16_EXCL_BRAND) & F.col("p_size").isin(*Q16_SIZES)
+    )
+    bad = _load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad), ps["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(pa), F.col("l_partkey") == pa["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+Q19_BANDS = (("Brand#12", 5, 1, 11), ("Brand#23", 10, 10, 20), ("Brand#34", 15, 20, 30))
+
+
+@register(
+    "tpch_q19_disjunctive",
+    oracle=f"""
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,8))
+            AS VARCHAR) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE ({" OR ".join(f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s} AND l_quantity BETWEEN {ql} AND {qh})" for b, s, ql, qh in Q19_BANDS)})
+""",
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the disjunctive join — an OR of
+    three (brand, size band, quantity band) conjunctions that references
+    BOTH sides, so it can only be a join residual, not a pushed filter.
+    The reference's container/shipmode legs are absent; brand x size x
+    quantity keeps the three-armed OR shape.
+
+    Shape at 100 TB: part is broadcast; each OR arm's single-side
+    conjuncts (brand+size on part, quantity on lineitem) are extracted by
+    Catalyst into pushed pre-filters (the classic Q19 optimization), the
+    full disjunction evaluated as the join residual."""
+    li = _load(spark, sf_dir, "lineitem")
+    pa = _load(spark, sf_dir, "part")
+    dp = F.col("l_extendedprice").cast("decimal(18,4)")
+    dd = F.col("l_discount").cast("decimal(6,4)")
+    one = F.lit(1).cast("decimal(5,4)")
+    arm = None
+    for b, s, ql, qh in Q19_BANDS:
+        a = (
+            (pa["p_brand"] == b)
+            & pa["p_size"].between(1, s)
+            & li["l_quantity"].between(float(ql), float(qh))
+        )
+        arm = a if arm is None else (arm | a)
+    return (
+        li.join(F.broadcast(pa), (li["l_partkey"] == pa["p_partkey"]) & arm)
+        .agg(
+            F.sum(dp * (one - dd)).cast("decimal(38,8)").cast("string").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+Q20_NAME_PREFIX = "red"
+Q20_YEAR_LO = "1997-01-01 00:00:00"
+Q20_YEAR_HI = "1998-01-01 00:00:00"
+
+
+@register(
+    "tpch_q20_part_promotion",
+    oracle=f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS qty_total,
+         CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '{Q20_YEAR_LO}'
+                        AND l_shipdate < TIMESTAMP '{Q20_YEAR_HI}'
+                       THEN CAST(l_quantity AS DECIMAL(12,4))
+                       ELSE CAST(0 AS DECIMAL(12,4)) END) AS DECIMAL(38,4)) AS qty_1997
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_NAME_PREFIX}%')
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM ps
+                    WHERE 2 * qty_1997 > qty_total AND qty_total >= 60)
+""",
+)
+def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers whose stock of
+    name-filtered parts is dominated by one year's shipments. The
+    reference compares ps_availqty against 0.5 * the year's shipped
+    quantity (no partsupp here); adapted to pairs derived from lineitem —
+    keep (part, supplier) pairs whose 1997 shipments exceed half their
+    all-time shipments, cross-multiplied (2*q97 > qtotal) so the 0.5
+    factor never divides, with a volume floor (qty_total >= 60) standing
+    in for the reference's availqty magnitude so the predicate is
+    actually selective (39 of 100 suppliers at sf0.01). Same
+    nested-semi-join chain: part-name filter -> per-pair correlated
+    aggregate -> supplier semi-join.
+
+    Shape at 100 TB: the part filter broadcasts into the lineitem scan as
+    a semi join; ONE (partkey, suppkey) shuffle computes both quantity
+    sums in a single pass (conditional aggregation, not a second scan);
+    the surviving supplier-key set is tiny and broadcast."""
+    li = _load(spark, sf_dir, "lineitem")
+    pa = _load(spark, sf_dir, "part").where(
+        F.col("p_name").startswith(Q20_NAME_PREFIX)
+    ).select("p_partkey")
+    su = _load(spark, sf_dir, "supplier")
+    dq = F.col("l_quantity").cast("decimal(12,4)")
+    in_97 = (
+        (F.col("l_shipdate") >= F.lit(Q20_YEAR_LO).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(Q20_YEAR_HI).cast("timestamp_ntz"))
+    )
+    ps = (
+        li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"], "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(dq).cast("decimal(38,4)").alias("qty_total"),
+            F.sum(F.when(in_97, dq).otherwise(F.lit(0).cast("decimal(12,4)")))
+            .cast("decimal(38,4)")
+            .alias("qty_1997"),
+        )
+        .where(
+            (F.lit(2) * F.col("qty_1997") > F.col("qty_total"))
+            & (F.col("qty_total") >= 60)
+        )
+        .select("l_suppkey")
+    )
+    return (
+        su.join(F.broadcast(ps), su["s_suppkey"] == ps["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+Q21_LATE_DAYS = 90
+
+
+@register(
+    "tpch_q21_waiting",
+    oracle=f"""
+WITH fo AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN fo ON l_orderkey = o_orderkey
+),
+late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN fo ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.l_orderkey = l1.l_orderkey
+                AND p.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+""",
+)
+def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): over finished
+    orders, count per supplier the multi-supplier orders where ONLY that
+    supplier was late — the double correlated EXISTS / NOT EXISTS on the
+    same fact table. Lateness adapted to l_shipdate > o_orderdate + 90
+    days (no commit/receipt dates); the reference's nation filter is
+    dropped (4 suppliers per nation at driver scale would zero the
+    result) — the self-semi/anti join chain is the shape under test.
+
+    Shape at 100 TB: one orderkey shuffle builds both the late and the
+    all-pairs relations from the same scan; the EXISTS legs are
+    orderkey-co-partitioned semi/anti self-joins (no extra exchange of
+    the fact table); supplier names broadcast at the end."""
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    od = _load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    su = _load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lo = li.join(od, li["l_orderkey"] == od["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")).alias("is_late"),
+    )
+    pairs = persist_tracked(
+        lo.groupBy("l_orderkey", "l_suppkey").agg(F.max("is_late").alias("late"))
+    )
+    late = pairs.where(F.col("late"))
+    others = pairs.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s"), "late"
+    )
+    waiting = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o_k")) & (F.col("l_suppkey") != F.col("o_s")),
+            "left_semi",
+        )
+        .join(
+            others.where(F.col("late")),
+            (F.col("l_orderkey") == F.col("o_k")) & (F.col("l_suppkey") != F.col("o_s")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(su), waiting["l_suppkey"] == su["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+
+
+Q22_NATIONS = (1, 3, 5, 7, 9, 11, 13)
+Q22_ACTIVE_TS = "1999-01-01 00:00:00"
+
+
+@register(
+    "tpch_q22_global_sales",
+    oracle=f"""
+WITH pos AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer WHERE c_acctbal > 0 AND c_nationkey IN {Q22_NATIONS}
+)
+SELECT c_nationkey AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS VARCHAR) AS totacctbal
+FROM customer, pos
+WHERE c_nationkey IN {Q22_NATIONS}
+  AND CAST(c_acctbal AS DECIMAL(12,4)) * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{Q22_ACTIVE_TS}')
+GROUP BY c_nationkey
+""",
+)
+def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): customers in a country list
+    with above-average positive balances and no RECENT orders (every
+    sf0.01 customer has some historical order, so the reference's
+    no-orders-ever anti-join would be vacuously empty; inactivity since
+    1999 keeps the NOT EXISTS bite — 29 customers qualify), counted per
+    country. The country code is c_nationkey (no c_phone column). The
+    scalar AVG subquery is kept exact by cross-multiplying:
+    acctbal > sum/cnt <=> acctbal * cnt > sum — decimal-integer
+    arithmetic, no division; the anti-join is the NOT EXISTS.
+
+    Shape at 100 TB: the 1-row (sum, cnt) aggregate broadcasts via
+    crossJoin; orders is pruned to (custkey, date-filtered) for the anti
+    join (the one shuffle); 7-row output."""
+    cu = _load(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(*Q22_NATIONS)
+    )
+    od = (
+        _load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit(Q22_ACTIVE_TS).cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    bal = F.col("c_acctbal").cast("decimal(12,4)")
+    pos = cu.where(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).cast("decimal(38,4)").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        cu.crossJoin(F.broadcast(pos))
+        .where(bal * F.col("n") > F.col("s"))
+        .join(od, F.col("c_custkey") == od["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(bal).cast("decimal(38,4)").cast("string").alias("totacctbal"),
+        )
+    )
