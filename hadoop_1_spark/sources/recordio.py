@@ -279,7 +279,12 @@ def _treemap_items(value, key_type: DataType):
     pairs 0xD800.. that sort BELOW 0xE000..0xFFFF code units), so string
     keys sort by their UTF-16-BE encoding (round-6 advice #2)."""
     if isinstance(key_type, StringType):
-        return sorted(value.items(), key=lambda kv: kv[0].encode("utf-16-be"))
+        # surrogatepass: Java strings may hold lone surrogates as bare
+        # code units — they must encode (and order) rather than raise
+        return sorted(
+            value.items(),
+            key=lambda kv: kv[0].encode("utf-16-be", "surrogatepass"),
+        )
     return sorted(value.items())
 
 

@@ -767,3 +767,83 @@ def test_har_hash_is_java_hashcode_masked(s):
             h = (31 * h + unit) & 0xFFFFFFFF
     signed = h - (1 << 32) if h >= (1 << 31) else h
     assert har.har_hash(s) == signed & 0x7FFFFFFF
+
+
+@given(
+    total=st.integers(min_value=1, max_value=200),
+    selected=st.integers(min_value=-5, max_value=250),
+)
+@settings(max_examples=200, deadline=None)
+def test_gridmix2_select_spread_count_property(total, selected):
+    """GridMixRunner.select fires exactly min(selected, total) indices
+    when selected > 0 (an even spread), and none otherwise."""
+    from hadoop_1_spark.operators.gridmix2 import select
+
+    fired = [i for i in range(total) if select(total, selected, i)]
+    if selected <= 0:
+        assert fired == []
+    else:
+        assert len(fired) == min(selected, total)
+        # spread: gaps between consecutive fired indices are constant
+        if 0 < selected < total:
+            gaps = {b - a for a, b in zip(fired, fired[1:])}
+            assert len(gaps) <= 1
+
+
+@given(
+    jobs=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=3),
+    reds=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=3),
+    moc=st.integers(min_value=0, max_value=80),
+)
+@settings(max_examples=100, deadline=None)
+def test_gridmix2_compile_counts_property(jobs, reds, moc):
+    """compile_mix expands exactly sum(numOfJobs) specs per configured
+    (class, size), reducer counts follow their group, and idx is dense."""
+    from hadoop_1_spark.operators.gridmix2 import compile_mix
+
+    if len(jobs) != len(reds):
+        reds = (reds * len(jobs))[: len(jobs)]
+    conf = {
+        "combiner.smallJobs.numOfJobs": ",".join(map(str, jobs)),
+        "combiner.smallJobs.numOfReduces": ",".join(map(str, reds)),
+        "combiner.smallJobs.numOfMapoutputCompressed": str(moc),
+    }
+    specs = [s for s in compile_mix(conf) if s["job"] == "combiner" and s["size"] == "small"]
+    assert len(specs) == sum(jobs)
+    assert [s["idx"] for s in specs] == list(range(sum(jobs)))
+    expect_reds = [r for n, r in zip(jobs, reds) for _ in range(n)]
+    assert [s["reducers"] for s in specs] == expect_reds
+    assert sum(s["mapoutput_compressed"] for s in specs) == (
+        min(moc, sum(jobs)) if moc > 0 else 0
+    )
+    # everything unconfigured defaults to zero jobs
+    assert all(
+        s["job"] == "combiner" and s["size"] == "small" for s in compile_mix(conf)
+    )
+
+
+@given(
+    keys=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x1100F),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_recordio_map_key_order_is_utf16_property(keys):
+    """Map keys serialize in UTF-16 code-unit order (Java TreeMap /
+    String.compareTo), including supplementary-plane keys."""
+    from pyspark.sql.types import MapType, StringType
+
+    from hadoop_1_spark.sources import recordio
+
+    items = recordio._treemap_items(
+        {k: "v" for k in keys}, StringType()
+    )
+    got = [k for k, _ in items]
+    assert got == sorted(keys, key=lambda s: s.encode("utf-16-be", "surrogatepass"))
