@@ -89,10 +89,11 @@ def parse_records(
     unescaped dot continues onto the next); version 0 — the pre-0.20
     JobTracker log dialect — ends a record with a bare trailing space.
     The KEY="escaped value" grammar is identical in both dialects
-    (ParsedLine.java:47 uses one regex for either version). A form feed
-    marks a concatenated-log segment boundary and force-terminates the
-    record in progress (HadoopLogsAnalyzer.readBalancedLine's '\\f'
-    handling); JobHistory-written 1.x files never contain one."""
+    (ParsedLine.java:47 uses one regex for either version). In the
+    version-0 dialect ONLY, a form feed marks a concatenated-log segment
+    boundary and force-terminates the record in progress
+    (HadoopLogsAnalyzer.readBalancedLine's '\\f' handling); the 1.x
+    reader has no such rule and its values may contain literal '\\f'."""
     records: list[tuple[str, dict[str, str]]] = []
     buf: list[str] = []
 
@@ -115,7 +116,10 @@ def parse_records(
     # str.splitlines(), which also breaks on \x0b/\x1c-\x1e/ /...
     # and would corrupt values containing those control characters
     for line in re.split(r"\r\n|\r|\n", text):
-        if "\f" in line:
+        if version == 0 and "\f" in line:
+            # segment boundaries exist only in the legacy analyzer's
+            # concatenated-JT-log input; the 1.x JobHistory reader has no
+            # '\f' handling and its values may legitimately contain one
             flush()
             line = line[line.rfind("\f") + 1 :]
             if not line:

@@ -108,7 +108,8 @@ def test_pre020_dialect_trailing_space_terminator():
 
 def test_formfeed_segment_boundary_terminates_record():
     """A form feed (concatenated-log segment marker) force-terminates the
-    record in progress in either dialect."""
+    record in progress — version-0 dialect only; 1.x values may contain
+    a literal form feed and must round-trip (property suite pins that)."""
     text = (
         'Job JOBID="job_1"\n'
         "\fJobtracker START_TIME=\"1\" \n"
