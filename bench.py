@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "embedding_normalize_mrl", # Matryoshka trim + L2 normalize (q9 codes)
     "feature_winsorize",       # exact P1/P99 clipping report (rank scan)
     "events_negative_sample",  # deterministic implicit-feedback negatives
+    "events_negative_sample_draws",  # O(U x draws) PRNG contract (scale path)
     "embedding_pq_codes",      # product-quantization codebooks (4x16)
     "sim_pq_topk",             # PQ asymmetric-distance scan + exact rerank
     "sim_pq_topk_scan",        # same scan over a parked index (scan-only cost)

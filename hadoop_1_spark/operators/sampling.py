@@ -237,3 +237,111 @@ def negative_sample(
         .where(F.col("rank") <= k)
         .select(user_col, item_col, "rank")
     )
+
+
+def negative_sample_draws(
+    positives: DataFrame,
+    universe: DataFrame,
+    k: int,
+    m: int | None = None,
+    user_col: str = "user_id",
+    item_col: str = "item",
+    seed: str = "",
+) -> DataFrame:
+    """O(users x draws) deterministic negative sampling — the 100 TB-scale
+    sibling of :func:`negative_sample`.
+
+    The exact ranker evaluates one md5 per (user, catalog item): that
+    per-pair grid scan is its honest linear term (scripts/neg_probe.py:
+    ~2.3x at 10x on either axis). This variant changes the CONTRACT
+    instead of approximating the old one: per user, draw ``m`` catalog
+    positions with a portable hash — idx_j = md5(seed:user:j) mod
+    |catalog|, j = 1..m — and keep the first ``k`` distinct non-positive
+    draws in draw order (ties impossible: each j maps to one item). Work
+    is O(users x m) rows, independent of catalog size; the catalog
+    contributes one distributed dense index (sort.global_rank — never a
+    single-partition window) probed by a broadcast join.
+
+    Exactness: the draw sequence is a pure function of (seed, user, j)
+    and the catalog's sorted order, so any engine replays it — the
+    DuckDB oracle unrolls the same draws with generate_series. Users
+    whose m draws yield fewer than k distinct non-positives (tiny
+    catalogs or positive-dominated users) fall back to the exact
+    full-catalog md5 ranking, exactly :func:`negative_sample`'s order —
+    detected by a per-user count, replayed by the oracle.
+
+    Returns (user, item, rank) with rank 1..k in draw order (fallback
+    users: ranking-hash order)."""
+    from pyspark.sql.window import Window
+
+    from hadoop_1_spark.operators.caching import persist_tracked
+    from hadoop_1_spark.operators.sort import global_rank
+
+    if m is None:
+        m = 8 * k + 16
+    pos = positives.select(user_col, item_col).distinct()
+    users = pos.select(user_col).distinct()
+    catalog = persist_tracked(universe.select(item_col).distinct())
+    # dense 0-based catalog index, distributed (range shuffle + offsets)
+    idx = global_rank(catalog, item_col, rank_col="_r").select(
+        (F.col("_r") - 1).alias("_idx"), item_col
+    )
+    ncnt = catalog.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    draw_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}:"),
+                    F.col(user_col).cast("string"),
+                    F.lit(":"),
+                    F.col("_j").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    draws = (
+        users.crossJoin(F.broadcast(ncnt))
+        .select(user_col, F.explode(F.sequence(F.lit(1), F.lit(m))).alias("_j"), "_n")
+        .select(user_col, "_j", F.pmod(draw_hash, F.col("_n")).alias("_idx"))
+    )
+    cand = (
+        draws.join(F.broadcast(idx), "_idx")
+        .join(pos, [user_col, item_col], "left_anti")
+        .groupBy(user_col, item_col)
+        .agg(F.min("_j").alias("_jmin"))
+    )
+    w = Window.partitionBy(user_col).orderBy("_jmin")
+    kept = persist_tracked(
+        cand.withColumn("rank", F.row_number().over(w).cast("int")).where(
+            F.col("rank") <= k
+        )
+    )
+    full = kept.groupBy(user_col).agg(F.count(F.lit(1)).alias("_c")).where(
+        F.col("_c") >= k
+    )
+    short = users.join(full, user_col, "left_anti")
+    # exact full-catalog fallback for short users: negative_sample's order
+    rank_hash = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.col(user_col).cast("string"),
+            F.lit(":"),
+            F.col(item_col).cast("string"),
+        )
+    )
+    wf = Window.partitionBy(user_col).orderBy(rank_hash, F.col(item_col))
+    fallback = (
+        short.crossJoin(F.broadcast(catalog))
+        .join(pos, [user_col, item_col], "left_anti")
+        .withColumn("rank", F.row_number().over(wf).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+    return (
+        kept.join(F.broadcast(short), user_col, "left_anti")
+        .select(user_col, item_col, "rank")
+        .unionByName(fallback.select(user_col, item_col, "rank"))
+    )

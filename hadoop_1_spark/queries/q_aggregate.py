@@ -1326,3 +1326,84 @@ def events_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         item.alias("item")
     )
     return sampling.negative_sample(pos, uni, k=NEG_K)
+
+
+NEG_M = 8 * NEG_K + 16  # draws per user in the PRNG-draw sampler
+
+
+@register(
+    "events_negative_sample_draws",
+    oracle=f"""
+WITH pos AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    AND props IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+),
+uni AS (
+  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE props IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+users AS (SELECT DISTINCT user_id FROM pos),
+idx AS (SELECT item, row_number() OVER (ORDER BY item) - 1 AS di FROM uni),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+draws AS (
+  SELECT u.user_id, g.j,
+         ('0x' || substr(md5(':' || CAST(u.user_id AS VARCHAR)
+                          || ':' || CAST(g.j AS VARCHAR)), 1, 8))::BIGINT % n.n AS di
+  FROM users u, n, (SELECT unnest(generate_series(1, {NEG_M})) AS j) g
+),
+cand AS (
+  SELECT d.user_id, i.item, min(d.j) AS jmin
+  FROM draws d JOIN idx i USING (di)
+  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.user_id = d.user_id AND p.item = i.item)
+  GROUP BY d.user_id, i.item
+),
+kept AS (
+  SELECT user_id, item,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY jmin) AS INT) AS rank
+  FROM cand QUALIFY rank <= {NEG_K}
+),
+full_users AS (SELECT user_id FROM kept GROUP BY user_id HAVING count(*) >= {NEG_K}),
+shortu AS (SELECT user_id FROM users
+           WHERE user_id NOT IN (SELECT user_id FROM full_users)),
+fb AS (
+  SELECT s.user_id, c.item,
+         CAST(row_number() OVER (PARTITION BY s.user_id
+              ORDER BY md5(':' || CAST(s.user_id AS VARCHAR)
+                           || ':' || CAST(c.item AS VARCHAR)), c.item) AS INT) AS rank
+  FROM shortu s CROSS JOIN uni c
+  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.user_id = s.user_id AND p.item = c.item)
+  QUALIFY rank <= {NEG_K}
+)
+SELECT user_id, item, rank FROM kept
+WHERE user_id NOT IN (SELECT user_id FROM shortu)
+UNION ALL
+SELECT user_id, item, rank FROM fb
+""",
+)
+def events_negative_sample_draws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRNG-draw negative sampling — the O(users x draws) scale contract
+    (r7, TODO 0e): per purchasing user, {NEG_M} hashed catalog-index
+    draws, first {NEG_K} distinct non-positives kept in draw order;
+    draw-starved users fall back to the exact full-catalog ranking. Work
+    is independent of catalog size (the exact ranker's linear term);
+    sampling.negative_sample_draws documents the contract."""
+    from hadoop_1_spark.operators import sampling
+
+    ev = _load(spark, sf_dir, "events")
+    item = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    pos = ev.where(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("props").isNotNull()
+        & item.isNotNull()
+    ).select("user_id", item.alias("item"))
+    uni = ev.where(F.col("props").isNotNull() & item.isNotNull()).select(
+        item.alias("item")
+    )
+    return sampling.negative_sample_draws(pos, uni, k=NEG_K, m=NEG_M)

@@ -32,28 +32,28 @@ def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     spark = get_spark("neg_probe")
     spark.range(1000).agg({"id": "sum"}).collect()  # JVM warmup
-    times: dict[str, float] = {}
-    for tag in ("base", "cat10", "usr10"):
-        pos = spark.read.parquet(os.path.join(base, f"negprobe_{tag}_pos.parquet"))
-        cat = spark.read.parquet(os.path.join(base, f"negprobe_{tag}_cat.parquet"))
-        best = float("inf")
-        for _ in range(3):
-            release_caches()  # cold per run: the sampler pins relations
-            t0 = time.monotonic()
-            sampling.negative_sample(pos, cat, k=3, item_col="item").write.format(
-                "noop"
-            ).mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
-        times[tag] = round(best, 3)
-    print(
-        json.dumps(
-            {
-                "legs_s": times,
-                "ratio_catalog_x10": round(times["cat10"] / times["base"], 2),
-                "ratio_users_x10": round(times["usr10"] / times["base"], 2),
-            }
-        )
-    )
+    out: dict[str, dict] = {}
+    for label, fn in (
+        ("exact_rank", lambda p, c: sampling.negative_sample(p, c, k=3, item_col="item")),
+        ("prng_draws", lambda p, c: sampling.negative_sample_draws(p, c, k=3, item_col="item")),
+    ):
+        times: dict[str, float] = {}
+        for tag in ("base", "cat10", "usr10"):
+            pos = spark.read.parquet(os.path.join(base, f"negprobe_{tag}_pos.parquet"))
+            cat = spark.read.parquet(os.path.join(base, f"negprobe_{tag}_cat.parquet"))
+            best = float("inf")
+            for _ in range(3):
+                release_caches()  # cold per run: the sampler pins relations
+                t0 = time.monotonic()
+                fn(pos, cat).write.format("noop").mode("overwrite").save()
+                best = min(best, time.monotonic() - t0)
+            times[tag] = round(best, 3)
+        out[label] = {
+            "legs_s": times,
+            "ratio_catalog_x10": round(times["cat10"] / times["base"], 2),
+            "ratio_users_x10": round(times["usr10"] / times["base"], 2),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -641,6 +641,58 @@ def test_negative_sample_contract(spark):
     assert 10 not in by_user[2]
 
 
+def test_negative_sample_draws_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "events_negative_sample_draws")
+
+
+def test_negative_sample_draws_contract_and_fallback(spark):
+    """Draw-order contract: k distinct non-positive negatives per user,
+    deterministic across reruns; a draw-starved user (fewer than k
+    possible negatives) falls back to the exact ranking and returns
+    every negative that exists."""
+    from hadoop_1_spark.operators import sampling
+
+    pos = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10)], "user_id long, item long"
+    )
+    uni = spark.createDataFrame([(i,) for i in (10, 11, 12, 13)], "item long")
+    a = sampling.negative_sample_draws(pos, uni, k=3).collect()
+    b = sampling.negative_sample_draws(pos, uni, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_user = {}
+    for r in a:
+        by_user.setdefault(r["user_id"], []).append((r["rank"], r["item"]))
+    # user 1: only one possible negative (13) -> short-user fallback
+    assert sorted(by_user[1]) == [(1, 13)]
+    # user 2: three negatives exist -> exactly k, ranks 1..3, no positives
+    items2 = {i for _, i in by_user[2]}
+    assert sorted(r for r, _ in by_user[2]) == [1, 2, 3]
+    assert items2 <= {11, 12, 13} and 10 not in items2
+
+
+def test_negative_sample_draws_first_rank_is_first_draw(spark):
+    """rank 1 is the FIRST non-positive distinct draw in j order — the
+    draw-order contract, replayed here in plain Python."""
+    import hashlib
+
+    from hadoop_1_spark.operators import sampling
+
+    pos = spark.createDataFrame([(7, 100)], "user_id long, item long")
+    items = sorted(range(100, 120))
+    uni = spark.createDataFrame([(i,) for i in items], "item long")
+    out = {r["rank"]: r["item"] for r in sampling.negative_sample_draws(
+        pos, uni, k=2, m=16).collect()}
+    seen, expect = set(), []
+    for j in range(1, 17):
+        h = int(hashlib.md5(f":7:{j}".encode()).hexdigest()[:8], 16) % len(items)
+        it = items[h]
+        if it == 100 or it in seen:
+            continue
+        seen.add(it)
+        expect.append(it)
+    assert out[1] == expect[0] and out[2] == expect[1]
+
+
 def test_negative_sample_thinned_path_is_exact(spark):
     """Catalog (500 items) above the thinning cutoff (2 * max(64, 8k)):
     the hash-thinned shape must return exactly what a full ranking would
