@@ -130,6 +130,21 @@ QUERIES = [
     "tpch_q13_order_distribution",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity",
+    # round-7 block
+    "tpch_q1_pricing",
+    "tpch_q4_priority",
+    "tpch_q9_profit",
+    "tpch_q12_shipmode",
+    "tpch_q16_supplier_cnt",
+    "tpch_q19_disjunctive",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting",
+    "tpch_q22_global_sales",
+    "gridmix2_mini",
+    "graph_pagerank_dangling",
+    "events_negative_sample",
+    "events_negative_sample_draws",
+    "stream_outer_join",
 ]
 
 
