@@ -306,7 +306,14 @@ def negative_sample_draws(
     draws = (
         users.crossJoin(F.broadcast(ncnt))
         .select(user_col, F.explode(F.sequence(F.lit(1), F.lit(m))).alias("_j"), "_n")
-        .select(user_col, "_j", F.pmod(draw_hash, F.col("_n")).alias("_idx"))
+        # greatest(n, 1): an empty catalog would make pmod error under
+        # ANSI; with it the draws hit no index rows and every user falls
+        # through to the (empty) fallback — a clean empty result
+        .select(
+            user_col,
+            "_j",
+            F.pmod(draw_hash, F.greatest(F.col("_n"), F.lit(1))).alias("_idx"),
+        )
     )
     cand = (
         draws.join(F.broadcast(idx), "_idx")

@@ -693,6 +693,16 @@ def test_negative_sample_draws_first_rank_is_first_draw(spark):
     assert out[1] == expect[0] and out[2] == expect[1]
 
 
+def test_negative_sample_draws_empty_universe(spark):
+    """An empty catalog yields a clean empty result (no ANSI mod-by-zero
+    from the draw hash)."""
+    from hadoop_1_spark.operators import sampling
+
+    pos = spark.createDataFrame([(1, 10)], "user_id long, item long")
+    uni = spark.createDataFrame([], "item long")
+    assert sampling.negative_sample_draws(pos, uni, k=2).count() == 0
+
+
 def test_negative_sample_thinned_path_is_exact(spark):
     """Catalog (500 items) above the thinning cutoff (2 * max(64, 8k)):
     the hash-thinned shape must return exactly what a full ranking would
