@@ -133,7 +133,14 @@ def _core_files() -> list[str]:
     import glob
 
     base = os.path.dirname(os.path.abspath(__file__))
-    files = ["hadoop_1_spark/registry.py", "hadoop_1_spark/session.py"]
+    # dedup.py is core because registry's dispatch wrapper calls
+    # dedup.release_caches around EVERY query (round-8 advice): an edit
+    # there must mark all queries core-dirty, not only dedup importers.
+    files = [
+        "hadoop_1_spark/registry.py",
+        "hadoop_1_spark/session.py",
+        "hadoop_1_spark/operators/dedup.py",
+    ]
     files += [
         os.path.relpath(p, base)
         for p in glob.glob(os.path.join(base, "hadoop_1_spark/**/__init__.py"), recursive=True)

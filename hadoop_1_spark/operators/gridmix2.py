@@ -82,11 +82,29 @@ def select(total: int, selected: int, index: int) -> bool:
 
 def _ints(conf: dict[str, str], name: str, default: int) -> list[int]:
     """Configuration.getStrings + per-element parse (GridMixRunner.java:
-    360-367): a comma-separated int list, ``[default]`` when absent."""
+    360-367): a comma-separated int list, ``[default]`` when absent.
+
+    Exact parity with the reference's stack: StringTokenizer(str, ",")
+    SKIPS empty tokens (StringUtils.getStringCollection:314 — so
+    ``8,,2`` legitimately parses as [8, 2]), but Integer.parseInt does
+    NOT trim (``8, 2`` throws NumberFormatException), and an all-empty
+    value makes StringUtils.getStrings return null (:299-301), which
+    getInts dereferences — a crash, not a default. Mirror all three."""
     raw = conf.get(name)
-    if raw is None or raw == "":
+    if raw is None:
         return [default]
-    return [int(x.strip()) for x in raw.split(",") if x.strip() != ""]
+    toks = [t for t in raw.split(",") if t != ""]
+    if not toks:
+        raise ValueError(
+            f"{name}={raw!r}: empty value (getStrings returns null; the "
+            "reference NPEs in getInts rather than applying the default)"
+        )
+    for t in toks:
+        if t != t.strip():
+            raise ValueError(
+                f"{name}: {t!r} — Integer.parseInt does not trim whitespace"
+            )
+    return [int(t) for t in toks]
 
 
 def compile_mix(conf: dict[str, str]) -> list[dict]:

@@ -119,11 +119,13 @@ def parse_records(
         if version == 0 and "\f" in line:
             # segment boundaries exist only in the legacy analyzer's
             # concatenated-JT-log input; the 1.x JobHistory reader has no
-            # '\f' handling and its values may legitimately contain one
+            # '\f' handling and its values may legitimately contain one.
+            # The reference discards the WHOLE line: readBalancedLine
+            # (HadoopLogsAnalyzer.java:651) truncates text before the
+            # first '\f', then the segment-marker branch (:682) recurses
+            # past the marker text itself — neither half becomes a record
             flush()
-            line = line[line.rfind("\f") + 1 :]
-            if not line:
-                continue
+            continue
         buf.append(line)
         if version == 0:
             if line.endswith(" "):

@@ -1352,7 +1352,8 @@ n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
 draws AS (
   SELECT u.user_id, g.j,
          ('0x' || substr(md5(':' || CAST(u.user_id AS VARCHAR)
-                          || ':' || CAST(g.j AS VARCHAR)), 1, 8))::BIGINT % n.n AS di
+                          || ':' || CAST(g.j AS VARCHAR)), 1, 8))::BIGINT
+           % greatest(n.n, 1) AS di
   FROM users u, n, (SELECT unnest(generate_series(1, {NEG_M})) AS j) g
 ),
 cand AS (

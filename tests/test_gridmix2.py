@@ -46,6 +46,20 @@ def test_mismatched_arrays_raise():
         gridmix2.compile_mix(conf)
 
 
+def test_ints_java_parity():
+    """StringTokenizer skips empty tokens ('8,,2' -> [8,2]); parseInt
+    does not trim (' 2' throws); an all-empty value NPEs in getInts
+    rather than falling back to the default (StringUtils.java:299)."""
+    assert gridmix2._ints({"k": "8,,2"}, "k", 1) == [8, 2]
+    assert gridmix2._ints({}, "k", 7) == [7]
+    with pytest.raises(ValueError, match="parseInt"):
+        gridmix2._ints({"k": "8, 2"}, "k", 1)
+    with pytest.raises(ValueError, match="empty value"):
+        gridmix2._ints({"k": ""}, "k", 1)
+    with pytest.raises(ValueError, match="empty value"):
+        gridmix2._ints({"k": ",,"}, "k", 1)
+
+
 def test_shipped_mix_expansion():
     """Hand-checked corners of the shipped mix: array-valued javaSort
     groups, full-coverage streamSort map compression, the 20-of-40

@@ -108,14 +108,23 @@ def test_pre020_dialect_trailing_space_terminator():
 
 def test_formfeed_segment_boundary_terminates_record():
     """A form feed (concatenated-log segment marker) force-terminates the
-    record in progress — version-0 dialect only; 1.x values may contain
-    a literal form feed and must round-trip (property suite pins that)."""
+    record in progress AND discards the whole marker line — version-0
+    dialect only; 1.x values may contain a literal form feed and must
+    round-trip (property suite pins that). The reference drops both
+    halves of a '\\f'-bearing line: readBalancedLine
+    (HadoopLogsAnalyzer.java:651) truncates text before the first '\\f',
+    then the segment branch (:682) recurses past the marker text."""
     text = (
         'Job JOBID="job_1"\n'
-        "\fJobtracker START_TIME=\"1\" \n"
+        "prefix\f!!FILE part-001!!\n"
         'Job JOBID="job_2" '
     )
     recs = jh.parse_records(text, version=0)
-    assert [r[0] for r in recs] == ["Job", "Jobtracker", "Job"]
+    assert [r[0] for r in recs] == ["Job", "Job"]
     assert recs[0][1] == {"JOBID": "job_1"}
-    assert recs[2][1] == {"JOBID": "job_2"}
+    assert recs[1][1] == {"JOBID": "job_2"}
+    # the marker line never contributes a record, even when it carries
+    # KEY="value" text after the form feed
+    text2 = 'Task TASKID="t_1"\n\fJobtracker START_TIME="1" \nTask TASKID="t_2" '
+    recs2 = jh.parse_records(text2, version=0)
+    assert [r[0] for r in recs2] == ["Task", "Task"]

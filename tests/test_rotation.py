@@ -29,10 +29,14 @@ def test_core_files_are_the_shared_closure():
     core = entry._core_files()
     assert "hadoop_1_spark/registry.py" in core
     assert "hadoop_1_spark/session.py" in core
-    # No query/operator implementation modules belong to the core set.
+    # dedup.py is core: registry's dispatch wrapper calls
+    # dedup.release_caches around EVERY query (round-8 advice).
+    assert "hadoop_1_spark/operators/dedup.py" in core
+    # No query modules or OTHER operator modules belong to the core set.
     assert not any(f.startswith("hadoop_1_spark/queries/q_") for f in core)
     assert not any(
-        f.startswith("hadoop_1_spark/operators/") and not f.endswith("__init__.py")
+        f.startswith("hadoop_1_spark/operators/")
+        and not f.endswith(("__init__.py", "dedup.py"))
         for f in core
     )
 
@@ -68,19 +72,38 @@ def test_core_edit_changes_core_digest_not_query_digest():
 def test_operator_edit_changes_only_its_queries():
     def edited(rel: str) -> bytes:
         data = _tree_read(rel)
-        if rel == "hadoop_1_spark/operators/dedup.py":
+        if rel == "hadoop_1_spark/operators/similarity.py":
             data += b"\n# simulated operator edit\n"
         return data
 
-    # dedup-backed query digests move...
-    assert entry.query_digest("dedup_minhash_lsh", read=edited) != entry.query_digest(
-        "dedup_minhash_lsh", read=_tree_read
+    # similarity-backed query digests move...
+    assert entry.query_digest("sim_cosine_topk", read=edited) != entry.query_digest(
+        "sim_cosine_topk", read=_tree_read
     )
-    # ...a dedup-independent query's and the core digest do not.
+    # ...a similarity-independent query's and the core digest do not.
     assert entry.query_digest("fieldsel", read=edited) == entry.query_digest(
         "fieldsel", read=_tree_read
     )
     assert entry.core_digest(read=edited) == entry.core_digest(read=_tree_read)
+
+
+def test_dedup_edit_is_core_dirty_not_query_dirty():
+    """dedup.py sits on registry's dispatch path (release_caches wraps
+    every query), so an edit there must move the CORE digest — reaching
+    all queries via the core-dirty rank — and must NOT move any
+    per-query closure digest (core files are excluded from closures)."""
+
+    def edited(rel: str) -> bytes:
+        data = _tree_read(rel)
+        if rel == "hadoop_1_spark/operators/dedup.py":
+            data += b"\n# simulated operator edit\n"
+        return data
+
+    assert entry.core_digest(read=edited) != entry.core_digest(read=_tree_read)
+    for name in ("dedup_minhash_lsh", "fieldsel"):
+        assert entry.query_digest(name, read=edited) == entry.query_digest(
+            name, read=_tree_read
+        )
 
 
 def test_from_import_submodules_join_the_closure():
