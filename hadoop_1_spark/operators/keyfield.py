@@ -127,3 +127,92 @@ def key_field_partition(
     fields = F.split(F.col(column), re.escape(separator))
     keys = [key_expr(fields, ks, separator) for ks in parse_sort_spec(spec)]
     return df.repartition(num_partitions, *keys)
+
+
+# ---------------------------------------------------------------------------
+# Reference partition-FUNCTION parity (O5-O7).  key_field_partition above
+# shuffles on Spark's own hash (the scalable path); the expressions below
+# reproduce the reference's literal partition assignment so it can be
+# checked as data (a partition histogram) against an independent oracle:
+#   HashPartitioner.java:33          (key.hashCode() & MAX_VALUE) % k
+#   Text.hashCode                     = WritableComparator.hashBytes
+#   WritableComparator.java:138-143   hash = 1; hash = 31*hash + byte
+#   KeyFieldBasedPartitioner.java:86-111  currentHash = 0; 31-fold over each
+#                                     selected field range, chained
+#   BinaryPartitioner.java:133-140    hashBytes over [left..right] offsets
+#                                     taken modulo the key length
+# All folds are 32-bit signed wraparound; expressed with JVM-side Column
+# arithmetic in BIGINT with an explicit wrap (no Python in the hot path,
+# and no ANSI overflow since |acc*31 + byte| < 2^37).
+# ASCII contract: the fold consumes UTF-8 BYTES in the reference; these
+# expressions fold per-CHARACTER codepoints, identical for ASCII keys
+# (the driver tables' key material).  Documented, test-pinned.
+
+
+def _wrap32(e: Column) -> Column:
+    """Signed 32-bit wraparound of a BIGINT column (Java int overflow)."""
+    x = e + F.lit(2147483648)
+    return (
+        (x % F.lit(4294967296) + F.lit(4294967296)) % F.lit(4294967296)
+        - F.lit(2147483648)
+    )
+
+
+def java_hash_fold(col: Column, seed: int = 0) -> Column:
+    """31-multiply/add hash of an ASCII string column, Java semantics.
+
+    seed 0 = String.hashCode / KeyFieldBasedPartitioner.hashCode;
+    seed 1 = WritableComparator.hashBytes (Text.hashCode, BinaryPartitioner).
+    Empty input returns the seed (hashBytes over zero bytes)."""
+    chars = F.filter(F.split(col, ""), lambda c: c != F.lit(""))
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("bigint"))
+    return F.aggregate(
+        codes,
+        F.lit(seed).cast("bigint"),
+        lambda acc, x: _wrap32(acc * F.lit(31) + x),
+    )
+
+
+def _to_partition(hash_col: Column, num_partitions: int) -> Column:
+    """(hash & Integer.MAX_VALUE) % numPartitions, as every reference
+    partitioner's final step."""
+    return (hash_col.bitwiseAND(F.lit(2147483647)) % F.lit(num_partitions)).cast("int")
+
+
+def hash_partition_id(col: Column, num_partitions: int) -> Column:
+    """O6 HashPartitioner over a Text key: (Text.hashCode & MAX) % k."""
+    return _to_partition(java_hash_fold(col, seed=1), num_partitions)
+
+
+def binary_partition_id(
+    col: Column, num_partitions: int, left_offset: int = 0, right_offset: int = -1
+) -> Column:
+    """O7 BinaryPartitioner: hashBytes over the [left..right] slice of the
+    key, offsets interpreted modulo the key length (negative = from the
+    end, BinaryPartitioner.java:135-136)."""
+    length = F.length(col)
+    li = ((F.lit(left_offset) + length) % length).cast("int")
+    ri = ((F.lit(right_offset) + length) % length).cast("int")
+    sliced = F.substring(col, li + 1, ri - li + 1)
+    return _to_partition(java_hash_fold(sliced, seed=1), num_partitions)
+
+
+def key_field_partition_id(
+    col: Column, spec: str, num_partitions: int, separator: str = "\t"
+) -> Column:
+    """O5 KeyFieldBasedPartitioner: seed-0 31-fold over each -k spec's
+    selected byte range (interior separators included, endChar inclusive),
+    chained across specs in order; empty key partitions to 0
+    (KeyFieldBasedPartitioner.java:80-99)."""
+    fields = F.split(col, re.escape(separator))
+    acc = F.lit(0).cast("bigint")
+    for ks in parse_sort_spec(spec):
+        sub = key_expr(fields, ks, separator)
+        chars = F.filter(F.split(sub, ""), lambda c: c != F.lit(""))
+        codes = F.transform(chars, lambda c: F.ascii(c).cast("bigint"))
+        acc = F.aggregate(
+            codes, acc, lambda a, x: _wrap32(a * F.lit(31) + x)
+        )
+    return F.when(F.length(col) == 0, F.lit(0)).otherwise(
+        _to_partition(acc, num_partitions)
+    )

@@ -84,6 +84,7 @@ from hadoop_1_spark.queries import (  # noqa: E402,F401
     q_gridmix,
     q_join,
     q_multimodal,
+    q_parity,
     q_pipelines,
     q_recordio,
     q_setops,

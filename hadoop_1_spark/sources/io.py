@@ -435,3 +435,50 @@ def read_csv(
     if schema is not None:
         r = r.schema(schema)
     return r.csv(path)
+
+
+def db_split_intervals(df: DataFrame, col: str, num_splits: int) -> DataFrame:
+    """S11 DataDrivenDBInputFormat's IntegerSplitter, as a relation.
+
+    The reference's split algorithm (mapreduce/lib/db/IntegerSplitter.java:
+    104-131): splitSize = (max - min) / numSplits floored, minimum 1;
+    boundary points min, min+s, min+2s, ... while <= max; max appended when
+    the walk did not land on it (or only one point was produced).  Every
+    interval is [lo, hi) except the last, which is closed [lo, hi]
+    (IntegerSplitter.java:66-80) — the no-loss/no-dup contract
+    tests/test_jdbc.py pins for the live JDBC path.
+
+    Returns (split_id INT 1-based, lo BIGINT, hi BIGINT, closed BOOLEAN),
+    computed entirely in-plan (one min/max aggregate; no driver collect) so
+    it composes with a count-per-split probe as a broadcast join."""
+    mm = df.agg(
+        F.min(F.col(col)).cast("bigint").alias("_lo"),
+        F.max(F.col(col)).cast("bigint").alias("_hi"),
+    )
+    # exact long division (Java `/` on longs) — not double floor, which
+    # loses precision past 2^53
+    step = F.expr(f"greatest((_hi - _lo) div {int(num_splits)}, 1L)")
+    pts = F.sequence(F.col("_lo"), F.col("_hi"), step)
+    pts = F.when(
+        (F.element_at(pts, -1) != F.col("_hi")) | (F.size(pts) == 1),
+        F.concat(pts, F.array(F.col("_hi"))),
+    ).otherwise(pts)
+    with_pts = mm.select(pts.alias("_pts"))
+    iv = with_pts.select(
+        F.posexplode(
+            F.transform(
+                F.slice(F.col("_pts"), 1, F.size("_pts") - 1),
+                lambda lo, i: F.struct(
+                    lo.alias("lo"),
+                    F.element_at(F.col("_pts"), i + 2).alias("hi"),
+                    (i == F.size("_pts") - 2).alias("closed"),
+                ),
+            )
+        ).alias("_i", "s")
+    )
+    return iv.select(
+        (F.col("_i") + 1).cast("int").alias("split_id"),
+        F.col("s.lo").alias("lo"),
+        F.col("s.hi").alias("hi"),
+        F.col("s.closed").alias("closed"),
+    )

@@ -1,0 +1,126 @@
+"""SURVEY §2 parity rows added in round 8 (q_parity.py): the reference's
+partition functions (O5-O7), IntegerSplitter bounds (S11), and the
+builder-driving queries S2/S3/P6/P8/K4/K5 vs their oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_1_spark.operators import keyfield
+from hadoop_1_spark.sources import io as hio
+from tests.conftest import assert_query_matches_oracle
+
+
+# --- reference hash-fold parity (pinned against java's own values) -------
+
+
+def test_java_hash_fold_known_values(spark):
+    # "hello".hashCode() == 99162322 (String/KeyField seed 0);
+    # Text.hashCode("hello") == hashBytes seed 1 == 127791473;
+    # empty input returns the seed (hashBytes over zero bytes).
+    df = spark.createDataFrame([("hello",), ("",)], "s string")
+    rows = {
+        r["s"]: (r["h0"], r["h1"])
+        for r in df.select(
+            "s",
+            keyfield.java_hash_fold(F.col("s"), seed=0).alias("h0"),
+            keyfield.java_hash_fold(F.col("s"), seed=1).alias("h1"),
+        ).collect()
+    }
+    assert rows["hello"] == (99162322, 127791473)
+    assert rows[""] == (0, 1)
+
+
+def test_java_hash_fold_wraps_like_int32(spark):
+    # A long ASCII string overflows 32 bits many times over; pin the value
+    # computed by the real Java fold for "abcdefghij" * 10.
+    s = "abcdefghij" * 10
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+        if h >= 2**31:
+            h -= 2**32
+    df = spark.createDataFrame([(s,)], "s string")
+    got = df.select(keyfield.java_hash_fold(F.col("s")).alias("h")).head()["h"]
+    assert got == h
+
+
+def test_keyfield_partition_id_matches_manual_fold(spark):
+    # -k2,2 on 'alpha<TAB>beta': fold over 'beta' with seed 0 then
+    # (h & MAX) % 8 — exactly KeyFieldBasedPartitioner.getPartition.
+    h = 0
+    for ch in "beta":
+        h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+    if h >= 2**31:
+        h -= 2**32
+    expected = (h & 0x7FFFFFFF) % 8
+    df = spark.createDataFrame([("alpha\tbeta",), ("",)], "line string")
+    got = {
+        r["line"]: r["p"]
+        for r in df.select(
+            "line",
+            keyfield.key_field_partition_id(F.col("line"), "-k2,2", 8).alias("p"),
+        ).collect()
+    }
+    assert got["alpha\tbeta"] == expected
+    # empty key partitions to 0 (KeyFieldBasedPartitioner.java:80-82)
+    assert got[""] == 0
+
+
+def test_binary_partition_offsets_mod_length(spark):
+    # BinaryPartitioner offsets are taken modulo the key length
+    # (BinaryPartitioner.java:135-136): (0, -1) covers the whole key, so it
+    # must equal the plain seed-1 fold partition.
+    df = spark.createDataFrame([("purchase",), ("xy",)], "s string")
+    rows = df.select(
+        keyfield.binary_partition_id(F.col("s"), 8, 0, -1).alias("whole"),
+        keyfield.hash_partition_id(F.col("s"), 8).alias("hashp"),
+        keyfield.binary_partition_id(F.col("s"), 8, 0, 3).alias("first4"),
+    ).collect()
+    for r in rows:
+        assert r["whole"] == r["hashp"]
+
+
+# --- IntegerSplitter boundary expectations (TestIntegerSplitter.java) ----
+
+
+@pytest.mark.parametrize(
+    "num_splits,lo,hi,expected",
+    [
+        (10, 0, 100, [0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100]),
+        (10, 0, 95, [0, 9, 18, 27, 36, 45, 54, 63, 72, 81, 90, 95]),
+        (1, 5, 5, [5, 5]),
+        (5, 5, 5, [5, 5]),
+        (5, 3, 5, [3, 4, 5]),
+    ],
+)
+def test_integer_splitter_points(spark, num_splits, lo, hi, expected):
+    data = [(lo,), (hi,)] if hi > lo else [(lo,)]
+    df = spark.createDataFrame(data, "v long")
+    rows = (
+        hio.db_split_intervals(df, "v", num_splits).orderBy("split_id").collect()
+    )
+    pts = [rows[0]["lo"]] + [r["hi"] for r in rows]
+    assert pts == expected
+    # all intervals half-open except the closed last
+    assert [r["closed"] for r in rows] == [False] * (len(rows) - 1) + [True]
+
+
+# --- the registered queries vs their oracles (sf0.01 fixtures) -----------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "kv_text_separator",
+        "nline_split_counts",
+        "chain_pipeline",
+        "skip_bad_side_output",
+        "partitioner_histogram",
+        "multi_output_manifest",
+        "db_split_bounds",
+    ],
+)
+def test_parity_query_matches_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name)
