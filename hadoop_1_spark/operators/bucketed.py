@@ -1,0 +1,78 @@
+"""J1 CompositeInputFormat's shuffle-free join, as a first-class relation.
+
+The reference's map-side join (mapred/join/CompositeInputFormat.java:48)
+merges inputs that are ALREADY equal-partitioned and key-sorted, so the
+join itself moves no data.  Spark's equivalent contract is bucketed tables:
+``bucketBy(k, key).sortBy(key)`` persists the partitioning in the catalog,
+and a sort-merge join between two tables bucketed the same way needs no
+Exchange at all — the plan-level property tests/test_planlint.py and
+tests/test_bucketed.py pin, and the ``bucketed_join_customer_orders`` query
+registers as data.
+
+At 100 TB this is the difference between shuffling both fact tables per
+join and shuffling each ONCE at ingest: the bucket layout is written when
+the data lands and every subsequent co-keyed join or aggregation rides it
+for free (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def park_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int = 8,
+    fingerprint: str | None = None,
+) -> DataFrame:
+    """Write ``df`` as a bucketed+sorted catalog table (the one-time ingest
+    cost) and return the catalog-backed relation.  A ``fingerprint`` (e.g.
+    source file size+mtime) skips the rewrite when the parked table is
+    already current — the pq_park train/scan pattern for layouts."""
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse"
+    ).removeprefix("file:")
+    location = os.path.join(warehouse, table)
+    marker = None
+    if fingerprint is not None:
+        marker = os.path.join(warehouse, f"{table}.fingerprint")
+        if (
+            spark.catalog.tableExists(table)
+            and os.path.exists(marker)
+            and open(marker).read() == fingerprint
+        ):
+            return spark.table(table)
+    if not spark.catalog.tableExists(table) and os.path.exists(location):
+        # the session catalog is in-memory: a previous session's parked
+        # files outlive their table entry, and saveAsTable refuses to
+        # reuse the orphaned location — clear it first
+        shutil.rmtree(location)
+    (
+        df.write.bucketBy(num_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    if marker is not None:
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(fingerprint)
+    return spark.table(table)
+
+
+def bucketed_merge_join(
+    left: DataFrame, right: DataFrame, key: str, how: str = "inner"
+) -> DataFrame:
+    """Sort-merge join over two relations bucketed on ``key``: with equal
+    bucket counts both sides' outputPartitioning already satisfies the
+    join's distribution, so the plan contains NO Exchange (the
+    CompositeInputFormat property at the plan level)."""
+    return left.hint("merge").join(right, key, how)

@@ -24,7 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_1_spark.operators import keyfield, reliability, transforms
+from hadoop_1_spark.operators import bucketed, keyfield, reliability, transforms
 from hadoop_1_spark.registry import _load, register
 from hadoop_1_spark.sources import io as hio
 
@@ -402,4 +402,60 @@ def db_split_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ev.alias("e"), cond, "left")
         .groupBy("i.split_id", "i.lo", "i.hi", "i.closed")
         .agg(F.count("e.user_id").cast("long").alias("cnt"))
+    )
+
+
+# --------------------------------------------------------------------- J1
+@register(
+    "bucketed_join_customer_orders",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def bucketed_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 CompositeInputFormat parity at the PLAN level: customer and
+    orders are parked as co-bucketed catalog tables (the one-time ingest
+    shuffle), then sort-merge joined and aggregated on the bucket key with
+    ZERO Exchange in the executed plan — the reference's map-side merge
+    join over equal-partitioned, key-sorted inputs
+    (mapred/join/CompositeInputFormat.java:48).  tests/test_parity.py
+    asserts the no-Exchange property on this very query; the park step is
+    fingerprinted on the source files so repeat calls ride the layout,
+    exactly how a 100 TB deployment amortizes its ingest bucketing."""
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    suffix = "".join(c if c.isalnum() else "_" for c in key)
+
+    def fp(table: str) -> str:
+        p = os.path.join(sf_dir, f"{table}.parquet")
+        st = os.stat(p)
+        return f"{st.st_size}:{st.st_mtime_ns}:8"
+
+    cust = bucketed.park_bucketed(
+        spark,
+        _load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ),
+        f"b8_customer_{suffix}",
+        "c_custkey",
+        fingerprint=fp("customer"),
+    )
+    orders = bucketed.park_bucketed(
+        spark,
+        _load(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+        ),
+        f"b8_orders_{suffix}",
+        "c_custkey",
+        fingerprint=fp("orders"),
+    )
+    joined = bucketed.bucketed_merge_join(cust, orders, "c_custkey")
+    return joined.groupBy("c_custkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_price"),
     )

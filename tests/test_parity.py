@@ -124,3 +124,18 @@ def test_integer_splitter_points(spark, num_splits, lo, hi, expected):
 )
 def test_parity_query_matches_oracle(spark, duck, name):
     assert_query_matches_oracle(spark, duck, name)
+
+
+def test_bucketed_join_query_has_no_exchange(spark, duck):
+    """J1 at the plan level: the registered bucketed customer-orders query
+    sort-merge joins AND aggregates on the bucket key with zero Exchange
+    (CompositeInputFormat.java:48 parity — the data never moves)."""
+    from hadoop_1_spark import registry
+
+    df = registry.QUERIES["bucketed_join_customer_orders"](
+        spark, "/root/testdata/sf0.01"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert_query_matches_oracle(spark, duck, "bucketed_join_customer_orders")
