@@ -352,3 +352,49 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_to_table(
         streaming.interval_join_outer(p, e), spark, "append"
     )
+
+
+@register(
+    "stream_full_outer_join",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+e AS (SELECT * FROM events WHERE event_type = 'error'),
+wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM e))
+              - INTERVAL 30 MINUTES AS w)
+SELECT p.event_id AS l_id, p.user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS l_ts_us,
+       e.event_id AS r_id,
+       CAST(epoch_us(e.ts) AS BIGINT) AS r_ts_us
+FROM p JOIN e
+  ON p.user_id = e.user_id
+ AND e.ts >= p.ts - INTERVAL 10 MINUTES AND e.ts <= p.ts
+UNION ALL
+SELECT p.event_id, p.user_id, CAST(epoch_us(p.ts) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM p, wm
+WHERE p.ts < wm.w
+  AND NOT EXISTS (SELECT 1 FROM e WHERE e.user_id = p.user_id
+                  AND e.ts >= p.ts - INTERVAL 10 MINUTES AND e.ts <= p.ts)
+UNION ALL
+SELECT CAST(NULL AS BIGINT), e.user_id, CAST(NULL AS BIGINT),
+       e.event_id, CAST(epoch_us(e.ts) AS BIGINT)
+FROM e, wm
+WHERE e.ts + INTERVAL 10 MINUTES < wm.w
+  AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = e.user_id
+                  AND e.ts >= p.ts - INTERVAL 10 MINUTES AND e.ts <= p.ts)
+""",
+)
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: every purchase with its
+    same-user errors from the preceding 10 minutes, null-padded rows for
+    purchases the watermark proved matchless, AND null-padded rows for
+    errors the watermark proved matchless — the per-side emit cutoffs
+    are asymmetric (left: wm passes l_ts; right: wm passes r_ts + gap)
+    because the range condition is one-sided. The oracle replays both
+    legs and both cutoffs in batch SQL. See
+    streaming.interval_join_full_outer."""
+    p = streaming.read_events_stream(spark, sf_dir).where("event_type = 'purchase'")
+    e = streaming.read_events_stream(spark, sf_dir).where("event_type = 'error'")
+    return streaming.run_to_table(
+        streaming.interval_join_full_outer(p, e), spark, "append"
+    )

@@ -273,6 +273,52 @@ def interval_join_outer(
     )
 
 
+def interval_join_full_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: interval_join's matches,
+    PLUS a null-padded row for every unmatched LEFT event (as in
+    interval_join_outer), PLUS a null-padded row for every unmatched
+    RIGHT event — the completion of the outer-join family
+    (left outer landed round 7; round-8 verdict item 7).
+
+    Emit-safety is per side and asymmetric because the range condition
+    is: a left row at l_ts can only match rights in [l_ts - gap, l_ts],
+    so it is emittable unmatched once the global watermark passes l_ts;
+    a right row at r_ts can only match lefts in [r_ts, r_ts + gap], so
+    it is emittable unmatched once the watermark passes r_ts + gap.  The
+    batch oracle must apply BOTH cutoffs (global watermark = min of the
+    two streams' max ts, minus the watermark delay).  State stays
+    bounded exactly as in the inner form — each side's buffer drops once
+    the opposite watermark passes its last possible match time."""
+    l = left.select(
+        F.col("event_id").alias("l_id"), F.col(key), F.col("ts").alias("l_ts")
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col("event_id").alias("r_id"),
+        F.col(key).alias("_rkey"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col(key) == F.col("_rkey"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {gap}"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    return l.join(r, cond, "fullOuter").select(
+        "l_id",
+        # an unmatched-right row has a null left side: surface the key
+        # from whichever side is present
+        F.coalesce(F.col(key), F.col("_rkey")).alias(key),
+        F.unix_micros("l_ts").alias("l_ts_us"),
+        "r_id",
+        F.unix_micros("r_ts").alias("r_ts_us"),
+    )
+
+
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )

@@ -16,6 +16,7 @@ from tests.conftest import assert_query_matches_oracle
         "stream_stateful_user_stats",
         "stream_interval_join",
         "stream_outer_join",
+        "stream_full_outer_join",
     ],
 )
 def test_streaming_queries_match_oracle(spark, duck, name):
