@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "gridmix_api_sort_streaming",  # gridmix job-5: same sort, rdd.pipe framing
     "gridmix_api_sort_pipes",      # gridmix job-5: same sort, Arrow subprocess
     "gridmix2_mini",               # gridmix2 XML mix: one job per class, one DAG
+    "gridmix2_mix",                # gridmix2 shipped 172-job mix compile plan
     "corpus_clean",            # composed LLM-data pipeline (quality+lang+dedup)
     "wordcount_salted",        # skew-safe two-stage aggregation
     "sessionize_events",       # gap-based batch sessionization (1 exchange)
@@ -78,6 +79,7 @@ BENCH_QUERIES = [
     "text_bpe_merges",         # BPE trainer: 1 corpus scan + vocab-sized rounds
     "text_bpe_segment",        # trainer + tokenizer end-to-end (beats DuckDB)
     "graph_pagerank",          # integer fixed-point damped PageRank (3 rounds)
+    "graph_pagerank_dangling", # dangling-mass redistribution variant (r7)
     "join_bloom_prefilter",    # manual runtime bloom filter + exact verify join
     "join_salted_skew",        # hot-key-spreading salted join (row-identical)
     "sketch_cms_counts",       # bounded count-min grid + vocab point estimates
@@ -202,6 +204,25 @@ def run_query(spark, name: str) -> float:
     return best
 
 
+def _prior_committed_rows() -> dict[str, dict]:
+    """Per-query rows of the NEWEST committed BENCH_LOCAL_r*.json — the
+    drift baseline for the variance guard (round-7 verdict #4)."""
+    import glob
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    tables = sorted(
+        glob.glob(os.path.join(base, "BENCH_LOCAL_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)),
+    )
+    if not tables:
+        return {}
+    try:
+        with open(tables[-1], encoding="utf-8") as fh:
+            return json.load(fh).get("rows", {})
+    except Exception:
+        return {}
+
+
 def main() -> None:
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -209,11 +230,22 @@ def main() -> None:
     # JVM warmup on a trivial plan so query #1 isn't charged for it.
     spark.range(1000).agg({"id": "sum"}).collect()
 
+    prior = _prior_committed_rows()
     times: dict[str, float] = {}
+    reran: set[str] = set()
     for name in BENCH_QUERIES:
         if name not in registry.QUERIES:
             continue
-        times[name] = round(run_query(spark, name), 3)
+        t = run_query(spark, name)
+        # Variance guard (round-7 verdict: cdc/fertility false regressions):
+        # a row >1.5x slower than the prior committed table gets ONE extra
+        # best-of-3 before recording — transient load/warmup, not code, is
+        # the usual cause, and min-of-both keeps the honest reading.
+        p = (prior.get(name) or {}).get("spark_s")
+        if p and t > 1.5 * p:
+            t = min(t, run_query(spark, name))
+            reran.add(name)
+        times[name] = round(t, 3)
 
     # Same-run DuckDB-oracle totals (round-5 verdict #10): Spark wall
     # times swing ±35% with machine load across rounds, so a per-row
@@ -230,6 +262,7 @@ def main() -> None:
             "spark_s": t,
             "duck_s": duck.get(name),
             "ratio": round(t / duck[name], 2) if duck.get(name) else None,
+            **({"drift_rerun": True} if name in reran else {}),
         }
         for name, t in times.items()
     }
