@@ -13,7 +13,13 @@ Generation is all JVM-side expressions (sequence + transform + xxhash64)
 — no driver loop, no Python in the row path, so the generator itself
 scales like the engine does.
 
-Usage: python scripts/gen_scale_probe.py [out_dir] [n_docs]
+Usage: python scripts/gen_scale_probe.py [out_dir] [n_docs] [mult]
+
+``mult`` (default 10) is the replication factor vs sf0.1 — pass 100 for
+the sf10 (100x) probe: python scripts/gen_scale_probe.py /tmp/sf10
+500000 100.  Replication is one broadcast crossJoin against a mult-row
+range with per-copy key shifts (not a mult-way union: a 100-branch union
+plan is O(mult) to analyze; the crossJoin is O(1) and pipelines).
 """
 
 from __future__ import annotations
@@ -27,6 +33,16 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from hadoop_1_spark.session import get_spark  # noqa: E402
 
+
+def replicate(df, mult: int, **shifts: int):
+    """mult disjoint copies of df: copy i shifts each named key column by
+    i * stride (strides chosen so ranges never collide)."""
+    reps = df.sparkSession.range(mult).select(F.col("id").alias("_rep"))
+    out = df.crossJoin(F.broadcast(reps))
+    for col, stride in shifts.items():
+        out = out.withColumn(col, F.col(col) + F.col("_rep") * F.lit(stride))
+    return out.drop("_rep")
+
 VOCAB = [
     "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
     "filter", "group", "hash", "join", "key", "line", "merge", "order",
@@ -39,6 +55,7 @@ LANGS = ["en", "en", "en", "zh", "es", "fr", "de"]  # ~41% en, rest even
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    mult = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     spark = get_spark("gen_scale_probe")
 
     vocab = F.array(*[F.lit(w) for w in VOCAB])
@@ -72,63 +89,51 @@ def main() -> None:
     docs.repartition(32).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
 
     li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
-    out_li = None
-    for i in range(10):
-        c = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000))
-        out_li = c if out_li is None else out_li.unionByName(c)
-    out_li.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+    replicate(li, mult, l_orderkey=100_000_000).write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
 
     # orders: replicated with the SAME disjoint o_orderkey shift as
     # lineitem so the bloom/semi-join probes keep their match rate;
     # supplier copied as-is (lineitem keeps original l_suppkey values)
     od = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
-    out_od = None
-    for i in range(10):
-        c = od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 100_000_000))
-        out_od = c if out_od is None else out_od.unionByName(c)
-    out_od.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    replicate(od, mult, o_orderkey=100_000_000).write.mode("overwrite").parquet(
+        os.path.join(out, "orders.parquet")
+    )
     spark.read.parquet("/root/testdata/sf0.1/supplier.parquet").write.mode(
         "overwrite"
     ).parquet(os.path.join(out, "supplier.parquet"))
 
-    # part: 10x by disjoint p_partkey, SAME 25 brands — blocks grow 10x,
-    # so the blocked-linkage probe honestly measures the quadratic
+    # part: mult x by disjoint p_partkey, SAME 25 brands — blocks grow
+    # mult x, so the blocked-linkage probe honestly measures the quadratic
     # in-block candidate growth (the finer-block-key lever at scale)
     pt = spark.read.parquet("/root/testdata/sf0.1/part.parquet")
-    out_pt = None
-    for i in range(10):
-        c = pt.withColumn("p_partkey", F.col("p_partkey") + F.lit(i * 10_000_000))
-        out_pt = c if out_pt is None else out_pt.unionByName(c)
-    out_pt.write.mode("overwrite").parquet(os.path.join(out, "part.parquet"))
+    replicate(pt, mult, p_partkey=10_000_000).write.mode("overwrite").parquet(
+        os.path.join(out, "part.parquet")
+    )
 
     # customer: replicated with the SAME c_custkey shift as events'
-    # user_id so user-keyed joins/samples keep their match rate at sf1
+    # user_id so user-keyed joins/samples keep their match rate
     cu = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
-    out_cu = None
-    for i in range(10):
-        c = cu.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * 10_000_000))
-        out_cu = c if out_cu is None else out_cu.unionByName(c)
-    out_cu.write.mode("overwrite").parquet(os.path.join(out, "customer.parquet"))
+    replicate(cu, mult, c_custkey=10_000_000).write.mode("overwrite").parquet(
+        os.path.join(out, "customer.parquet")
+    )
 
-    # events: 10x by disjoint user/event id ranges (10x the users, same
-    # per-user history density — sessionization cost scales with keys)
+    # events: mult x by disjoint user/event id ranges (mult x the users,
+    # same per-user history density — sessionization cost scales with keys)
     ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-    out_ev = None
-    for i in range(10):
-        c = ev.withColumn(
-            "user_id", F.col("user_id") + F.lit(i * 10_000_000)
-        ).withColumn("event_id", F.col("event_id") + F.lit(i * 1_000_000_000))
-        out_ev = c if out_ev is None else out_ev.unionByName(c)
-    out_ev.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    replicate(
+        ev, mult, user_id=10_000_000, event_id=1_000_000_000
+    ).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
 
-    # embeddings: 10x by disjoint vec_id ranges (identical vectors repeat —
-    # fine for timing: distance arithmetic cost is value-independent)
+    # embeddings: mult x by disjoint vec_id ranges (identical vectors
+    # repeat — fine for timing: distance arithmetic is value-independent)
     emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    out_emb = None
-    for i in range(10):
-        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
-        out_emb = c if out_emb is None else out_emb.unionByName(c)
-    out_emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    replicate(emb, mult, vec_id=10_000_000).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
 
     # static dims copied as-is: region/nation don't scale with SF, and the
     # snowflake joins (tpch_q5) need them present in the probe dir
@@ -163,7 +168,10 @@ def main() -> None:
         cat.write.mode("overwrite").parquet(
             os.path.join(out, f"negprobe_{tag}_cat.parquet")
         )
-    print(f"wrote {out}: documents={n_docs}, lineitem/events/embeddings=10x sf0.1")
+    print(
+        f"wrote {out}: documents={n_docs}, "
+        f"lineitem/events/embeddings={mult}x sf0.1"
+    )
 
 
 if __name__ == "__main__":
