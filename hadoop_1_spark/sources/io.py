@@ -482,3 +482,153 @@ def db_split_intervals(df: DataFrame, col: str, num_splits: int) -> DataFrame:
         F.col("s.hi").alias("hi"),
         F.col("s.closed").alias("closed"),
     )
+
+
+# --- S11 typed splitters (DataDrivenDBInputFormat's DBSplitter family) ----
+# The reference computes split points DRIVER-side from a one-row MIN/MAX
+# resultset (DataDrivenDBInputFormat.java:184); these are the same tiny
+# planning functions, with db_split_intervals above as the in-plan
+# relational twin for integer keys.  Each split point list is one element
+# longer than the split count; every interval is [lo, hi) except the
+# closed last (IntegerSplitter.java:96-104).
+
+from decimal import ROUND_HALF_UP, Decimal, localcontext  # noqa: E402
+
+# new BigDecimal(10000 * Double.MIN_VALUE): 10000 * 2^-1074, exact in
+# binary, taken verbatim (BigDecimalSplitter.java:95)
+_MIN_INCREMENT = Decimal(10000 * 5e-324)
+_ONE_PLACE = Decimal(65536)
+_MAX_CHARS = 8
+
+
+def integer_split_points(num_splits: int, min_val: int, max_val: int) -> list[int]:
+    """IntegerSplitter.split(long,long,long) (IntegerSplitter.java:104):
+    floor-divided step (min 1), walk while <= max, append max when the
+    walk missed it or only one point was produced."""
+    step = max((max_val - min_val) // max(num_splits, 1), 1)
+    pts = list(range(min_val, max_val + 1, step))
+    if pts[-1] != max_val or len(pts) == 1:
+        pts.append(max_val)
+    return pts
+
+
+def date_split_points(num_splits: int, min_ms: int, max_ms: int) -> list[int]:
+    """DateSplitter: date/time are longs in Java (epoch millis via
+    java.sql Date/Time/Timestamp.getTime, DateSplitter.java:82-100), so
+    the split walk IS the integer walk."""
+    return integer_split_points(num_splits, min_ms, max_ms)
+
+
+# Java BigDecimal +,-,* are arbitrary-precision-exact; Python Decimal
+# rounds EVERY operation to the context precision (default 28 — enough to
+# corrupt the third base-65536 digit of a string fraction). All splitter
+# arithmetic runs under this context: 8 chars deep the exact fractions
+# need ~16*8 decimal digits (denominator 2^128), well inside 400.
+_PREC = 400
+
+
+def _try_divide(numerator: Decimal, denominator: Decimal) -> Decimal:
+    """BigDecimalSplitter.tryDivide (BigDecimalSplitter.java:100): exact
+    quotient when one exists, else round HALF_UP at the NUMERATOR's scale
+    (Java divide(d, ROUND_HALF_UP) keeps this.scale())."""
+    with localcontext() as ctx:
+        ctx.prec = _PREC
+        q = numerator / denominator
+        if q * denominator == numerator:
+            return q
+        scale = max(-numerator.as_tuple().exponent, 0)
+        return (numerator / denominator).quantize(
+            Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+        )
+
+
+def decimal_split_points(
+    num_splits: int, min_val: Decimal, max_val: Decimal
+) -> list[Decimal]:
+    """BigDecimalSplitter.split (BigDecimalSplitter.java:120-147): the
+    integer walk generalized to decimals, with the step floored at
+    MIN_INCREMENT = 10000 * Double.MIN_VALUE instead of 1."""
+    with localcontext() as ctx:
+        ctx.prec = _PREC
+        step = _try_divide(max_val - min_val, Decimal(max(num_splits, 1)))
+        if step < _MIN_INCREMENT:
+            step = _MIN_INCREMENT
+        pts: list[Decimal] = []
+        cur = min_val
+        while cur <= max_val:
+            pts.append(cur)
+            cur = cur + step
+        if pts[-1] != max_val or len(pts) == 1:
+            pts.append(max_val)
+        return pts
+
+
+def string_to_decimal(s: str) -> Decimal:
+    """TextSplitter.stringToBigDecimal (TextSplitter.java:191): interpret
+    the string as the fraction 0.s0 s1 ... in base 65536, first MAX_CHARS
+    UTF-16 units only (rounding-error guard).  BMP contract: the Java
+    loop calls codePointAt(i) per CHAR index, so astral chars would be
+    double-counted there too — keys are expected BMP text."""
+    with localcontext() as ctx:
+        ctx.prec = _PREC
+        result = Decimal(0)
+        cur_place = _ONE_PLACE
+        for ch in s[:_MAX_CHARS]:
+            result += _try_divide(Decimal(ord(ch)), cur_place)
+            cur_place *= _ONE_PLACE
+        return result
+
+
+def decimal_to_string(bd: Decimal) -> str:
+    """TextSplitter.bigDecimalToString (TextSplitter.java:212): peel one
+    base-65536 digit per round, stop at a zero digit or MAX_CHARS."""
+    with localcontext() as ctx:
+        ctx.prec = _PREC
+        cur = bd.normalize()
+        out: list[str] = []
+        for _ in range(_MAX_CHARS):
+            cur = cur * _ONE_PLACE
+            code = int(cur)
+            if code == 0:
+                break
+            cur -= Decimal(code)
+            out.append(chr(code))
+        return "".join(out)
+
+
+def text_split_points(
+    num_splits: int, min_str: str, max_str: str, common_prefix: str = ""
+) -> list[str]:
+    """TextSplitter.split(int,String,String,String) (TextSplitter.java:
+    143-168): map both endpoints into [0, 1) base-65536 fractions, run
+    the BigDecimal walk, map the points back, and force the literal
+    user endpoints onto both ends of the list.  The caller strips the
+    common prefix first (TextSplitter.java:100-113)."""
+    pts = decimal_split_points(
+        num_splits, string_to_decimal(min_str), string_to_decimal(max_str)
+    )
+    out = [common_prefix + decimal_to_string(p) for p in pts]
+    if not out or out[0] != common_prefix + min_str:
+        out.insert(0, common_prefix + min_str)
+    if len(out) == 1 or out[-1] != common_prefix + max_str:
+        out.append(common_prefix + max_str)
+    return out
+
+
+def boolean_splits(
+    min_val: bool | None, max_val: bool | None
+) -> list[tuple[str, str]]:
+    """BooleanSplitter (BooleanSplitter.java:36-71): at most three
+    point splits — (= FALSE), (= TRUE), and (IS NULL) when an extremum
+    is null.  Returned as (low_clause, high_clause) predicate pairs on a
+    placeholder column ``$col``."""
+    if min_val is None and max_val is None:
+        return [("$col IS NULL", "$col IS NULL")]
+    splits: list[tuple[str, str]] = []
+    if not bool(min_val):
+        splits.append(("$col = FALSE", "$col = FALSE"))
+    if bool(max_val):
+        splits.append(("$col = TRUE", "$col = TRUE"))
+    if min_val is None or max_val is None:
+        splits.append(("$col IS NULL", "$col IS NULL"))
+    return splits

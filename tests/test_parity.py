@@ -139,3 +139,83 @@ def test_bucketed_join_query_has_no_exchange(spark, duck):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
     assert_query_matches_oracle(spark, duck, "bucketed_join_customer_orders")
+
+
+# --- typed splitters (TestTextSplitter.java / TestIntegerSplitter.java) --
+
+
+def test_text_splitter_string_roundtrip():
+    """TestTextSplitter conversion cases: empty <-> ZERO, single chars,
+    multi-char, and the MAX_CHARS=8 chomp."""
+    from decimal import Decimal
+
+    assert hio.string_to_decimal("") == Decimal(0)
+    assert hio.decimal_to_string(Decimal(0)) == ""
+    for s in ("A", "Z", "abc", "big str"):
+        assert hio.decimal_to_string(hio.string_to_decimal(s)) == s
+    assert (
+        hio.decimal_to_string(hio.string_to_decimal("AVeryLongStringIndeed"))
+        == "AVeryLon"
+    )
+
+
+def test_text_splitter_alphabet_split():
+    """TestTextSplitter.testAlphabetSplit: 25 splits A..Z give exactly one
+    boundary per letter."""
+    assert hio.text_split_points(25, "A", "Z") == [
+        chr(c) for c in range(ord("A"), ord("Z") + 1)
+    ]
+
+
+def test_text_splitter_common_prefix():
+    """TestTextSplitter.testCommonPrefix: splits between 'Hand' and
+    'Hardy' share the stripped 'Ha' prefix; exact middles are
+    unicode-ugly by design, so pin the endpoints and the count."""
+    pts = hio.text_split_points(5, "nd", "rdy", common_prefix="Ha")
+    assert pts[0] == "Hand"
+    assert pts[-1] == "Hardy"
+    assert len(pts) == 6
+    assert all(p.startswith("Ha") for p in pts)
+
+
+@pytest.mark.parametrize(
+    "num_splits,lo,hi,expected",
+    [
+        (10, 0, 100, [0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100]),
+        (10, 0, 95, [0, 9, 18, 27, 36, 45, 54, 63, 72, 81, 90, 95]),
+        (1, 5, 5, [5, 5]),
+        (5, 5, 5, [5, 5]),
+        (5, 3, 5, [3, 4, 5]),
+    ],
+)
+def test_integer_split_points_driver_side(num_splits, lo, hi, expected):
+    """The driver-side twin of db_split_intervals matches the same
+    TestIntegerSplitter expectations (and DateSplitter IS this walk over
+    epoch millis)."""
+    assert hio.integer_split_points(num_splits, lo, hi) == expected
+    assert hio.date_split_points(num_splits, lo, hi) == expected
+
+
+def test_decimal_split_points_even():
+    from decimal import Decimal
+
+    pts = hio.decimal_split_points(4, Decimal(0), Decimal(10))
+    assert pts == [Decimal("0"), Decimal("2.5"), Decimal("5.0"),
+                   Decimal("7.5"), Decimal("10.0")]
+
+
+def test_boolean_splits_cases():
+    """BooleanSplitter: one or two point splits, plus IS NULL when an
+    extremum is null (BooleanSplitter.java:36-71)."""
+    assert hio.boolean_splits(False, True) == [
+        ("$col = FALSE", "$col = FALSE"),
+        ("$col = TRUE", "$col = TRUE"),
+    ]
+    assert hio.boolean_splits(True, True) == [("$col = TRUE", "$col = TRUE")]
+    assert hio.boolean_splits(False, False) == [("$col = FALSE", "$col = FALSE")]
+    assert hio.boolean_splits(None, None) == [("$col IS NULL", "$col IS NULL")]
+    assert hio.boolean_splits(None, True) == [
+        ("$col = FALSE", "$col = FALSE"),
+        ("$col = TRUE", "$col = TRUE"),
+        ("$col IS NULL", "$col IS NULL"),
+    ]
