@@ -177,6 +177,16 @@ BENCH_QUERIES = [
     "recordio_roundtrip",      # .jr record codec round-trip (CSV + binary)
     "pipe_typedbytes_kv",      # -io typedbytes external-process leg
     "history_parse_roundtrip", # JobHistory line grammar + counters codec
+    # round-8 block: SURVEY-2 parity family + bucketed join + full outer
+    "kv_text_separator",       # S2 text write + first-sep readback
+    "nline_split_counts",      # S3 ceil(lines/N) split arithmetic
+    "chain_pipeline",          # P6 chained mappers + reducer + post-map
+    "skip_bad_side_output",    # P8 poisoned-record side channel
+    "partitioner_histogram",   # O5-O7 reference 31-fold assignments
+    "multi_output_manifest",   # K4/K5 three-sink write + readback
+    "db_split_bounds",         # S11 IntegerSplitter walk + range counts
+    "bucketed_join_customer_orders",  # J1 zero-Exchange bucketed SMJ
+    "stream_full_outer_join",  # stream-stream FULL outer interval join
 ]
 
 

@@ -46,7 +46,16 @@ class KeySpec:
 
 
 def parse_sort_spec(spec: str) -> list[KeySpec]:
-    """Parse a ``-k...`` option string (KeyFieldHelper.parseOption)."""
+    """Parse a ``-k...`` option string (KeyFieldHelper.parseOption,
+    KeyFieldHelper.java:158-190).
+
+    Standalone ``-n`` / ``-r`` / ``-nr`` tokens set GLOBAL options that
+    apply to every -k spec carrying NO flag of its own (the reference
+    copies BOTH global flags onto any spec with neither, :185-189 —
+    so ``-nr -k1,1 -k2,2n`` makes spec 1 numeric+reverse but leaves
+    spec 2 numeric-only).  TestKeyFieldHelper.testparseOption pins all
+    of these shapes, including ``-k 1.2`` with the field in the next
+    token."""
     specs: list[KeySpec] = []
     for m in _KSPEC.finditer(spec):
         opts = (m.group("opt1") or "") + (m.group("opt2") or "")
@@ -62,6 +71,19 @@ def parse_sort_spec(spec: str) -> list[KeySpec]:
         )
     if not specs:
         raise ValueError(f"no -k specs found in {spec!r}")
+    g_numeric = g_reverse = False
+    for tok in spec.split():
+        if tok == "-n":
+            g_numeric = True
+        elif tok == "-r":
+            g_reverse = True
+        elif tok == "-nr":
+            g_numeric = g_reverse = True
+    if g_numeric or g_reverse:
+        for ks in specs:
+            if not (ks.numeric or ks.reverse):
+                ks.numeric = g_numeric
+                ks.reverse = g_reverse
     return specs
 
 

@@ -219,3 +219,43 @@ def test_boolean_splits_cases():
         ("$col = TRUE", "$col = TRUE"),
         ("$col IS NULL", "$col IS NULL"),
     ]
+
+
+# --- KeyFieldHelper.parseOption global-option shapes ---------------------
+
+
+def test_parse_spec_global_options():
+    """TestKeyFieldHelper.testparseOption: standalone -n/-r/-nr apply to
+    every -k spec with no flags of its own; a spec with ANY flag keeps
+    exactly its own (the reference copies both globals only when neither
+    flag is set, KeyFieldHelper.java:185-189)."""
+    from hadoop_1_spark.operators.keyfield import parse_sort_spec
+
+    s = parse_sort_spec("-nr -k1.2,3.4")[0]
+    assert (s.numeric, s.reverse) == (True, True)
+    s = parse_sort_spec("-nr -k1.2,3.4n")[0]
+    assert (s.numeric, s.reverse) == (True, False)
+    s = parse_sort_spec("-nr -k1.2,3.4r")[0]
+    assert (s.numeric, s.reverse) == (False, True)
+    both = parse_sort_spec("-nr -k1.2,3.4 -k5.6,7.8")
+    assert [(k.numeric, k.reverse) for k in both] == [(True, True)] * 2
+    both = parse_sort_spec("-n -k1.2,3.4 -k5.6,7.8")
+    assert [(k.numeric, k.reverse) for k in both] == [(True, False)] * 2
+    both = parse_sort_spec("-r -k1.2,3.4 -k5.6,7.8")
+    assert [(k.numeric, k.reverse) for k in both] == [(False, True)] * 2
+    # a flagged first spec does NOT bleed onto the second
+    both = parse_sort_spec("-k1.2,3.4n -k5.6,7.8")
+    assert [(k.numeric, k.reverse) for k in both] == [(True, False), (False, False)]
+    # -k with the field range in the next token; opts on the first endpoint
+    s = parse_sort_spec("-k 1.2")[0]
+    assert (s.field_start, s.char_start, s.field_end) == (1, 2, None)
+    s = parse_sort_spec("-k1.2n,3.4")[0]
+    assert (s.numeric, s.reverse) == (True, False)
+    s = parse_sort_spec("-k1.2nr,3.4")[0]
+    assert (s.numeric, s.reverse) == (True, True)
+    # the four-spec composite keeps per-spec flags positionally
+    four = parse_sort_spec("-nr -k1.2,3.4 -k5.6,7.8n -k9.10,11.12r -k13.14,15.16nr")
+    assert [(k.numeric, k.reverse) for k in four] == [
+        (True, True), (True, False), (False, True), (True, True)]
+    assert [(k.field_start, k.char_start, k.field_end, k.char_end) for k in four] == [
+        (1, 2, 3, 4), (5, 6, 7, 8), (9, 10, 11, 12), (13, 14, 15, 16)]
