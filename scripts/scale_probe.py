@@ -145,6 +145,15 @@ QUERIES = [
     "events_negative_sample",
     "events_negative_sample_draws",
     "stream_outer_join",
+    # round-8 block
+    "kv_text_separator",
+    "chain_pipeline",
+    "skip_bad_side_output",
+    "partitioner_histogram",
+    "multi_output_manifest",
+    "db_split_bounds",
+    "bucketed_join_customer_orders",
+    "stream_full_outer_join",
 ]
 
 
