@@ -847,3 +847,80 @@ def test_recordio_map_key_order_is_utf16_property(keys):
     )
     got = [k for k, _ in items]
     assert got == sorted(keys, key=lambda s: s.encode("utf-16-be", "surrogatepass"))
+
+
+# ---------------------------------------------------------------------------
+# Round-8 surfaces: typed splitters and the reference partition folds
+
+
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0xD7FF),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_text_splitter_fraction_roundtrip(s):
+    """TextSplitter's base-65536 mapping round-trips any BMP string with
+    no NUL up to MAX_CHARS=8 chars; longer strings chomp to their 8-char
+    prefix (TestTextSplitter.testConvertChomped generalized)."""
+    from hadoop_1_spark.sources import io as hio
+
+    out = hio.decimal_to_string(hio.string_to_decimal(s))
+    assert out == s[:8]
+
+
+@given(
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.integers(min_value=0, max_value=10**12),
+    st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=100, deadline=None)
+def test_integer_split_points_tile_the_range(lo, width, n):
+    """IntegerSplitter invariants for any range: endpoints pinned, points
+    monotone non-decreasing, and consecutive steps never exceed the
+    reference's splitSize (so intervals tile [lo, hi] with no gap)."""
+    from hadoop_1_spark.sources import io as hio
+
+    hi = lo + width
+    pts = hio.integer_split_points(n, lo, hi)
+    assert pts[0] == lo and pts[-1] == hi and len(pts) >= 2
+    assert all(a <= b for a, b in zip(pts, pts[1:]))
+    step = max((hi - lo) // n, 1)
+    assert all(b - a <= step for a, b in zip(pts, pts[1:]))
+
+
+def _java_fold(s: str, seed: int) -> int:
+    h = seed
+    for ch in s:
+        h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+    return h - 2**32 if h >= 2**31 else h
+
+
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                min_size=0, max_size=20),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_java_hash_fold_matches_python_model(spark, keys):
+    """keyfield.java_hash_fold (JVM Column arithmetic) equals the literal
+    Java 31-fold for arbitrary printable-ASCII keys, both seeds, and the
+    partition id lands in [0, k) — one batched DataFrame per example set."""
+    from hadoop_1_spark.operators import keyfield
+
+    df = spark.createDataFrame([(k,) for k in keys], "s string")
+    rows = df.select(
+        "s",
+        keyfield.java_hash_fold(F.col("s"), seed=0).alias("h0"),
+        keyfield.java_hash_fold(F.col("s"), seed=1).alias("h1"),
+        keyfield.hash_partition_id(F.col("s"), 7).alias("p"),
+    ).collect()
+    for r in rows:
+        assert r["h0"] == _java_fold(r["s"], 0)
+        assert r["h1"] == _java_fold(r["s"], 1)
+        assert 0 <= r["p"] < 7
