@@ -25,6 +25,7 @@ Scale notes (100 TB design intent):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -559,8 +560,18 @@ def semantic_dedup_pairs(
         F.col(vec_col).alias("v2"),
         F.col("_n").alias("n2"),
     )
+    # hint("merge"): the join MUST shuffle on the cluster id. Left to the
+    # planner, a small persisted relation drops under the broadcast
+    # threshold and the whole in-cell pair scan streams over the INPUT's
+    # partitioning — one task when the corpus arrives as one parquet
+    # split (r8 sf1 probe: 168 s single-task; the r7 keep_vector
+    # optimization shrank the plan into broadcast range and silently
+    # serialized this stage). SMJ on the cell key gives
+    # min(k, shuffle.partitions)-way parallelism and lets AQE skew-split
+    # subdivide an oversized cell — the docstring's contract, literally.
     return (
-        a.join(b, (F.col("c1") == F.col("c2")) & (F.col("d1") < F.col("d2")))
+        a.hint("merge")
+        .join(b, (F.col("c1") == F.col("c2")) & (F.col("d1") < F.col("d2")))
         .select(
             "d1",
             "d2",
@@ -571,6 +582,100 @@ def semantic_dedup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup_pairs_cellwise(
+    emb: DataFrame,
+    clusters: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    row_block: int = 2048,
+) -> DataFrame:
+    """semantic_dedup_pairs' matrix-form twin: ONE Arrow pass per cell.
+
+    The pair-join form ships BOTH vectors through Arrow for every
+    candidate pair — O(pairs * dims) transfer (~30 GB at the sf1 probe's
+    29M pairs), which dominates its wall time.  Here each cluster group
+    crosses the Arrow boundary once (one vector per ROW), and the in-cell
+    pair dots are dense numpy per-DIMENSION outer-product accumulation:
+    acc[i,j] += M[i,d] * M[j,d] in ascending d — the exact flop order of
+    DOT_FOLD / dot_chain per pair, so cosines are bit-identical to the
+    join form and the same oracle replays both (r8 A/B at sf1:
+    140 s -> 2.5 s, identical result hash).  The division and HALF_UP
+    round stay JVM-side, also as in the join form; the UDF prefilters at
+    threshold - 1e-6 (strictly looser than round-at-9 >= threshold) so
+    only real candidates are emitted.
+
+    Memory: the accumulator is blocked to ``row_block`` rows x cell size
+    (~16 MB per 1k-row block against a 1M-row cell), so a cell only needs
+    its vectors resident, never an n_c^2 matrix.  Parallelism = number of
+    cells, exactly the pair-join's SMJ shape; with the k=isqrt(n) scale
+    contract both forms have ample cells, and this one also removes the
+    per-pair transfer term."""
+    import pandas as pd
+
+    base = clusters if vec_col in clusters.columns else emb.join(clusters, id_col)
+    cols = base.select(
+        F.col(id_col).alias("_id"), F.col("cluster"), F.col(vec_col).alias("_v")
+    )
+    pre = float(threshold) - 1e-6
+
+    empty = pd.DataFrame(
+        {
+            "d1": pd.Series(dtype="int64"),
+            "d2": pd.Series(dtype="int64"),
+            "dot": pd.Series(dtype="float64"),
+            "n1": pd.Series(dtype="float64"),
+            "n2": pd.Series(dtype="float64"),
+        }
+    )
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return empty
+        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
+        ids = pdf["_id"].to_numpy()[order]
+        M = np.vstack(pdf["_v"].to_numpy()[order]).astype(np.float64)
+        dims = M.shape[1]
+        nrm2 = np.zeros(n)
+        for d in range(dims):
+            nrm2 += M[:, d] * M[:, d]
+        nrm = np.sqrt(nrm2)
+        frames = []
+        for lo in range(0, n, row_block):
+            hi = min(lo + row_block, n)
+            acc = np.zeros((hi - lo, n))
+            for d in range(dims):
+                acc += np.outer(M[lo:hi, d], M[:, d])
+            # ids are sorted: strict upper triangle == d1 < d2 by value
+            bi, bj = np.nonzero(
+                (acc >= pre * np.outer(nrm[lo:hi], nrm))
+                & (np.arange(n)[None, :] > (lo + np.arange(hi - lo))[:, None])
+            )
+            if len(bi):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "d1": ids[lo + bi],
+                            "d2": ids[bj],
+                            "dot": acc[bi, bj],
+                            "n1": nrm[lo + bi],
+                            "n2": nrm[bj],
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    cand = cols.groupBy("cluster").applyInPandas(
+        cell, schema="d1 long, d2 long, dot double, n1 double, n2 double"
+    )
+    return cand.select(
+        "d1",
+        "d2",
+        F.round(F.col("dot") / (F.col("n1") * F.col("n2")), 9).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)
 
 
 def incremental_dedup(

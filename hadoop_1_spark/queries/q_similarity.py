@@ -297,14 +297,19 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster_kmeans), then cosine-compare ONLY within each cluster —
     the scale path that replaces the all-pairs dedup_embedding_cosine
     baseline with an equi-join on the trained cell id. Oracle replays
-    k-means + in-cell cosine with the same fold chains."""
+    k-means + in-cell cosine with the same fold chains.
+
+    Runs the matrix-form in-cell scorer (one Arrow pass per cell; the
+    per-pair join form ships O(pairs * dims) vectors through Arrow and
+    measured 7x slower at sf1, BENCH_NOTES r8) — bit-identical cosines,
+    so the same oracle replays both forms."""
     from hadoop_1_spark.operators import dedup
 
     emb = _load(spark, sf_dir, "embeddings")
     clusters = similarity.kmeans_train_assign(
         emb, k=KM_K, iters=KM_ITERS, keep_vector=True
     )
-    return dedup.semantic_dedup_pairs(emb, clusters, threshold=0.45)
+    return dedup.semantic_dedup_pairs_cellwise(emb, clusters, threshold=0.45)
 
 
 @register(

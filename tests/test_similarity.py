@@ -562,3 +562,32 @@ def test_pq_scan_matches_inline_training(spark, tmp_path):
 
 def test_sim_pq_topk_scan_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "sim_pq_topk_scan")
+
+
+def test_semantic_cellwise_bit_identical_to_join_form(spark):
+    """The matrix-form in-cell scorer (one Arrow pass per cell, per-DIM
+    outer-product accumulation) must be BIT-identical to the pair-join
+    DOT_FOLD form — same flop order per pair, so same cosines, so one
+    oracle replays both (r8: the registered query runs the cellwise
+    form; sf1 A/B measured 140 s -> 20 s with identical result sets)."""
+    from hadoop_1_spark.operators import dedup
+    from hadoop_1_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    clusters = similarity.kmeans_train_assign(emb, k=8, iters=3, keep_vector=True)
+    a = sorted(map(tuple, dedup.semantic_dedup_pairs(emb, clusters, 0.45).collect()))
+    b = sorted(
+        map(tuple, dedup.semantic_dedup_pairs_cellwise(emb, clusters, 0.45).collect())
+    )
+    assert a == b
+    assert len(a) > 0
+    # blocking must not change results: force several row blocks
+    c = sorted(
+        map(
+            tuple,
+            dedup.semantic_dedup_pairs_cellwise(
+                emb, clusters, 0.45, row_block=37
+            ).collect(),
+        )
+    )
+    assert c == a
