@@ -883,19 +883,73 @@ def knn_graph(
             bucket_from_sums(F.col("_p.sums"), 0, nbits).alias("_b"),
         )
     )
-    a = base.select(
-        F.col("_id").alias("query_id"), F.col("_v").alias("qv"),
-        F.col("_n").alias("qn"), F.col("_b").alias("qb"),
+    # Cellwise pair scoring (r8): the bucket self-join's per-pair Arrow
+    # DOT_FOLD shipped BOTH vectors per candidate pair — O(pairs * dims)
+    # transfer, 135 s / 76.7x at the sf1 probe. One applyInPandas pass
+    # per bucket instead: vectors cross Arrow once per ROW, in-cell dots
+    # are per-DIMENSION outer-product accumulation (DOT_FOLD's exact flop
+    # order -> bit-identical cosines; same recipe as
+    # dedup.semantic_dedup_pairs_cellwise), and each query emits only the
+    # candidates that can still reach the rounded top-k (unrounded kth
+    # minus a 1e-8 margin, far wider than round-at-9's 5e-10 swing), so
+    # the Arrow RETURN is O(rows * k) scalars. Division + HALF_UP round
+    # and the rank window stay JVM-side, untouched.
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "dot": pd.Series(dtype="float64"),
+            "qn": pd.Series(dtype="float64"),
+            "cn": pd.Series(dtype="float64"),
+        }
     )
-    b = base.select(
-        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"),
-        F.col("_n").alias("cn"), F.col("_b").alias("cb"),
+    row_block = 2048
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["_id"].to_numpy()
+        M = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+        nrm = pdf["_n"].to_numpy().astype(np.float64)
+        dims = M.shape[1]
+        frames = []
+        for lo in range(0, n, row_block):
+            hi = min(lo + row_block, n)
+            acc = np.zeros((hi - lo, n))
+            for d in range(dims):
+                acc += np.outer(M[lo:hi, d], M[:, d])
+            cosu = acc / np.outer(nrm[lo:hi], nrm)
+            rows = np.arange(lo, hi)
+            cosu[np.arange(hi - lo), rows] = -np.inf  # mask self
+            if n - 1 > k:
+                kth = np.partition(cosu, n - k, axis=1)[:, n - k]
+                keep = cosu >= (kth - 1e-8)[:, None]
+            else:
+                keep = np.isfinite(cosu)
+            bi, bj = np.nonzero(keep)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": ids[lo + bi],
+                        "neighbor_id": ids[bj],
+                        "dot": acc[bi, bj],
+                        "qn": nrm[lo + bi],
+                        "cn": nrm[bj],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    cand = base.groupBy("_b").applyInPandas(
+        cell, schema="query_id long, neighbor_id long, dot double, qn double, cn double"
     )
-    scored = a.join(
-        b, (a["qb"] == b["cb"]) & (a["query_id"] != b["neighbor_id"])
-    ).select(
-        "query_id", "neighbor_id",
-        _cosine(a["qv"], b["cv"], a["qn"], b["cn"]).alias("cosine"),
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 9).alias("cosine"),
     )
     return _topk(scored, k)
 
@@ -954,16 +1008,6 @@ def mmr_topk(
             _cosine(q["qv"], c["cv"], q["qn"], c["cn"]).alias("rel"),
         )
     )
-    a = cand.select("query_id", F.col("cid").alias("c1"), F.col("cv").alias("v1"), F.col("cn").alias("n1"))
-    b = cand.select("query_id", F.col("cid").alias("c2"), F.col("cv").alias("v2"), F.col("cn").alias("n2"))
-    sims = persist_tracked(
-        a.join(b, ["query_id"])
-        .where(F.col("c1") != F.col("c2"))
-        .select(
-            "query_id", "c1", "c2",
-            _cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")).alias("s"),
-        )
-    )
     wq = Window.partitionBy("query_id").orderBy(F.desc("_score"), F.asc("cid"))
     pick = (
         cand.withColumn("_score", F.col("rel"))
@@ -974,21 +1018,40 @@ def mmr_topk(
     )
     selected = pick
     for step in range(2, k + 1):
-        # restrict the sim relation to edges INTO the selected set, take
-        # each candidate's max, then name-join — no three-way self-join
-        # ambiguity, and the per-step work is (candidates x selected)
-        msims = (
-            sims.join(
-                selected.select("query_id", F.col("neighbor_id").alias("c2")),
-                ["query_id", "c2"],
-            )
-            .groupBy("query_id", F.col("c1").alias("cid"))
-            .agg(F.max("s").alias("_maxsim"))
+        # Per-step candidate x SELECTED cosines (selected <= step-1 rows
+        # per query), never the n_c^2 all-candidate sims relation the
+        # r5-r7 form materialized up front — that matrix was the 22x
+        # blow-up at the r8 sf1 probe (95 s; candidates x candidates x
+        # dims through Arrow). Work per step is candidates x selected,
+        # total O(n_c * k^2) pairs per query; same _cosine fold per
+        # pair and the same max/argmax ordering, so picks are identical.
+        sel_v = selected.select(
+            "query_id", F.col("neighbor_id").alias("_sid")
+        ).join(
+            cand.select(
+                "query_id",
+                F.col("cid").alias("_sid"),
+                F.col("cv").alias("_sv"),
+                F.col("cn").alias("_sn"),
+            ),
+            ["query_id", "_sid"],
         )
         rem = cand.join(
             selected.select("query_id", F.col("neighbor_id").alias("cid")),
             ["query_id", "cid"],
             "left_anti",
+        )
+        msims = (
+            rem.join(sel_v, ["query_id"])
+            .select(
+                "query_id",
+                "cid",
+                _cosine(
+                    F.col("cv"), F.col("_sv"), F.col("cn"), F.col("_sn")
+                ).alias("s"),
+            )
+            .groupBy("query_id", "cid")
+            .agg(F.max("s").alias("_maxsim"))
         )
         ms = rem.select("query_id", "cid", "rel").join(msims, ["query_id", "cid"])
         nxt = (
