@@ -34,37 +34,57 @@ def park_bucketed(
     """Write ``df`` as a bucketed+sorted catalog table (the one-time ingest
     cost) and return the catalog-backed relation.  A ``fingerprint`` (e.g.
     source file size+mtime) skips the rewrite when the parked table is
-    already current — the pq_park train/scan pattern for layouts."""
+    already current — the pq_park train/scan pattern for layouts.
+
+    Ownership contract: a ``<table>.park_marker`` file is written next to
+    every location this helper creates, and ONLY marker-bearing locations
+    are ever cleared on re-park — a pre-existing directory without the
+    marker was not parked by us and raises instead of being deleted.
+    Cross-session note: the default session catalog is in-memory, so the
+    fingerprint fast-path (which needs ``tableExists``) only fires within
+    one session; cross-session layout reuse requires a persistent
+    metastore (``enableHiveSupport`` / a shared Derby metastore_db), at
+    which point the same marker+fingerprint check applies unchanged."""
     import shutil
 
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse"
     ).removeprefix("file:")
     location = os.path.join(warehouse, table)
-    marker = None
-    if fingerprint is not None:
-        marker = os.path.join(warehouse, f"{table}.fingerprint")
-        if (
-            spark.catalog.tableExists(table)
-            and os.path.exists(marker)
-            and open(marker).read() == fingerprint
-        ):
-            return spark.table(table)
+    marker = os.path.join(warehouse, f"{table}.park_marker")
+    if (
+        fingerprint is not None
+        and spark.catalog.tableExists(table)
+        and os.path.exists(marker)
+        and open(marker).read() == fingerprint
+    ):
+        return spark.table(table)
     if not spark.catalog.tableExists(table) and os.path.exists(location):
         # the session catalog is in-memory: a previous session's parked
         # files outlive their table entry, and saveAsTable refuses to
-        # reuse the orphaned location — clear it first
+        # reuse the orphaned location.  Clear it ONLY if our marker proves
+        # this helper created it; anything else is not ours to delete.
+        legacy = os.path.join(warehouse, f"{table}.fingerprint")
+        if not os.path.exists(marker) and not os.path.exists(legacy):
+            raise ValueError(
+                f"park_bucketed: {location} exists but has no "
+                f"{os.path.basename(marker)} — refusing to delete a "
+                "directory this helper did not park; remove it manually "
+                "or choose another table name"
+            )
         shutil.rmtree(location)
+        for m in (marker, legacy):
+            if os.path.exists(m):
+                os.remove(m)
     (
         df.write.bucketBy(num_buckets, key)
         .sortBy(key)
         .mode("overwrite")
         .saveAsTable(table)
     )
-    if marker is not None:
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write(fingerprint)
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write(fingerprint if fingerprint is not None else "parked")
     return spark.table(table)
 
 

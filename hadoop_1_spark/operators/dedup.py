@@ -591,6 +591,7 @@ def semantic_dedup_pairs_cellwise(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     row_block: int = 2048,
+    col_block: int = 2048,
 ) -> DataFrame:
     """semantic_dedup_pairs' matrix-form twin: ONE Arrow pass per cell.
 
@@ -607,12 +608,18 @@ def semantic_dedup_pairs_cellwise(
     threshold - 1e-6 (strictly looser than round-at-9 >= threshold) so
     only real candidates are emitted.
 
-    Memory: the accumulator is blocked to ``row_block`` rows x cell size
-    (~16 MB per 1k-row block against a 1M-row cell), so a cell only needs
-    its vectors resident, never an n_c^2 matrix.  Parallelism = number of
-    cells, exactly the pair-join's SMJ shape; with the k=isqrt(n) scale
-    contract both forms have ample cells, and this one also removes the
-    per-pair transfer term."""
+    Memory: the accumulator is blocked on BOTH axes to ``row_block`` x
+    ``col_block`` doubles (32 MB at the 2048x2048 defaults), a bound
+    independent of cell size; the cell's own vectors (n_cell x dims x 8 B,
+    ~500 MB for a 1M-row 64-dim cell) are the residency floor either way.
+    Per-(i,j) flop order is unchanged by the column blocking (same
+    ascending-d sequence per pair), so cosines stay bit-identical.
+    Parallelism = number of cells, exactly the pair-join's SMJ shape; with
+    the k=isqrt(n) scale contract both forms have ample cells, and this
+    one also removes the per-pair transfer term.  Caveat vs the join form:
+    AQE can skew-split an SMJ cell but NOT an applyInPandas group — if
+    cluster sizes are badly skewed (a cell's vectors alone blow the
+    residency floor), fall back to semantic_dedup_pairs for that regime."""
     import pandas as pd
 
     base = clusters if vec_col in clusters.columns else emb.join(clusters, id_col)
@@ -646,26 +653,34 @@ def semantic_dedup_pairs_cellwise(
         frames = []
         for lo in range(0, n, row_block):
             hi = min(lo + row_block, n)
-            acc = np.zeros((hi - lo, n))
-            for d in range(dims):
-                acc += np.outer(M[lo:hi, d], M[:, d])
-            # ids are sorted: strict upper triangle == d1 < d2 by value
-            bi, bj = np.nonzero(
-                (acc >= pre * np.outer(nrm[lo:hi], nrm))
-                & (np.arange(n)[None, :] > (lo + np.arange(hi - lo))[:, None])
-            )
-            if len(bi):
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "d1": ids[lo + bi],
-                            "d2": ids[bj],
-                            "dot": acc[bi, bj],
-                            "n1": nrm[lo + bi],
-                            "n2": nrm[bj],
-                        }
+            for co in range(0, n, col_block):
+                ch = min(co + col_block, n)
+                if ch <= lo + 1:
+                    # ids are sorted: strict upper triangle == d1 < d2 by
+                    # value, and this whole block sits on/below the diagonal
+                    continue
+                acc = np.zeros((hi - lo, ch - co))
+                for d in range(dims):
+                    acc += np.outer(M[lo:hi, d], M[co:ch, d])
+                bi, bj = np.nonzero(
+                    (acc >= pre * np.outer(nrm[lo:hi], nrm[co:ch]))
+                    & (
+                        np.arange(co, ch)[None, :]
+                        > (lo + np.arange(hi - lo))[:, None]
                     )
                 )
+                if len(bi):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "d1": ids[lo + bi],
+                                "d2": ids[co + bj],
+                                "dot": acc[bi, bj],
+                                "n1": nrm[lo + bi],
+                                "n2": nrm[co + bj],
+                            }
+                        )
+                    )
         return pd.concat(frames, ignore_index=True) if frames else empty
 
     cand = cols.groupBy("cluster").applyInPandas(

@@ -53,8 +53,11 @@ def parse_sort_spec(spec: str) -> list[KeySpec]:
     apply to every -k spec carrying NO flag of its own (the reference
     copies BOTH global flags onto any spec with neither, :185-189 —
     so ``-nr -k1,1 -k2,2n`` makes spec 1 numeric+reverse but leaves
-    spec 2 numeric-only).  TestKeyFieldHelper.testparseOption pins all
-    of these shapes, including ``-k 1.2`` with the field in the next
+    spec 2 numeric-only).  A spec containing ONLY global flags (e.g.
+    ``-n``) yields the global KeyDescription as the sole spec — a
+    whole-line sort carrying those flags (parseOption's keySpecSeen
+    branch, :183-189).  TestKeyFieldHelper.testparseOption pins all of
+    these shapes, including ``-k 1.2`` with the field in the next
     token."""
     specs: list[KeySpec] = []
     for m in _KSPEC.finditer(spec):
@@ -69,8 +72,6 @@ def parse_sort_spec(spec: str) -> list[KeySpec]:
                 reverse="r" in opts,
             )
         )
-    if not specs:
-        raise ValueError(f"no -k specs found in {spec!r}")
     g_numeric = g_reverse = False
     for tok in spec.split():
         if tok == "-n":
@@ -79,6 +80,21 @@ def parse_sort_spec(spec: str) -> list[KeySpec]:
             g_reverse = True
         elif tok == "-nr":
             g_numeric = g_reverse = True
+    if not specs:
+        if not (g_numeric or g_reverse):
+            raise ValueError(f"no -k specs or global flags found in {spec!r}")
+        # flag-only spec: the global KeyDescription IS the key (whole line,
+        # field 1 to end), KeyFieldHelper.java:183-189
+        return [
+            KeySpec(
+                field_start=1,
+                field_end=None,
+                char_start=1,
+                char_end=None,
+                numeric=g_numeric,
+                reverse=g_reverse,
+            )
+        ]
     if g_numeric or g_reverse:
         for ks in specs:
             if not (ks.numeric or ks.reverse):
@@ -211,12 +227,24 @@ def binary_partition_id(
 ) -> Column:
     """O7 BinaryPartitioner: hashBytes over the [left..right] slice of the
     key, offsets interpreted modulo the key length (negative = from the
-    end, BinaryPartitioner.java:135-136)."""
+    end, BinaryPartitioner.java:135-136).  An EMPTY key raises explicitly
+    — the reference's ``% length`` throws ArithmeticException on length 0
+    — instead of leaking a null partition id (non-ANSI) or a cryptic
+    divide-by-zero (ANSI)."""
     length = F.length(col)
     li = ((F.lit(left_offset) + length) % length).cast("int")
     ri = ((F.lit(right_offset) + length) % length).cast("int")
     sliced = F.substring(col, li + 1, ri - li + 1)
-    return _to_partition(java_hash_fold(sliced, seed=1), num_partitions)
+    return F.when(
+        length == 0,
+        F.raise_error(
+            F.lit(
+                "BinaryPartitioner: empty key — offsets are taken modulo "
+                "the key length (ArithmeticException in the reference, "
+                "BinaryPartitioner.java:135)"
+            )
+        ).cast("int"),
+    ).otherwise(_to_partition(java_hash_fold(sliced, seed=1), num_partitions))
 
 
 def key_field_partition_id(
