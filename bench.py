@@ -243,8 +243,14 @@ def main() -> None:
     prior = _prior_committed_rows()
     times: dict[str, float] = {}
     reran: set[str] = set()
+    # comma-separated subset for quick iteration loops (the committed
+    # table is only written for full runs — see out_path guard below)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    only_set = set(only.split(",")) if only else None
     for name in BENCH_QUERIES:
         if name not in registry.QUERIES:
+            continue
+        if only_set is not None and name not in only_set:
             continue
         t = run_query(spark, name)
         # Variance guard (round-7 verdict: cdc/fertility false regressions):
@@ -260,12 +266,16 @@ def main() -> None:
     # Same-run DuckDB-oracle totals (round-5 verdict #10): Spark wall
     # times swing ±35% with machine load across rounds, so a per-row
     # {spark_s, duck_s, ratio} from ONE run gives the stable
-    # round-over-round signal. One execution per oracle (the oracle is
-    # the reference point, not the thing under tuning). Disable with
-    # SPARK_GRAFT_BENCH_ORACLE=0 for a Spark-only quick loop.
+    # round-over-round signal. The oracle side gets the SAME best-of-3 +
+    # drift-guard discipline as the Spark side (round-9 verdict #2: the
+    # single-shot duck_s drifted −7 s between rounds and moved the
+    # headline ratio past 2× with zero engine change — the reference
+    # point must be at least as stable as the thing under tuning).
+    # Disable with SPARK_GRAFT_BENCH_ORACLE=0 for a Spark-only quick loop.
     duck: dict[str, float] = {}
+    duck_reran: set[str] = set()
     if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
-        duck = run_oracles(times)
+        duck = run_oracles(times, prior, duck_reran)
 
     rows = {
         name: {
@@ -273,6 +283,7 @@ def main() -> None:
             "duck_s": duck.get(name),
             "ratio": round(t / duck[name], 2) if duck.get(name) else None,
             **({"drift_rerun": True} if name in reran else {}),
+            **({"duck_drift_rerun": True} if name in duck_reran else {}),
         }
         for name, t in times.items()
     }
@@ -293,6 +304,8 @@ def main() -> None:
         out_path = os.path.join(
             base, f"BENCH_LOCAL_r{(max(rounds) if rounds else 0) + 1:02d}.json"
         )
+    if only_set is not None:
+        out_path = "-"  # a subset run must never overwrite the round table
     if out_path != "-":
         with open(out_path, "w", encoding="utf-8") as fh:
             json.dump({"sf": sf, "rows": rows}, fh, indent=1, sort_keys=True)
@@ -312,7 +325,11 @@ def main() -> None:
     )
 
 
-def run_oracles(times: dict[str, float]) -> dict[str, float]:
+def run_oracles(
+    times: dict[str, float],
+    prior: dict[str, dict] | None = None,
+    reran: set[str] | None = None,
+) -> dict[str, float]:
     try:
         import duckdb
     except ImportError:
@@ -328,17 +345,40 @@ def run_oracles(times: dict[str, float]) -> dict[str, float]:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/{t}.parquet')"
         )
+
+    def best_of(sql: str, n: int = 3) -> float | None:
+        # best-of-3, same discipline as run_query: min absorbs transient
+        # machine load AND first-run cold parquet reads, in both
+        # directions — a later round can't inherit an inflated oracle.
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.monotonic()
+            try:
+                con.execute(sql).fetchall()
+            except Exception:
+                return None
+            best = min(best, time.monotonic() - t0)
+        return best
+
     duck: dict[str, float] = {}
     for name in times:
         sql = registry.ORACLE.get(name)
         if sql is None:
             continue
-        t0 = time.monotonic()
-        try:
-            con.execute(sql).fetchall()
-        except Exception:
+        b = best_of(sql)
+        if b is None:
             continue
-        duck[name] = round(time.monotonic() - t0, 3)
+        # drift guard, mirroring the spark side: a row >1.5x off the
+        # prior committed duck_s (either direction) gets one extra
+        # best-of-3 before recording.
+        p = ((prior or {}).get(name) or {}).get("duck_s")
+        if p and (b > 1.5 * p or (b > 0 and p > 1.5 * b)):
+            b2 = best_of(sql)
+            if b2 is not None:
+                b = min(b, b2)
+            if reran is not None:
+                reran.add(name)
+        duck[name] = round(b, 3)
     return duck
 
 

@@ -38,8 +38,15 @@ def park_bucketed(
 
     Ownership contract: a ``<table>.park_marker`` file is written next to
     every location this helper creates, and ONLY marker-bearing locations
-    are ever cleared on re-park — a pre-existing directory without the
-    marker was not parked by us and raises instead of being deleted.
+    are ever cleared or overwritten on re-park — a pre-existing directory
+    OR catalog table without the marker was not parked by us and raises
+    instead of being dropped (mode('overwrite') would otherwise silently
+    replace someone else's table).  The marker is claimed with an
+    in-progress sentinel BEFORE saveAsTable and refreshed with the
+    fingerprint after it succeeds, so a crash mid-write leaves a
+    marker-bearing (reclaimable) location, never a marker-less wedge this
+    helper then refuses to clear; the sentinel never matches a
+    fingerprint, so a half-written park can't satisfy the fast-path.
     Cross-session note: the default session catalog is in-memory, so the
     fingerprint fast-path (which needs ``tableExists``) only fires within
     one session; cross-session layout reuse requires a persistent
@@ -52,6 +59,8 @@ def park_bucketed(
     ).removeprefix("file:")
     location = os.path.join(warehouse, table)
     marker = os.path.join(warehouse, f"{table}.park_marker")
+    legacy = os.path.join(warehouse, f"{table}.fingerprint")
+    owned = os.path.exists(marker) or os.path.exists(legacy)
     if (
         fingerprint is not None
         and spark.catalog.tableExists(table)
@@ -59,13 +68,21 @@ def park_bucketed(
         and open(marker).read() == fingerprint
     ):
         return spark.table(table)
+    if spark.catalog.tableExists(table) and not owned:
+        # someone else's catalog table: mode('overwrite') would drop and
+        # rewrite it and we would then stamp a marker claiming ownership
+        raise ValueError(
+            f"park_bucketed: table {table!r} exists in the catalog but "
+            f"has no {os.path.basename(marker)} — refusing to overwrite "
+            "a table this helper did not park; drop it manually or "
+            "choose another table name"
+        )
     if not spark.catalog.tableExists(table) and os.path.exists(location):
         # the session catalog is in-memory: a previous session's parked
         # files outlive their table entry, and saveAsTable refuses to
         # reuse the orphaned location.  Clear it ONLY if our marker proves
         # this helper created it; anything else is not ours to delete.
-        legacy = os.path.join(warehouse, f"{table}.fingerprint")
-        if not os.path.exists(marker) and not os.path.exists(legacy):
+        if not owned:
             raise ValueError(
                 f"park_bucketed: {location} exists but has no "
                 f"{os.path.basename(marker)} — refusing to delete a "
@@ -76,13 +93,18 @@ def park_bucketed(
         for m in (marker, legacy):
             if os.path.exists(m):
                 os.remove(m)
+    # claim ownership BEFORE the write: a crash inside saveAsTable must
+    # leave a marker-bearing location (reclaimed on the next park), not a
+    # marker-less wedge; the sentinel never equals a real fingerprint.
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write("__park_in_progress__")
     (
         df.write.bucketBy(num_buckets, key)
         .sortBy(key)
         .mode("overwrite")
         .saveAsTable(table)
     )
-    os.makedirs(os.path.dirname(marker), exist_ok=True)
     with open(marker, "w") as fh:
         fh.write(fingerprint if fingerprint is not None else "parked")
     return spark.table(table)

@@ -56,9 +56,14 @@ def parse_sort_spec(spec: str) -> list[KeySpec]:
     spec 2 numeric-only).  A spec containing ONLY global flags (e.g.
     ``-n``) yields the global KeyDescription as the sole spec — a
     whole-line sort carrying those flags (parseOption's keySpecSeen
-    branch, :183-189).  TestKeyFieldHelper.testparseOption pins all of
-    these shapes, including ``-k 1.2`` with the field in the next
-    token."""
+    branch, :183-189).  A non-empty option with NEITHER -k specs NOR
+    flags likewise adds the default global KeyDescription
+    (``allKeySpecs.add(global)``, :190-192) — whole line, textual,
+    ascending; and an empty option early-returns to "default
+    comparison" (:159-162), which is that same whole-line default, so
+    both collapse to the one default KeySpec here.
+    TestKeyFieldHelper.testparseOption pins all of these shapes,
+    including ``-k 1.2`` with the field in the next token."""
     specs: list[KeySpec] = []
     for m in _KSPEC.finditer(spec):
         opts = (m.group("opt1") or "") + (m.group("opt2") or "")
@@ -81,10 +86,10 @@ def parse_sort_spec(spec: str) -> list[KeySpec]:
         elif tok == "-nr":
             g_numeric = g_reverse = True
     if not specs:
-        if not (g_numeric or g_reverse):
-            raise ValueError(f"no -k specs or global flags found in {spec!r}")
-        # flag-only spec: the global KeyDescription IS the key (whole line,
-        # field 1 to end), KeyFieldHelper.java:183-189
+        # No -k specs: the global KeyDescription IS the key (whole line,
+        # field 1 to end) whether or not flags were given —
+        # KeyFieldHelper.java:183-192; an empty option's "default
+        # comparison" (:159-162) is the same whole-line default.
         return [
             KeySpec(
                 field_start=1,
@@ -227,21 +232,23 @@ def binary_partition_id(
 ) -> Column:
     """O7 BinaryPartitioner: hashBytes over the [left..right] slice of the
     key, offsets interpreted modulo the key length (negative = from the
-    end, BinaryPartitioner.java:135-136).  An EMPTY key raises explicitly
-    — the reference's ``% length`` throws ArithmeticException on length 0
-    — instead of leaking a null partition id (non-ANSI) or a cryptic
-    divide-by-zero (ANSI)."""
+    end, BinaryPartitioner.java:135-136).  An EMPTY or NULL key raises
+    explicitly — the reference's ``% length`` throws ArithmeticException
+    on length 0, and getBytes() on a null key would NPE — instead of
+    leaking a null partition id (F.length(NULL) is NULL, so without the
+    isNull arm NEITHER branch would fire and the otherwise leg would
+    emit NULL)."""
     length = F.length(col)
     li = ((F.lit(left_offset) + length) % length).cast("int")
     ri = ((F.lit(right_offset) + length) % length).cast("int")
     sliced = F.substring(col, li + 1, ri - li + 1)
     return F.when(
-        length == 0,
+        length.isNull() | (length == 0),
         F.raise_error(
             F.lit(
-                "BinaryPartitioner: empty key — offsets are taken modulo "
-                "the key length (ArithmeticException in the reference, "
-                "BinaryPartitioner.java:135)"
+                "BinaryPartitioner: empty or null key — offsets are taken "
+                "modulo the key length (ArithmeticException / NPE in the "
+                "reference, BinaryPartitioner.java:135)"
             )
         ).cast("int"),
     ).otherwise(_to_partition(java_hash_fold(sliced, seed=1), num_partitions))

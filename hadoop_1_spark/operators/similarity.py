@@ -854,6 +854,8 @@ def knn_graph(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    row_block: int = 2048,
+    col_block: int = 2048,
 ) -> DataFrame:
     """k-NN graph construction: every vector's top-k most-similar
     in-bucket neighbors, as directed edges (query_id, neighbor_id,
@@ -894,6 +896,21 @@ def knn_graph(
     # minus a 1e-8 margin, far wider than round-at-9's 5e-10 swing), so
     # the Arrow RETURN is O(rows * k) scalars. Division + HALF_UP round
     # and the rank window stay JVM-side, untouched.
+    #
+    # Memory (r10, mirroring dedup.semantic_dedup_pairs_cellwise): the
+    # accumulator is blocked on BOTH axes to row_block x col_block doubles
+    # (32 MB at the 2048x2048 defaults) — a bound independent of bucket
+    # size; the bucket's own vectors (n x dims x 8 B) remain the residency
+    # floor either way. Per-(i,j) flop order is unchanged by the column
+    # blocking (same ascending-d sequence per pair), so dots stay
+    # bit-identical. The top-k prune threshold becomes a RUNNING per-row
+    # kth-largest, merged block by block: a running kth is always <= the
+    # full-row kth, so each block keeps a SUPERSET of the unblocked keep
+    # set (worst case ~k extra per col block) and the JVM-side rank
+    # window — which always did the final top-k — is unaffected.
+    # Parallelism = 2^nbits buckets (the scale knob); AQE cannot
+    # skew-split an applyInPandas group, so a badly skewed bucket whose
+    # vectors alone blow the residency floor needs a larger nbits.
     import pandas as pd
 
     empty = pd.DataFrame(
@@ -905,8 +922,6 @@ def knn_graph(
             "cn": pd.Series(dtype="float64"),
         }
     )
-    row_block = 2048
-
     def cell(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
@@ -915,32 +930,41 @@ def knn_graph(
         M = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
         nrm = pdf["_n"].to_numpy().astype(np.float64)
         dims = M.shape[1]
+        prune = (n - 1) > k
         frames = []
         for lo in range(0, n, row_block):
             hi = min(lo + row_block, n)
-            acc = np.zeros((hi - lo, n))
-            for d in range(dims):
-                acc += np.outer(M[lo:hi, d], M[:, d])
-            cosu = acc / np.outer(nrm[lo:hi], nrm)
-            rows = np.arange(lo, hi)
-            cosu[np.arange(hi - lo), rows] = -np.inf  # mask self
-            if n - 1 > k:
-                kth = np.partition(cosu, n - k, axis=1)[:, n - k]
-                keep = cosu >= (kth - 1e-8)[:, None]
-            else:
-                keep = np.isfinite(cosu)
-            bi, bj = np.nonzero(keep)
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "query_id": ids[lo + bi],
-                        "neighbor_id": ids[bj],
-                        "dot": acc[bi, bj],
-                        "qn": nrm[lo + bi],
-                        "cn": nrm[bj],
-                    }
-                )
-            )
+            if prune:
+                buf = np.full((hi - lo, k), -np.inf)
+            for co in range(0, n, col_block):
+                ch = min(co + col_block, n)
+                acc = np.zeros((hi - lo, ch - co))
+                for d in range(dims):
+                    acc += np.outer(M[lo:hi, d], M[co:ch, d])
+                cosu = acc / np.outer(nrm[lo:hi], nrm[co:ch])
+                gi = np.arange(lo, hi)
+                on_diag = (gi >= co) & (gi < ch)
+                cosu[np.nonzero(on_diag)[0], gi[on_diag] - co] = -np.inf
+                if prune:
+                    merged = np.concatenate([buf, cosu], axis=1)
+                    part = np.partition(merged, -k, axis=1)
+                    buf = part[:, -k:]
+                    keep = cosu >= (part[:, -k] - 1e-8)[:, None]
+                else:
+                    keep = np.isfinite(cosu)
+                bi, bj = np.nonzero(keep)
+                if len(bi):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": ids[lo + bi],
+                                "neighbor_id": ids[co + bj],
+                                "dot": acc[bi, bj],
+                                "qn": nrm[lo + bi],
+                                "cn": nrm[co + bj],
+                            }
+                        )
+                    )
         return pd.concat(frames, ignore_index=True) if frames else empty
 
     cand = base.groupBy("_b").applyInPandas(

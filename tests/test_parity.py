@@ -82,6 +82,23 @@ def test_binary_partition_offsets_mod_length(spark):
         assert r["whole"] == r["hashp"]
 
 
+def test_binary_partition_empty_and_null_key_raise(spark):
+    """BinaryPartitioner on a zero-length key divides by the key length —
+    ArithmeticException in the reference (BinaryPartitioner.java:135) —
+    and getBytes() on a null key would NPE; both must raise here, never
+    leak a NULL partition id (F.length(NULL) is NULL, so a plain
+    ``length == 0`` guard silently misses the null case)."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    for data in ([("",)], [(None,)]):
+        df = spark.createDataFrame(data, "s string")
+        with pytest.raises(PySparkException, match="BinaryPartitioner"):
+            df.select(
+                keyfield.binary_partition_id(F.col("s"), 8, 0, -1).alias("p")
+            ).collect()
+
+
 # --- IntegerSplitter boundary expectations (TestIntegerSplitter.java) ----
 
 
@@ -259,3 +276,28 @@ def test_parse_spec_global_options():
         (True, True), (True, False), (False, True), (True, True)]
     assert [(k.field_start, k.char_start, k.field_end, k.char_end) for k in four] == [
         (1, 2, 3, 4), (5, 6, 7, 8), (9, 10, 11, 12), (13, 14, 15, 16)]
+
+
+def test_parse_spec_no_keyspec_defaults():
+    """parseOption with NO -k specs always lands on the global
+    KeyDescription as the sole spec (allKeySpecs.add(global),
+    KeyFieldHelper.java:190-192): flag-only options carry the flags on a
+    whole-line key; a non-empty option with no flags at all — and the
+    empty option's early-return "default comparison" (:159-162) — are
+    the same whole-line default-order key."""
+    from hadoop_1_spark.operators.keyfield import parse_sort_spec
+
+    for spec, nm, rv in [("-n", True, False), ("-r", False, True),
+                         ("-nr", True, True), ("-n -r", True, True)]:
+        got = parse_sort_spec(spec)
+        assert len(got) == 1, spec
+        k = got[0]
+        assert (k.field_start, k.char_start, k.field_end, k.char_end) == (
+            1, 1, None, None), spec
+        assert (k.numeric, k.reverse) == (nm, rv), spec
+    for spec in ("", "   ", "bogus"):
+        got = parse_sort_spec(spec)
+        assert len(got) == 1, spec
+        k = got[0]
+        assert (k.field_start, k.field_end, k.numeric, k.reverse) == (
+            1, None, False, False), spec

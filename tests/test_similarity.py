@@ -591,3 +591,39 @@ def test_semantic_cellwise_bit_identical_to_join_form(spark):
         )
     )
     assert c == a
+    # ...and several COLUMN blocks too — exercises the diagonal-block
+    # skip, the global-index upper-triangle mask, and the independent
+    # per-block accumulators (r9 both-axes bound)
+    d = sorted(
+        map(
+            tuple,
+            dedup.semantic_dedup_pairs_cellwise(
+                emb, clusters, 0.45, row_block=37, col_block=23
+            ).collect(),
+        )
+    )
+    assert d == a
+
+
+def test_knn_graph_blocked_bit_identical(spark):
+    """knn_graph's cell scorer is blocked on BOTH axes (r10, mirroring
+    semantic_dedup_pairs_cellwise): tiny row/col blocks must reproduce
+    the default-block result exactly — same dots (per-pair flop order is
+    block-independent), and the running per-row kth prune only ever
+    keeps a superset, which the JVM-side rank window collapses back."""
+    from hadoop_1_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").where(
+        "vec_id < 400"
+    )
+    a = sorted(map(tuple, similarity.knn_graph(emb, k=3, nbits=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            similarity.knn_graph(
+                emb, k=3, nbits=2, row_block=37, col_block=23
+            ).collect(),
+        )
+    )
+    assert b == a
+    assert len(a) > 0
