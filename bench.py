@@ -187,6 +187,9 @@ BENCH_QUERIES = [
     "db_split_bounds",         # S11 IntegerSplitter walk + range counts
     "bucketed_join_customer_orders",  # J1 zero-Exchange bucketed SMJ
     "stream_full_outer_join",  # stream-stream FULL outer interval join
+    # round-10 block
+    "keyfield_sort_global",    # flag-only "-r" whole-line reverse sort
+    "sim_ivf_topk_scan",       # parked IVF: DPP-pruned cell probe (scan-only)
 ]
 
 

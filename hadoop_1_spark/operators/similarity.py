@@ -217,7 +217,22 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
 def _cosine(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
     # fixed-order double fold / precomputed norms — bit-identical to the
     # oracle's identical SQL chain (see dedup.dot_chain); the fold runs as
-    # the Arrow DOT_FOLD twin, division + HALF_UP round stay JVM-side
+    # the Arrow DOT_FOLD twin, division + HALF_UP round stay JVM-side.
+    #
+    # Scale contract (r10, closing the r8 audit note): this is the
+    # PER-PAIR scorer — both vectors cross Arrow for every pair, so the
+    # transfer term is O(pairs x dims). It is only ever applied to
+    # relations whose pair count is bounded by a broadcast-small side:
+    # query-driven top-k paths carry |Q| x corpus pairs with |Q| small by
+    # contract (cosine_topk is the labeled brute-force baseline;
+    # lsh/ivf/filtered prune the corpus side to bucket/cell candidates
+    # first, negative_mine_topk is the one full-corpus-pass shape), and
+    # mmr_topk's per-step joins are O(n_c x k^2) with bucket-bounded n_c.
+    # ALL-corpus self-scoring must never route through here — that is
+    # what the cellwise scorers are for (knn_graph,
+    # dedup.semantic_dedup_pairs_cellwise: one Arrow crossing per ROW,
+    # in-cell outer-product dots; the r8 sf1 probe measured 22-77x
+    # per-pair penalties before those landed).
     return F.round(DOT_FOLD(qv, cv) / (qn * cn), 9)
 
 
@@ -1485,3 +1500,106 @@ def pq_adc_topk_scan(
     return _pq_adc_scan(
         codes, books, corpus, queries, k, rerank, m, subdim, id_col, vec_col
     )
+
+
+def ivf_park(
+    corpus: DataFrame,
+    path: str,
+    k_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train the IVF coarse quantizer ONCE and park the index:
+    ``{path}/centroids`` (cid, cvec — the k-row broadcastable model) and
+    ``{path}/cells`` — the corpus PARTITIONED BY its trained cell, so a
+    probe reads only the matching cell directories (file-level partition
+    pruning: probe cost is sum(|probed cells|), never |corpus|). The
+    pq_park offline-build / online-scan split applied to IVF — ivf_topk
+    scores the PRE-ASSIGNED label column; this is the trained-cell
+    production layout its docstring defers to ("a real deployment trains
+    centroids offline and partitions the corpus by cell").
+
+    Training is kmeans_train_assign: deterministic (md5-seeded init,
+    fixed-order distance folds, decimal-exact means), so an oracle can
+    replay the parked assignment exactly."""
+    assigned, cvals, cids = kmeans_train_assign(
+        corpus,
+        k=k_cells,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep_vector=True,
+        return_centroids=True,
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in zip(cids, cvals)],
+        "cid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        assigned.withColumnRenamed("cluster", "cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(f"{path}/cells")
+    )
+
+
+def ivf_topk_scan(
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against a PARKED index (ivf_park's artifact): load the
+    centroid model (bounded driver read — k_cells rows, the IVF
+    equivalent of pq_adc_topk_scan's codebook collect), assign each query
+    to its nearest centroid IN-PLAN with the same argmin rule training
+    used (fixed-order l2_chain against lit_vec bit-equal constants, ties
+    by cid — so a corpus-member query lands in exactly its trained cell,
+    and the kmeans oracle CTEs replay the assignment), and score only the
+    matching cells.
+
+    Shape at 100 TB: queries broadcast; the cells relation is partitioned
+    by cell, so the broadcast join on the partition column lets dynamic
+    partition pruning skip every unprobed cell directory — the scan cost
+    is the probed cells, not the corpus. Raise k_cells at park time to
+    shrink probe cost exactly as ivf_topk's label-cell economics."""
+    spark = queries.sparkSession
+    cents = sorted(
+        (int(r["cid"]), list(r["cvec"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    qcell = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    l2_chain(F.col("qv"), lit_vec(v)).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, v in cents
+            ]
+        )
+    )["cid"]
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
+        ).withColumn("qcell", qcell)
+    )
+    c = spark.read.parquet(f"{path}/cells").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        NORM(F.col(vec_col)).alias("cn"),
+        F.col("cell").cast("int").alias("ccell"),
+    )
+    scored = q.join(
+        c, (q["qcell"] == c["ccell"]) & (q["query_id"] != c["neighbor_id"])
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _cosine(q["qv"], c["cv"], q["qn"], c["cn"]).alias("cosine"),
+    )
+    return _topk(scored, k)

@@ -880,3 +880,59 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         kcb=PQ_K,
         iters=PQ_ITERS,
     )
+
+
+def _ivf_park_dir(sf_dir: str) -> str:
+    """Parked-IVF cache dir keyed on the embeddings file identity
+    (realpath + size + mtime) and the training hyperparameters — the
+    same fingerprint recipe as _pq_park_dir: a new fixture or parameter
+    change auto-invalidates, a same-data rerun reuses the trained index."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb)
+    key = hashlib.md5(
+        f"{os.path.realpath(emb)}:{st.st_size}:{st.st_mtime_ns}:"
+        f"k{KM_K}:i{KM_ITERS}".encode()
+    ).hexdigest()
+    return os.path.join(tempfile.gettempdir(), "hadoop_1_spark_ivf", key)
+
+
+# IVF over TRAINED cells: replay kmeans (afinal = vec_id -> cid), probe the
+# query's cell, cosine + rank — the trained-cell twin of _IVF_STMT (which
+# probes the pre-assigned label column). The scan's in-plan nearest-centroid
+# query assignment equals the afinal lookup for corpus-member queries
+# (same centroids, same fixed-order fold, same (dist, cid) argmin).
+_IVF_SCAN_STMT = (
+    "WITH " + ",\n".join(_kmeans_ctes())
+    + f""",
+q AS (SELECT vec_id AS query_id, embedding AS qv, {_NRM} AS qn, cid AS qcell FROM afinal WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, {_NRM} AS cn, cid AS ccell FROM afinal),
+p AS (SELECT query_id, neighbor_id, qv, cv, qn, cn FROM q JOIN c ON qcell = ccell AND query_id <> neighbor_id),
+{_COSINE_CTES}
+{_FINAL}"""
+)
+
+
+@register("sim_ivf_topk_scan", oracle=_IVF_SCAN_STMT)
+def sim_ivf_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 against a PARKED index: ivf_park trains the coarse
+    quantizer once per (data, params) fingerprint and writes the corpus
+    PARTITIONED BY trained cell + the k-row centroid model; the query
+    loads the model, assigns queries to cells in-plan, and scans only
+    the probed cell partitions — the production IVF shape (offline
+    train, partition-pruned online probe) measured in isolation, the
+    sim_pq_topk_scan pattern applied to the coarse quantizer. Oracle
+    replays training via the shared kmeans CTEs (deterministic: md5
+    seeds, fixed-order folds, decimal-exact means), so the parked
+    assignment and the SQL-retrained one are identical.
+    See similarity.ivf_park / similarity.ivf_topk_scan."""
+    import os
+
+    emb = _load(spark, sf_dir, "embeddings")
+    path = _ivf_park_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+        similarity.ivf_park(emb, path, k_cells=KM_K, iters=KM_ITERS)
+    return similarity.ivf_topk_scan(emb.where("vec_id < 10"), path, k=K)

@@ -73,6 +73,35 @@ def keyfield_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "keyfield_sort_global",
+    oracle="""
+WITH f AS (
+  SELECT concat_ws('-',
+    CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+    l_returnflag, l_linestatus,
+    CAST(l_quantity AS VARCHAR), CAST(l_partkey AS VARCHAR)) AS line
+  FROM lineitem
+)
+SELECT CAST(row_number() OVER (ORDER BY line DESC) AS BIGINT) AS rank, line
+FROM f
+""",
+)
+def keyfield_sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag-only sort spec ``-r``: parseOption with global flags but NO -k
+    specs lands on the global KeyDescription as the sole key — the whole
+    line, reverse (KeyFieldHelper.java:183-192, the keySpecSeen branch
+    r9/r10 pinned in parse_sort_spec). The compiled key is the
+    reconstructed whole line, so this is a reverse total-order text sort;
+    rank asserts the global order exactly as keyfield_sort does (lines
+    are unique, so the order is total without a tiebreak)."""
+    lines = _lines(spark, sf_dir)
+    keys = keyfield.compile_sort_keys(F.col("line"), "-r", separator="-")
+    assert len(keys) == 1 and keys[0][1], "flag-only spec must be whole-line reverse"
+    aug = lines.select("line", keys[0][0].alias("_k0"))
+    return sort.global_rank(aug, F.col("_k0").desc()).select("rank", "line")
+
+
+@register(
     "top_k",
     oracle="""
 SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice

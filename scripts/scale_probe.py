@@ -154,6 +154,9 @@ QUERIES = [
     "db_split_bounds",
     "bucketed_join_customer_orders",
     "stream_full_outer_join",
+    # round-10 block
+    "keyfield_sort_global",
+    "sim_ivf_topk_scan",
 ]
 
 

@@ -564,6 +564,44 @@ def test_sim_pq_topk_scan_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "sim_pq_topk_scan")
 
 
+def test_sim_ivf_topk_scan_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sim_ivf_topk_scan")
+
+
+def test_ivf_park_scan_matches_inline_and_prunes(spark, tmp_path):
+    """The parked IVF artifact must reproduce the inline trained-cell
+    probe exactly — ivf_park(kmeans) + ivf_topk_scan (in-plan query
+    assignment over the parked centroids) vs ivf_topk over the same
+    trained assignment used as the cell column — and the probe plan must
+    carry dynamic partition pruning on the cell partition column (the
+    100 TB property: only probed cell directories are read)."""
+    import os
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_park(emb, path, k_cells=4, iters=1)
+    # parked layout is hive-partitioned by trained cell
+    assert any(
+        d.startswith("cell=") for d in os.listdir(os.path.join(path, "cells"))
+    )
+    got_df = similarity.ivf_topk_scan(emb.where("vec_id < 5"), path, k=3)
+    got = sorted(map(tuple, got_df.collect()))
+    assigned = similarity.kmeans_train_assign(emb, k=4, iters=1, keep_vector=True)
+    want = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(
+                assigned, assigned.where("vec_id < 5"), k=3, cell_col="cluster"
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 0
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
 def test_semantic_cellwise_bit_identical_to_join_form(spark):
     """The matrix-form in-cell scorer (one Arrow pass per cell, per-DIM
     outer-product accumulation) must be BIT-identical to the pair-join

@@ -22,6 +22,13 @@ def test_keyfield_sort_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "keyfield_sort")
 
 
+def test_keyfield_sort_global_oracle(spark, duck):
+    """Flag-only '-r' spec: the whole-line default-global KeyDescription
+    path (KeyFieldHelper.java:183-192, pinned r10) driven end-to-end as
+    a reverse total-order sort."""
+    assert_query_matches_oracle(spark, duck, "keyfield_sort_global")
+
+
 def test_top_k_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "top_k")
 
