@@ -1379,11 +1379,20 @@ def _pq_adc_scan(
     subdim: int,
     id_col: str,
     vec_col: str,
+    qcells: DataFrame | None = None,
 ) -> DataFrame:
     """The ADC scan proper (LUT build -> m-lookup sum -> shortlist ->
     exact rerank), shared by pq_adc_topk (trains inline) and
     pq_adc_topk_scan (loads parked codes/codebooks) so the two can never
-    score differently."""
+    score differently.
+
+    ``qcells`` (query_id, qcell) switches the candidate stage from the
+    flat every-query x every-code crossJoin to the IVF-PQ shape: codes
+    must then carry a ``cell`` column, and each query scans only its
+    cell's codes — with cell-partitioned parked codes the broadcast join
+    on the partition column dynamic-partition-prunes the codes read
+    (ivf_pq_topk_scan). Everything downstream (LUT adds, shortlist cut,
+    exact rerank) is byte-for-byte the same plan fragments."""
 
     def sub(i: int):
         return F.slice(F.col(vec_col), i * subdim + 1, subdim)
@@ -1403,9 +1412,16 @@ def _pq_adc_scan(
                 l2_chain(F.col("_qs"), F.col("cvec")).alias(f"_d{i}"),
             )
         )
-    cand = codes.crossJoin(
-        F.broadcast(queries.select(F.col(id_col).alias("query_id")))
-    ).where(F.col("query_id") != F.col(id_col))
+    if qcells is None:
+        cand = codes.crossJoin(
+            F.broadcast(queries.select(F.col(id_col).alias("query_id")))
+        ).where(F.col("query_id") != F.col(id_col))
+    else:
+        cand = codes.join(
+            F.broadcast(qcells),
+            (codes["cell"] == qcells["qcell"])
+            & (qcells["query_id"] != codes[id_col]),
+        ).drop("cell", "qcell")
     for i in range(m):
         cand = cand.join(F.broadcast(luts[i]), ["query_id", f"c{i}"])
     adist = F.col("_d0")
@@ -1499,6 +1515,138 @@ def pq_adc_topk_scan(
     codes = spark.read.parquet(f"{path}/codes")
     return _pq_adc_scan(
         codes, books, corpus, queries, k, rerank, m, subdim, id_col, vec_col
+    )
+
+
+def ivf_pq_park(
+    corpus: DataFrame,
+    path: str,
+    k_cells: int = 8,
+    cell_iters: int = 2,
+    m: int = 4,
+    subdim: int = 16,
+    kcb: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train and park the full IVF-PQ index — the canonical vector-DB
+    layout (coarse quantizer for pruning + product quantizer for
+    compression, both offline): ``{path}/centroids`` (the k_cells-row
+    coarse model), ``{path}/codebooks`` (m x kcb PQ codebook rows), and
+    ``{path}/codes`` — the m-int PQ codes PARTITIONED BY trained cell,
+    so the online probe reads only the probed cells' code files and
+    touches corpus floats only for rerank survivors.
+
+    PQ is trained on the raw vectors (the FAISS IndexIVFPQ
+    by_residual=False layout), so both trainings are the existing
+    deterministic recipes and the oracle composes their replays."""
+    assigned, cvals, cids = kmeans_train_assign(
+        corpus,
+        k=k_cells,
+        iters=cell_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        return_centroids=True,
+    )
+    codes, books = pq_codes(
+        corpus,
+        m=m,
+        subdim=subdim,
+        k=kcb,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        return_centroids=True,
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in zip(cids, cvals)],
+        "cid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    rows = [
+        (s, int(c), [float(x) for x in v])
+        for s, (bvals, bids) in enumerate(books)
+        for c, v in zip(bids, bvals)
+    ]
+    spark.createDataFrame(
+        rows, "sub int, cid int, cvec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    (
+        codes.join(assigned.withColumnRenamed("cluster", "cell"), id_col)
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+
+
+def ivf_pq_topk_scan(
+    corpus: DataFrame,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    rerank: int = 20,
+    m: int = 4,
+    subdim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ top-k against the PARKED index (ivf_pq_park's artifact) —
+    the production vector-search read path end-to-end: load the coarse
+    centroids + PQ codebooks (bounded driver reads — the models), assign
+    each query to its cell in-plan (same argmin rule as training), read
+    ONLY the probed cells' PQ codes (dynamic partition pruning on the
+    broadcast cell join), sum m LUT lookups per candidate, cut the
+    shortlist, and exact-rerank the <= |queries| x rerank survivors
+    against corpus floats.
+
+    Scale shape at 100 TB: the heavy relation touched per probe is the
+    probed cells' m-int codes — cell pruning divides the scan by
+    ~k_cells, PQ divides the bytes per row by ~64x vs floats, and the
+    float reads are rerank-survivor-sized. Candidate scoring is
+    _pq_adc_scan's exact fragments, so scores are bit-identical to the
+    flat PQ scan restricted to the same cells."""
+    spark = queries.sparkSession
+    cents = sorted(
+        (int(r["cid"]), list(r["cvec"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    qcell = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    l2_chain(F.col(vec_col), lit_vec(v)).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, v in cents
+            ]
+        )
+    )["cid"]
+    qcells = queries.select(
+        F.col(id_col).alias("query_id"), qcell.alias("qcell")
+    )
+    cb = spark.read.parquet(f"{path}/codebooks").collect()
+    books: list[tuple[list[list[float]], list[int]]] = []
+    for s in range(m):
+        sub_rows = sorted(
+            ((r["cid"], list(r["cvec"])) for r in cb if r["sub"] == s)
+        )
+        books.append(([v for _, v in sub_rows], [c for c, _ in sub_rows]))
+    codes = spark.read.parquet(f"{path}/codes").withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    return _pq_adc_scan(
+        codes,
+        books,
+        corpus,
+        queries,
+        k,
+        rerank,
+        m,
+        subdim,
+        id_col,
+        vec_col,
+        qcells=qcells,
     )
 
 

@@ -936,3 +936,110 @@ def sim_ivf_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
         similarity.ivf_park(emb, path, k_cells=KM_K, iters=KM_ITERS)
     return similarity.ivf_topk_scan(emb.where("vec_id < 10"), path, k=K)
+
+
+def _ivf_pq_oracle() -> str:
+    """IVF-PQ scan replay: the flat _pq_adc_oracle with its candidate
+    stage restricted to same-trained-cell pairs — cells from the shared
+    kmeans CTEs (afinal), PQ trainings/LUTs/ADC sum/shortlist/rerank
+    verbatim from the PQ machinery, so neither training can diverge from
+    its standalone oracle."""
+    chains, code_tables = _pq_subspace_sql()
+    lut_ctes = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        cb_table = f"(WITH {chains[m]}\n SELECT cid, cvec FROM c{PQ_ITERS - 1})"
+        dist = similarity.sql_l2_chain("q.qs", "cb.cvec", PQ_SUBDIM)
+        lut_ctes.append(
+            f"""lut{m} AS (
+  SELECT q.query_id, cb.cid AS c{m}, {dist} AS d
+  FROM (SELECT vec_id AS query_id, embedding[{lo}:{hi}] AS qs
+        FROM embeddings WHERE vec_id < 10) q
+  CROSS JOIN {cb_table} cb
+)"""
+        )
+    codes_from = _pq_codes_from(code_tables)
+    lut_joins = "\n".join(
+        f"JOIN lut{m} ON lut{m}.query_id = qq.query_id AND lut{m}.c{m} = x.c{m}"
+        for m in range(PQ_M)
+    )
+    adist = " + ".join(f"lut{m}.d" for m in range(PQ_M))
+    return (
+        "WITH " + ",\n".join(_kmeans_ctes())
+        + f""",
+qcell AS (SELECT vec_id AS query_id, cid AS qc FROM afinal WHERE vec_id < 10),
+codes AS (SELECT * FROM {codes_from}),
+{",".join(lut_ctes)},
+cand AS (
+  SELECT qq.query_id, x.vec_id AS neighbor_id, {adist} AS adist
+  FROM codes x
+  JOIN afinal cc ON cc.vec_id = x.vec_id
+  JOIN qcell qq ON qq.qc = cc.cid AND qq.query_id <> x.vec_id
+  {lut_joins}
+),
+short AS (
+  SELECT query_id, neighbor_id FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY adist ASC, neighbor_id ASC) <= {PQ_RERANK}
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, {_NRM} AS qn FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, {_NRM} AS cn FROM embeddings),
+p AS (
+  SELECT s.query_id, s.neighbor_id, q.qv, c.cv, q.qn, c.cn
+  FROM short s JOIN q USING (query_id) JOIN c USING (neighbor_id)
+),
+{_COSINE_CTES}
+{_FINAL}"""
+    )
+
+
+def _ivf_pq_park_dir(sf_dir: str) -> str:
+    """Parked IVF-PQ cache dir — the _pq_park_dir fingerprint recipe over
+    BOTH trainings' hyperparameters."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb)
+    key = hashlib.md5(
+        f"{os.path.realpath(emb)}:{st.st_size}:{st.st_mtime_ns}:"
+        f"kc{KM_K}:ci{KM_ITERS}:m{PQ_M}:d{PQ_SUBDIM}:k{PQ_K}:i{PQ_ITERS}".encode()
+    ).hexdigest()
+    return os.path.join(tempfile.gettempdir(), "hadoop_1_spark_ivfpq", key)
+
+
+@register("sim_ivf_pq_topk_scan", oracle=_ivf_pq_oracle())
+def sim_ivf_pq_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 against the PARKED index — the canonical vector-DB
+    read path end-to-end: coarse cells prune the scan (dynamic partition
+    pruning on the cell-partitioned codes), PQ codes compress it 64x,
+    exact rerank touches floats only for the shortlist survivors.
+    ivf_pq_park trains both quantizers once per (data, params)
+    fingerprint; the oracle composes the kmeans-cell replay with the
+    flat PQ scan oracle restricted to same-cell candidates. See
+    similarity.ivf_pq_park / similarity.ivf_pq_topk_scan."""
+    import os
+
+    emb = _load(spark, sf_dir, "embeddings")
+    path = _ivf_pq_park_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        similarity.ivf_pq_park(
+            emb,
+            path,
+            k_cells=KM_K,
+            cell_iters=KM_ITERS,
+            m=PQ_M,
+            subdim=PQ_SUBDIM,
+            kcb=PQ_K,
+            iters=PQ_ITERS,
+        )
+    return similarity.ivf_pq_topk_scan(
+        emb,
+        emb.where("vec_id < 10"),
+        path,
+        k=K,
+        rerank=PQ_RERANK,
+        m=PQ_M,
+        subdim=PQ_SUBDIM,
+    )

@@ -157,6 +157,7 @@ QUERIES = [
     # round-10 block
     "keyfield_sort_global",
     "sim_ivf_topk_scan",
+    "sim_ivf_pq_topk_scan",
 ]
 
 

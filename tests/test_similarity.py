@@ -568,6 +568,86 @@ def test_sim_ivf_topk_scan_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "sim_ivf_topk_scan")
 
 
+def test_sim_ivf_pq_topk_scan_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sim_ivf_pq_topk_scan")
+
+
+def test_ivf_pq_scan_equals_cell_restricted_flat_pq(spark, tmp_path):
+    """The IVF-PQ probe must equal the FLAT parked-PQ scan with its
+    candidate set restricted to same-trained-cell pairs: same codebooks
+    (both train through pq_codes), same ADC fragments (_pq_adc_scan is
+    shared), the cell join only filters candidates. Verified by running
+    the flat scan with rerank large enough that the shortlist is
+    cell-unconstrained, then dropping cross-cell pairs before the cut —
+    replayed here via the trained assignment."""
+    import os
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where("vec_id < 5")
+    path = str(tmp_path / "ivfpq")
+    similarity.ivf_pq_park(
+        emb, path, k_cells=4, cell_iters=1, m=4, subdim=16, kcb=8, iters=1
+    )
+    assert any(
+        d.startswith("cell=") for d in os.listdir(os.path.join(path, "codes"))
+    )
+    got_df = similarity.ivf_pq_topk_scan(
+        emb, q, path, k=3, rerank=10, m=4, subdim=16
+    )
+    got = sorted(map(tuple, got_df.collect()))
+    assert len(got) > 0
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # independent replay: flat PQ candidates filtered to same trained cell
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    codes, books = similarity.pq_codes(
+        emb, m=4, subdim=16, k=8, iters=1, return_centroids=True
+    )
+    cells = similarity.kmeans_train_assign(emb, k=4, iters=1)
+    coded = codes.join(cells, "vec_id")
+    qc = q.select("vec_id").join(cells, "vec_id").select(
+        F.col("vec_id").alias("query_id"), F.col("cluster").alias("qcell")
+    )
+    cand = coded.join(
+        qc, (F.col("cluster") == F.col("qcell")) & (F.col("query_id") != F.col("vec_id"))
+    )
+    luts = []
+    for i, (cvals, cids) in enumerate(books):
+        cents = spark.createDataFrame(
+            [(c, v) for c, v in zip(cids, cvals)], "cid int, cvec array<double>"
+        )
+        qs = q.select(
+            F.col("vec_id").alias("query_id"),
+            F.slice(F.col("embedding"), i * 16 + 1, 16).alias("_qs"),
+        )
+        luts.append(
+            qs.crossJoin(F.broadcast(cents)).select(
+                "query_id",
+                F.col("cid").alias(f"c{i}"),
+                similarity.l2_chain(F.col("_qs"), F.col("cvec")).alias(f"_d{i}"),
+            )
+        )
+    for i in range(4):
+        cand = cand.join(F.broadcast(luts[i]), ["query_id", f"c{i}"])
+    adist = F.col("_d0") + F.col("_d1") + F.col("_d2") + F.col("_d3")
+    w = Window.partitionBy("query_id").orderBy(F.asc("_adist"), F.asc("neighbor_id"))
+    short = (
+        cand.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), adist.alias("_adist")
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    want = sorted(
+        map(tuple, similarity._exact_rerank(short, emb, q, 3, "vec_id", "embedding").collect())
+    )
+    assert got == want
+
+
 def test_ivf_park_scan_matches_inline_and_prunes(spark, tmp_path):
     """The parked IVF artifact must reproduce the inline trained-cell
     probe exactly — ivf_park(kmeans) + ivf_topk_scan (in-plan query
