@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "keyfield_sort_global",    # flag-only "-r" whole-line reverse sort
     "sim_ivf_topk_scan",       # parked IVF: DPP-pruned cell probe (scan-only)
     "sim_ivf_pq_topk_scan",    # parked IVF-PQ: pruned cells x 64x codes + rerank
+    "sim_ivf_multiprobe_topk", # nprobe=2 recall knob over the same parked index
 ]
 
 

@@ -1588,6 +1588,7 @@ def ivf_pq_topk_scan(
     rerank: int = 20,
     m: int = 4,
     subdim: int = 16,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1605,26 +1606,14 @@ def ivf_pq_topk_scan(
     ~k_cells, PQ divides the bytes per row by ~64x vs floats, and the
     float reads are rerank-survivor-sized. Candidate scoring is
     _pq_adc_scan's exact fragments, so scores are bit-identical to the
-    flat PQ scan restricted to the same cells."""
+    flat PQ scan restricted to the same cells; ``nprobe`` > 1 widens the
+    probe to each query's nprobe nearest cells (the IVF recall knob)."""
     spark = queries.sparkSession
     cents = sorted(
         (int(r["cid"]), list(r["cvec"]))
         for r in spark.read.parquet(f"{path}/centroids").collect()
     )
-    qcell = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    l2_chain(F.col(vec_col), lit_vec(v)).alias("d"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, v in cents
-            ]
-        )
-    )["cid"]
-    qcells = queries.select(
-        F.col(id_col).alias("query_id"), qcell.alias("qcell")
-    )
+    qcells = ivf_probe_cells(queries, cents, nprobe, id_col, vec_col)
     cb = spark.read.parquet(f"{path}/codebooks").collect()
     books: list[tuple[list[list[float]], list[int]]] = []
     for s in range(m):
@@ -1693,10 +1682,46 @@ def ivf_park(
     )
 
 
+def ivf_probe_cells(
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, qcell) for each query's ``nprobe`` nearest coarse cells
+    — rank by (fixed-order l2 distance, cid), exactly the training argmin
+    extended past rank 1, so nprobe=1 reproduces the trained assignment
+    for corpus members and the kmeans oracle CTEs replay any nprobe via
+    the same row_number recursion. array_sort on (d, cid) structs is the
+    lexicographic (dist, cid) order; cells are disjoint, so multi-probe
+    candidates never need a dedup."""
+    ranked = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        l2_chain(F.col(vec_col), lit_vec(v)).alias("d"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, v in cents
+                ]
+            )
+        ),
+        1,
+        nprobe,
+    )
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.transform(ranked, lambda s: s["cid"])).alias("qcell"),
+    )
+
+
 def ivf_topk_scan(
     queries: DataFrame,
     path: str,
     k: int = 5,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1713,29 +1738,24 @@ def ivf_topk_scan(
     by cell, so the broadcast join on the partition column lets dynamic
     partition pruning skip every unprobed cell directory — the scan cost
     is the probed cells, not the corpus. Raise k_cells at park time to
-    shrink probe cost exactly as ivf_topk's label-cell economics."""
+    shrink probe cost exactly as ivf_topk's label-cell economics;
+    ``nprobe`` > 1 scans each query's nprobe nearest cells — the
+    standard IVF recall/latency knob (nprobe = k_cells degenerates to
+    the exact brute-force scan)."""
     spark = queries.sparkSession
     cents = sorted(
         (int(r["cid"]), list(r["cvec"]))
         for r in spark.read.parquet(f"{path}/centroids").collect()
     )
-    qcell = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    l2_chain(F.col("qv"), lit_vec(v)).alias("d"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, v in cents
-            ]
-        )
-    )["cid"]
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
             _norm(F.col(vec_col)).alias("qn"),
-        ).withColumn("qcell", qcell)
+        ).join(
+            ivf_probe_cells(queries, cents, nprobe, id_col, vec_col),
+            "query_id",
+        )
     )
     c = spark.read.parquet(f"{path}/cells").select(
         F.col(id_col).alias("neighbor_id"),

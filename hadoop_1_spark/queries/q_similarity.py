@@ -1043,3 +1043,57 @@ def sim_ivf_pq_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=PQ_M,
         subdim=PQ_SUBDIM,
     )
+
+
+IVF_NPROBE = 2
+
+
+def _ivf_multiprobe_oracle() -> str:
+    """Multi-probe IVF replay: rank ALL final centroids per query by the
+    same (fixed-order l2, cid) order the in-plan probe uses, keep the
+    nprobe nearest, and score every candidate in those cells — the
+    kmeans CTE chain supplies both the final centroids (c{iters-1}) and
+    the corpus assignment (afinal), so widening the probe reuses the
+    training replay verbatim."""
+    dist = similarity.sql_l2_chain("q0.embedding", "s.cvec", 64)
+    return (
+        "WITH " + ",\n".join(_kmeans_ctes())
+        + f""",
+qprobe AS (
+  SELECT query_id, cid AS qcell FROM (
+    SELECT q0.vec_id AS query_id, s.cid,
+           row_number() OVER (PARTITION BY q0.vec_id ORDER BY {dist}, s.cid) AS rn
+    FROM (SELECT vec_id, embedding FROM e WHERE vec_id < 10) q0
+    CROSS JOIN c{KM_ITERS - 1} s
+  ) WHERE rn <= {IVF_NPROBE}
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, {_NRM} AS qn FROM e WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, {_NRM} AS cn, cid AS ccell FROM afinal),
+p AS (
+  SELECT q.query_id, c.neighbor_id, q.qv, c.cv, q.qn, c.cn
+  FROM qprobe jp
+  JOIN q ON q.query_id = jp.query_id
+  JOIN c ON c.ccell = jp.qcell AND q.query_id <> c.neighbor_id
+),
+{_COSINE_CTES}
+{_FINAL}"""
+    )
+
+
+@register("sim_ivf_multiprobe_topk", oracle=_ivf_multiprobe_oracle())
+def sim_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF top-5 (nprobe=2) against the same parked index as
+    sim_ivf_topk_scan — the standard recall/latency knob: each query
+    scans its TWO nearest cells (disjoint, so no candidate dedup), with
+    dynamic partition pruning still limiting the read to the probed cell
+    directories. nprobe = k_cells would degenerate to the brute-force
+    exact scan. See similarity.ivf_probe_cells."""
+    import os
+
+    emb = _load(spark, sf_dir, "embeddings")
+    path = _ivf_park_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+        similarity.ivf_park(emb, path, k_cells=KM_K, iters=KM_ITERS)
+    return similarity.ivf_topk_scan(
+        emb.where("vec_id < 10"), path, k=K, nprobe=IVF_NPROBE
+    )

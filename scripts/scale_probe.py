@@ -158,6 +158,7 @@ QUERIES = [
     "keyfield_sort_global",
     "sim_ivf_topk_scan",
     "sim_ivf_pq_topk_scan",
+    "sim_ivf_multiprobe_topk",
 ]
 
 

@@ -572,6 +572,37 @@ def test_sim_ivf_pq_topk_scan_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "sim_ivf_pq_topk_scan")
 
 
+def test_sim_ivf_multiprobe_topk_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sim_ivf_multiprobe_topk")
+
+
+def test_ivf_nprobe_all_cells_equals_brute_force(spark, tmp_path):
+    """nprobe = k_cells degenerates the IVF probe to the exact scan:
+    every cell is probed, so the candidate set is the full corpus minus
+    self and the top-k must equal the brute-force cosine_topk baseline.
+    Also pins probe monotonicity: each query's rank-j cosine is
+    non-decreasing in nprobe (candidate sets only grow)."""
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where("vec_id < 5")
+    path = str(tmp_path / "ivf_np")
+    similarity.ivf_park(emb, path, k_cells=4, iters=1)
+    brute = sorted(map(tuple, similarity.cosine_topk(emb, q, k=3).collect()))
+    allcells = sorted(
+        map(tuple, similarity.ivf_topk_scan(q, path, k=3, nprobe=4).collect())
+    )
+    assert allcells == brute
+    by_rank = {}
+    for np_ in (1, 2, 4):
+        rows = similarity.ivf_topk_scan(q, path, k=3, nprobe=np_).collect()
+        by_rank[np_] = {(r["query_id"], r["rank"]): r["cosine"] for r in rows}
+    for np_lo, np_hi in ((1, 2), (2, 4)):
+        for key, cos_hi in by_rank[np_hi].items():
+            if key in by_rank[np_lo]:
+                assert cos_hi >= by_rank[np_lo][key]
+
+
 def test_ivf_pq_scan_equals_cell_restricted_flat_pq(spark, tmp_path):
     """The IVF-PQ probe must equal the FLAT parked-PQ scan with its
     candidate set restricted to same-trained-cell pairs: same codebooks
