@@ -192,6 +192,8 @@ BENCH_QUERIES = [
     "sim_ivf_topk_scan",       # parked IVF: DPP-pruned cell probe (scan-only)
     "sim_ivf_pq_topk_scan",    # parked IVF-PQ: pruned cells x 64x codes + rerank
     "sim_ivf_multiprobe_topk", # nprobe=2 recall knob over the same parked index
+    "dedup_minhash_autocap",   # occupancy-derived hot-band cap (median rule)
+    "dedup_ngram_autocap",     # DF auto-cap twin of the exact-Jaccard path
 ]
 
 

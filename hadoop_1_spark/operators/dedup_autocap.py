@@ -1,0 +1,181 @@
+"""Occupancy-guarded MinHash-LSH: derive the hot-band cap from the data.
+
+``dedup.minhash_lsh_pairs`` takes a static ``band_cap`` — the skew guard
+that bounds the O(B^2) candidate blowup a degenerate band (mass-produced
+boilerplate, empty-text minima, a 31-word vocabulary) causes at scale. The
+static knob has a failure mode: the operator is only safe if the caller
+knew the corpus was degenerate ahead of time. This module derives the cap
+from the measured band-occupancy distribution before the self-join, so the
+path degrades gracefully on degenerate vocabularies with no tuning:
+
+    med  = lower-median band occupancy          (exact order statistic)
+    cap  = max(cap_floor, cap_factor * med)     (exact BIGINT arithmetic)
+
+Why the MEDIAN and not the mean: in the skewed regimes the cap exists for
+(mass boilerplate, a 31-word vocabulary) the hot bands carry most of the
+ROWS, so mean = total/distinct inflates with them and a mean-derived cap
+chases the offenders upward instead of cutting them. The median is over
+BANDS, not rows — a few giant bands cannot move it, so the cap stays
+O(typical band) and the giant bands (exactly the O(B^2) offenders) are
+dropped before the join. Worst-case join cost becomes
+O(bands * cap * n). A pair is lost only if NO surviving band covers it;
+near-identical docs agree on most bands, so planted-pair recall cost is
+tiny (the same trade the static cap documents at dedup.py:238-245). On a
+healthy corpus band keys are near-unique (median 1, sf0.01 max occupancy
+3), so cap = cap_floor drops nothing and the result is bit-identical to
+the uncapped operator. The one regime the rule cannot guard is a corpus
+that is MOSTLY one duplicate cluster (median itself is huge) — that
+corpus needs exact_dedup first, not an LSH cap.
+
+Scale shape: the median is computed from the occupancy HISTOGRAM
+(occupancy value -> number of bands), never a global sort of the band
+counts. Distinct occupancy values d satisfy d(d+1)/2 <= total banded rows
+(each distinct size is carried by at least one band), so d <= sqrt(2*tot)
+— ~1.4M histogram rows at 10^12 banded rows — and the one ordered window
+over the histogram is bounded by that, not by the corpus. Everything is
+in-plan: the 1-row cap relation is broadcast into the filter (the repo's
+scalar-crossJoin pattern, e.g. pagerank's dangling mass) — no driver-side
+collect.
+
+Reference basis: the band join itself mirrors the LSH candidate
+generation the static-cap operator builds (dedup.py:246-283); the
+reference's analog of a data-derived skew guard is the sampled partition
+histogram TeraSort builds before range-partitioning
+(examples/terasort/TeraInputFormat.java:130 sample-then-plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hadoop_1_spark.operators import dedup, textops
+
+
+def median_cap(
+    counts: DataFrame, count_col: str, cap_floor: int = 8, cap_factor: int = 4
+) -> DataFrame:
+    """1-row cap relation over a (key, count) frequency table:
+    cap = max(cap_floor, cap_factor * lower-median count). The lower
+    median is the smallest count value whose cumulative key tally reaches
+    ceil((nb + 1) / 2) — an exact order statistic over the count
+    HISTOGRAM, pure BIGINT arithmetic throughout, so a DuckDB oracle
+    replays it to the bit. The one ordered cumulative window runs over the
+    histogram (<= sqrt(2 * total rows) rows — see module docstring), never
+    the counts themselves.
+    """
+    hist = counts.groupBy(count_col).agg(F.count(F.lit(1)).alias("_nkeys"))
+    cum = hist.select(
+        count_col,
+        F.sum("_nkeys")
+        .over(
+            Window.orderBy(count_col).rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("_cum"),
+    )
+    nb = hist.agg(F.sum("_nkeys").alias("_nb"))
+    med = (
+        cum.crossJoin(F.broadcast(nb))
+        .where(F.col("_cum") >= F.expr("(_nb + 1) DIV 2"))
+        .agg(F.min(count_col).alias("_med"))
+    )
+    return med.select(
+        F.greatest(
+            F.lit(cap_floor).cast("bigint"),
+            F.lit(cap_factor) * F.col("_med"),
+        ).alias("_cap")
+    )
+
+
+def derived_band_cap(
+    banded: DataFrame, cap_floor: int = 8, cap_factor: int = 4
+) -> tuple[DataFrame, DataFrame]:
+    """(band counts, 1-row cap relation) for an LSH band relation."""
+    counts = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bc"))
+    return counts, median_cap(counts, "_bc", cap_floor, cap_factor)
+
+
+def minhash_lsh_pairs_autocap(
+    df: DataFrame,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cap_floor: int = 8,
+    cap_factor: int = 4,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with the occupancy-derived band cap.
+
+    Identical to ``dedup.minhash_lsh_pairs`` except the hot-band guard is
+    derived from the data (see module docstring) instead of passed in.
+    Same signature relation, same band keys, same exact-Jaccard verify —
+    on a corpus whose max band occupancy is below the derived cap the
+    result is bit-identical to the uncapped operator.
+    """
+    per_doc, banded = dedup.minhash_signature_relation(
+        df, k=k, num_hashes=num_hashes, bands=bands,
+        text_col=text_col, id_col=id_col,
+    )
+    counts, cap = derived_band_cap(banded, cap_floor=cap_floor, cap_factor=cap_factor)
+    ok_bands = (
+        counts.crossJoin(F.broadcast(cap))
+        .where(F.col("_bc") <= F.col("_cap"))
+        .select("band_key")
+    )
+    banded = banded.join(ok_bands, "band_key")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "band_key")
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("d1"), F.col(f"y.{id_col}").alias("d2"))
+        .distinct()
+    )
+    # verify leg identical to dedup.minhash_lsh_pairs:268-283 — exact
+    # Jaccard over the 60-bit shingle-hash sets, O(|candidates|) work.
+    sets_ = per_doc.select(F.col(id_col), "hs")
+    pairs = (
+        cand.join(sets_.select(F.col(id_col).alias("d1"), F.col("hs").alias("hs1")), "d1")
+        .join(sets_.select(F.col(id_col).alias("d2"), F.col("hs").alias("hs2")), "d2")
+        .withColumn("i", F.size(F.array_intersect("hs1", "hs2")))
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("i").cast("double")
+                / (F.size("hs1") + F.size("hs2") - F.col("i"))
+            ).alias("jaccard"),
+        )
+    )
+    return pairs.where(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs_autocap(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cap_floor: int = 8,
+    cap_factor: int = 4,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs with the document-frequency cap
+    derived from the measured shingle-DF distribution (the ``df_cap``
+    analog of the band auto-cap; see module docstring for the median
+    rationale). Jaccard is over the CAPPED shingle sets, same as
+    ``dedup.ngram_jaccard_pairs(df_cap=...)``: the hot-shingle drop is the
+    over-cap set broadcast into a left-anti join — the over-cap set is
+    small by construction (hot keys are few), so the drop never shuffles
+    the shingle relation.
+    """
+    sh = textops.shingles(df, k=k, text_col=text_col, id_col=id_col)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    cap = median_cap(freq, "_df", cap_floor, cap_factor)
+    hot = (
+        freq.crossJoin(F.broadcast(cap))
+        .where(F.col("_df") > F.col("_cap"))
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return dedup._pair_jaccard(sh, id_col).where(F.col("jaccard") >= threshold)

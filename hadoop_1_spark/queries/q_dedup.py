@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_1_spark.operators import dedup, linkage, textops
+from hadoop_1_spark.operators import dedup, dedup_autocap, linkage, textops
 from hadoop_1_spark.registry import _load, register
 
 _TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
@@ -103,8 +103,85 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_filter_ctes(band_cap: int | None, auto_cap: tuple[int, int] | None) -> str:
+    """The ``banded`` CTE (plus helpers) for the minhash oracle: uncapped,
+    statically capped, or occupancy-auto-capped. The auto-cap rule is
+    exact BIGINT arithmetic — ceil-division via ``(tot + nb - 1) // nb`` —
+    replaying operators/dedup_autocap.derived_band_cap to the bit."""
+    if auto_cap is not None:
+        floor_, factor = auto_cap
+        return f"""occ AS (SELECT count(*) AS bc FROM banded0 GROUP BY band_key),
+hist AS (SELECT bc, count(*) AS nbands FROM occ GROUP BY bc),
+cum AS (SELECT bc, sum(nbands) OVER (ORDER BY bc) AS cumb FROM hist),
+nbt AS (SELECT sum(nbands) AS nb FROM hist),
+med AS (SELECT min(bc) AS m FROM cum, nbt WHERE cumb >= (nb + 1) // 2),
+capv AS (SELECT greatest({floor_}, {factor} * m) AS cap FROM med),
+banded AS (
+  SELECT doc_id, band_key FROM banded0
+  QUALIFY count(*) OVER (PARTITION BY band_key) <= (SELECT cap FROM capv)
+),"""
+    if band_cap is not None:
+        return (
+            "banded AS (SELECT doc_id, band_key FROM banded0 QUALIFY "
+            f"count(*) OVER (PARTITION BY band_key) <= {band_cap}),"
+        )
+    return "banded AS (SELECT doc_id, band_key FROM banded0),"
+
+
+# Auto-capped shingle CTEs: document frequency capped at the derived
+# median cap (replays operators/dedup_autocap.median_cap to the bit —
+# exact BIGINT histogram-median arithmetic), Jaccard over the capped sets.
+_SHINGLE_CTES_AUTOCAP = f"""
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh_all AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t WHERE len(toks) >= 3)
+),
+freq AS (SELECT shingle, count(*) AS df FROM sh_all GROUP BY shingle),
+fhist AS (SELECT df, count(*) AS nkeys FROM freq GROUP BY df),
+fcum AS (SELECT df, sum(nkeys) OVER (ORDER BY df) AS cumb FROM fhist),
+fnbt AS (SELECT sum(nkeys) AS nb FROM fhist),
+fmed AS (SELECT min(df) AS m FROM fcum, fnbt WHERE cumb >= (nb + 1) // 2),
+fcapv AS (SELECT greatest(8, 4 * m) AS cap FROM fmed),
+sh AS (
+  SELECT s.doc_id, s.shingle
+  FROM sh_all s JOIN freq f ON s.shingle = f.shingle, fcapv
+  WHERE f.df <= fcapv.cap
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT d1, d2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+)
+"""
+
+
+@register(
+    "dedup_ngram_autocap",
+    oracle=f"WITH {_SHINGLE_CTES_AUTOCAP} SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.8",
+)
+def dedup_ngram_autocap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df_cap auto-derived twin of dedup_ngram_jaccard_capped: shingle
+    document frequency capped at max(8, 4 * lower-median DF) measured from
+    the data (operators/dedup_autocap.ngram_jaccard_pairs_autocap) — no
+    static knob; the degenerate-vocabulary regime caps itself. The oracle
+    replays the histogram-median arithmetic and the capped-set Jaccard."""
+    return dedup_autocap.ngram_jaccard_pairs_autocap(
+        _load(spark, sf_dir, "documents"), k=3, threshold=0.8,
+        cap_floor=8, cap_factor=4,
+    )
+
+
 def _minhash_oracle(
-    num_hashes: int = 16, bands: int = 8, band_cap: int | None = None
+    num_hashes: int = 16,
+    bands: int = 8,
+    band_cap: int | None = None,
+    auto_cap: tuple[int, int] | None = None,
 ) -> str:
     rows = num_hashes // bands
     # affine permutations over one md5-derived base hash (matches
@@ -134,7 +211,7 @@ mins AS (
   FROM hashed GROUP BY doc_id
 ),
 banded0 AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM mins),
-banded AS ({"SELECT doc_id, band_key FROM banded0 QUALIFY count(*) OVER (PARTITION BY band_key) <= " + str(band_cap) if band_cap is not None else "SELECT doc_id, band_key FROM banded0"}),
+{_band_filter_ctes(band_cap, auto_cap)}
 cand AS (
   SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
   FROM banded x JOIN banded y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
@@ -168,6 +245,22 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         _load(spark, sf_dir, "documents"), k=3, num_hashes=16, bands=8,
         threshold=0.8, band_cap=BAND_CAP,
+    )
+
+
+@register("dedup_minhash_autocap", oracle=_minhash_oracle(auto_cap=(8, 4)))
+def dedup_minhash_autocap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy-auto-capped MinHash-LSH (operators/dedup_autocap.py): the
+    hot-band cap is derived in-plan from the measured occupancy
+    distribution (cap = max(8, 4 * lower-median occupancy) — median over
+    BANDS, so hot bands cannot inflate their own cap) instead of passed as
+    a static knob, so the path degrades gracefully on degenerate
+    vocabularies. On this corpus (max band occupancy 3 < floor 8) the
+    result is bit-identical to dedup_minhash_lsh; the oracle replays the
+    histogram-median cap arithmetic exactly."""
+    return dedup_autocap.minhash_lsh_pairs_autocap(
+        _load(spark, sf_dir, "documents"), k=3, num_hashes=16, bands=8,
+        threshold=0.8, cap_floor=8, cap_factor=4,
     )
 
 

@@ -4,7 +4,19 @@ gen_scale_probe.py), best-of-3 each, and print the ratio table for
 BENCH_NOTES. A ratio well under 10x on 10x data is the evidence that the
 DuckDB gap at sf0.1 is fixed-overhead, not throughput.
 
-Usage: python scripts/scale_probe.py [sf1_dir]
+Usage: python scripts/scale_probe.py [sf1_dir] [--gate]
+
+``--gate`` is the round-close gate (round-8 verdict #6): generate the sf1
+dataset if missing, run the full table, and EXIT NON-ZERO listing every
+row whose sf1/sf0.1 ratio exceeds GATE_RATIO (10x on 10x data = linear;
+super-linear means a pair-blowup or per-row Python crept in — this is the
+mechanism that caught the three round-8 Arrow-per-pair bugs). Run it on
+the final tree before the close-out commit:
+
+    python scripts/scale_probe.py /tmp/sf1 --gate
+
+Serialize against other Spark JVMs (bench/pytest) — a loaded machine
+inflates ratios and fails the gate spuriously.
 """
 
 from __future__ import annotations
@@ -159,6 +171,12 @@ QUERIES = [
     "sim_ivf_topk_scan",
     "sim_ivf_pq_topk_scan",
     "sim_ivf_multiprobe_topk",
+    "dedup_minhash_autocap",
+    "dedup_ngram_autocap",
+    # remaining per-pair _cosine consumers (r8 verdict #5 audit): bounded
+    # candidate sets by contract — the gate proves the bound holds at sf1
+    "sim_lsh_topk",
+    "sim_ivf_topk",
 ]
 
 
@@ -172,10 +190,24 @@ def best_of(spark, name: str, sf_dir: str, n: int = 3) -> float:
     return best
 
 
+GATE_RATIO = 10.0
+
+
 def main() -> None:
-    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    args = [a for a in sys.argv[1:] if a != "--gate"]
+    gate = "--gate" in sys.argv[1:]
+    sf1 = args[0] if args else "/tmp/sf1"
+    if gate and not os.path.exists(os.path.join(sf1, "documents.parquet")):
+        import subprocess
+
+        print(f"[gate] {sf1} missing — generating via gen_scale_probe.py")
+        subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "gen_scale_probe.py"), sf1],
+            check=True,
+        )
     spark = get_spark("scale_probe")
     spark.range(1000).agg({"id": "sum"}).collect()
+    over: list[tuple[str, float]] = []
     print(f"| query | sf0.1 (s) | sf1 (s) | ratio (10x data) |")
     print(f"| --- | --- | --- | --- |")
     for name in QUERIES:
@@ -185,7 +217,17 @@ def main() -> None:
         ).mode("overwrite").save()
         t01 = best_of(spark, name, "/root/testdata/sf0.1")
         t1 = best_of(spark, name, sf1)
-        print(f"| {name} | {t01:.2f} | {t1:.2f} | {t1 / t01:.2f}x |")
+        ratio = t1 / t01
+        print(f"| {name} | {t01:.2f} | {t1:.2f} | {ratio:.2f}x |")
+        if ratio > GATE_RATIO:
+            over.append((name, ratio))
+    if gate:
+        if over:
+            print(f"\nGATE FAIL: {len(over)} row(s) super-linear (> {GATE_RATIO}x on 10x data):")
+            for name, ratio in over:
+                print(f"  {name}: {ratio:.2f}x")
+            sys.exit(1)
+        print(f"\nGATE PASS: all {len(QUERIES)} rows within {GATE_RATIO}x on 10x data")
 
 
 if __name__ == "__main__":
