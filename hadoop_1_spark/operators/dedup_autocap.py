@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hadoop_1_spark.operators import dedup, textops
+from hadoop_1_spark.operators.caching import persist_tracked as _persist
 
 
 def median_cap(
@@ -118,6 +119,9 @@ def minhash_lsh_pairs_autocap(
         df, k=k, num_hashes=num_hashes, bands=bands,
         text_col=text_col, id_col=id_col,
     )
+    # three consumers (occupancy counts + both self-join sides) — cache
+    # the tiny (id, band_key) relation so the signature agg runs once
+    banded = _persist(banded)
     counts, cap = derived_band_cap(banded, cap_floor=cap_floor, cap_factor=cap_factor)
     ok_bands = (
         counts.crossJoin(F.broadcast(cap))
@@ -169,7 +173,9 @@ def ngram_jaccard_pairs_autocap(
     small by construction (hot keys are few), so the drop never shuffles
     the shingle relation.
     """
-    sh = textops.shingles(df, k=k, text_col=text_col, id_col=id_col)
+    # two consumers (DF counts + the capped relation _pair_jaccard then
+    # re-persists) — cache so the tokenize/explode runs once
+    sh = _persist(textops.shingles(df, k=k, text_col=text_col, id_col=id_col))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     cap = median_cap(freq, "_df", cap_floor, cap_factor)
     hot = (
