@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "sim_ivf_multiprobe_topk", # nprobe=2 recall knob over the same parked index
     "dedup_minhash_autocap",   # occupancy-derived hot-band cap (median rule)
     "dedup_ngram_autocap",     # DF auto-cap twin of the exact-Jaccard path
+    "sim_ivf_pq_residual_topk_scan",  # by_residual IVF-PQ (FAISS default layout)
 ]
 
 

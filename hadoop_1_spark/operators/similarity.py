@@ -1380,6 +1380,7 @@ def _pq_adc_scan(
     id_col: str,
     vec_col: str,
     qcells: DataFrame | None = None,
+    residual_cents: DataFrame | None = None,
 ) -> DataFrame:
     """The ADC scan proper (LUT build -> m-lookup sum -> shortlist ->
     exact rerank), shared by pq_adc_topk (trains inline) and
@@ -1392,16 +1393,53 @@ def _pq_adc_scan(
     cell's codes — with cell-partitioned parked codes the broadcast join
     on the partition column dynamic-partition-prunes the codes read
     (ivf_pq_topk_scan). Everything downstream (LUT adds, shortlist cut,
-    exact rerank) is byte-for-byte the same plan fragments."""
+    exact rerank) is byte-for-byte the same plan fragments.
+
+    ``residual_cents`` (cid, cvec — requires ``qcells``) switches the
+    LUT side to the by_residual encoding: the query's subspace slices
+    are taken from (query - probed cell centroid), so LUT rows are keyed
+    (query_id, cell) and each (query, cell) pair gets its own table —
+    the FAISS IndexIVFPQ per-probe LUT build. LUT count is
+    |queries| x nprobe x m x kcb, still a broadcast-sized model."""
 
     def sub(i: int):
         return F.slice(F.col(vec_col), i * subdim + 1, subdim)
 
+    if residual_cents is not None:
+        # query residual per probed cell: (query_id, cell, residual)
+        qr = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("_qv"),
+            )
+            .join(F.broadcast(qcells), "query_id")
+            .join(F.broadcast(residual_cents), F.col("qcell") == F.col("cid"))
+            .select(
+                "query_id",
+                F.col("qcell").alias("cell"),
+                F.zip_with("_qv", "cvec", lambda x, y: x - y).alias("_qres"),
+            )
+        )
     luts: list[DataFrame] = []
     for i, (cvals, cids) in enumerate(books):
         cents = corpus.sparkSession.createDataFrame(
             [(c, v) for c, v in zip(cids, cvals)], "cid int, cvec array<double>"
         )
+        if residual_cents is not None:
+            qs = qr.select(
+                "query_id",
+                "cell",
+                F.slice(F.col("_qres"), i * subdim + 1, subdim).alias("_qs"),
+            )
+            luts.append(
+                qs.crossJoin(F.broadcast(cents)).select(
+                    "query_id",
+                    "cell",
+                    F.col("cid").alias(f"c{i}"),
+                    l2_chain(F.col("_qs"), F.col("cvec")).alias(f"_d{i}"),
+                )
+            )
+            continue
         qs = queries.select(
             F.col(id_col).alias("query_id"), sub(i).alias("_qs")
         )
@@ -1417,13 +1455,17 @@ def _pq_adc_scan(
             F.broadcast(queries.select(F.col(id_col).alias("query_id")))
         ).where(F.col("query_id") != F.col(id_col))
     else:
+        dropped = ["qcell"] if residual_cents is not None else ["cell", "qcell"]
         cand = codes.join(
             F.broadcast(qcells),
             (codes["cell"] == qcells["qcell"])
             & (qcells["query_id"] != codes[id_col]),
-        ).drop("cell", "qcell")
+        ).drop(*dropped)
+    lut_keys = (
+        ["query_id", "cell"] if residual_cents is not None else ["query_id"]
+    )
     for i in range(m):
-        cand = cand.join(F.broadcast(luts[i]), ["query_id", f"c{i}"])
+        cand = cand.join(F.broadcast(luts[i]), [*lut_keys, f"c{i}"])
     adist = F.col("_d0")
     for i in range(1, m):
         adist = adist + F.col(f"_d{i}")
@@ -1518,6 +1560,37 @@ def pq_adc_topk_scan(
     )
 
 
+def residual_relation(
+    corpus: DataFrame,
+    assigned: DataFrame,
+    cent_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, residual) — each vector minus its assigned cell's
+    centroid, the IVF-PQ ``by_residual`` encoding input (FAISS
+    IndexIVFPQ's default layout: PQ quantizes the residual, which has
+    much lower variance than the raw vector, so the same codebook bits
+    carry more precision). ``assigned`` is kmeans_train_assign's (id,
+    cluster); ``cent_df`` the (cid, cvec array<double>) centroid model.
+    Exactness: vector cast to array<double> (float->double is exact),
+    then per-dim double subtraction — one IEEE op a SQL oracle replays
+    bit-for-bit. The centroid join is a broadcast (k rows)."""
+    return (
+        corpus.join(assigned.withColumnRenamed("cluster", "cell"), id_col)
+        .join(F.broadcast(cent_df), F.col("cell") == F.col("cid"))
+        .select(
+            F.col(id_col),
+            "cell",
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("cvec"),
+                lambda x, y: x - y,
+            ).alias(vec_col),
+        )
+    )
+
+
 def ivf_pq_park(
     corpus: DataFrame,
     path: str,
@@ -1529,6 +1602,7 @@ def ivf_pq_park(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    by_residual: bool = False,
 ) -> None:
     """Train and park the full IVF-PQ index — the canonical vector-DB
     layout (coarse quantizer for pruning + product quantizer for
@@ -1538,8 +1612,11 @@ def ivf_pq_park(
     so the online probe reads only the probed cells' code files and
     touches corpus floats only for rerank survivors.
 
-    PQ is trained on the raw vectors (the FAISS IndexIVFPQ
-    by_residual=False layout), so both trainings are the existing
+    With ``by_residual=False`` PQ is trained on the raw vectors (FAISS
+    IndexIVFPQ by_residual=False); with ``by_residual=True`` PQ is
+    trained on residual_relation's (vector - assigned centroid) — the
+    canonical FAISS default, where the codebooks see the low-variance
+    residual distribution. Either way both trainings are the existing
     deterministic recipes and the oracle composes their replays."""
     assigned, cvals, cids = kmeans_train_assign(
         corpus,
@@ -1549,8 +1626,18 @@ def ivf_pq_park(
         vec_col=vec_col,
         return_centroids=True,
     )
+    spark = corpus.sparkSession
+    pq_src = corpus
+    if by_residual:
+        cent_df = spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in zip(cids, cvals)],
+            "cid int, cvec array<double>",
+        )
+        pq_src = residual_relation(
+            corpus, assigned, cent_df, id_col, vec_col
+        ).select(id_col, vec_col)
     codes, books = pq_codes(
-        corpus,
+        pq_src,
         m=m,
         subdim=subdim,
         k=kcb,
@@ -1559,7 +1646,6 @@ def ivf_pq_park(
         vec_col=vec_col,
         return_centroids=True,
     )
-    spark = corpus.sparkSession
     spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in zip(cids, cvals)],
         "cid int, cvec array<double>",
@@ -1591,6 +1677,7 @@ def ivf_pq_topk_scan(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ top-k against the PARKED index (ivf_pq_park's artifact) —
     the production vector-search read path end-to-end: load the coarse
@@ -1607,13 +1694,23 @@ def ivf_pq_topk_scan(
     float reads are rerank-survivor-sized. Candidate scoring is
     _pq_adc_scan's exact fragments, so scores are bit-identical to the
     flat PQ scan restricted to the same cells; ``nprobe`` > 1 widens the
-    probe to each query's nprobe nearest cells (the IVF recall knob)."""
+    probe to each query's nprobe nearest cells (the IVF recall knob).
+
+    ``by_residual=True`` reads an index parked with the same flag: the
+    LUT side switches to per-(query, probed-cell) tables over the query
+    residual (see _pq_adc_scan) — everything else (DPP-pruned code read,
+    ADC adds, shortlist, exact float rerank) is the same plan."""
     spark = queries.sparkSession
     cents = sorted(
         (int(r["cid"]), list(r["cvec"]))
         for r in spark.read.parquet(f"{path}/centroids").collect()
     )
     qcells = ivf_probe_cells(queries, cents, nprobe, id_col, vec_col)
+    residual_cents = None
+    if by_residual:
+        residual_cents = spark.createDataFrame(
+            [(c, v) for c, v in cents], "cid int, cvec array<double>"
+        )
     cb = spark.read.parquet(f"{path}/codebooks").collect()
     books: list[tuple[list[list[float]], list[int]]] = []
     for s in range(m):
@@ -1636,6 +1733,7 @@ def ivf_pq_topk_scan(
         id_col,
         vec_col,
         qcells=qcells,
+        residual_cents=residual_cents,
     )
 
 

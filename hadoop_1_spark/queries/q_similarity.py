@@ -707,11 +707,13 @@ PQ_K = 16
 PQ_ITERS = 1
 
 
-def _pq_subspace_sql() -> tuple[list[str], list[str]]:
+def _pq_subspace_sql(source: str = "embeddings") -> tuple[list[str], list[str]]:
     """Per-subspace (kmeans CTE chain, aliased code derived-table) pairs
     — the ONE place the PQ training SQL is constructed, shared by the
     codes oracle and the ADC-search oracle so they can never train
-    different codebooks."""
+    different codebooks. ``source`` points the training at another
+    relation (e.g. the ``resid`` CTE for by_residual IVF-PQ) — the
+    nested WITH chains resolve outer-scope CTE names."""
     chains, code_tables = [], []
     for m in range(PQ_M):
         lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
@@ -722,7 +724,7 @@ def _pq_subspace_sql() -> tuple[list[str], list[str]]:
                 dims=PQ_SUBDIM,
                 source_sql=(
                     f"SELECT vec_id, embedding[{lo}:{hi}] AS embedding"
-                    " FROM embeddings"
+                    f" FROM {source}"
                 ),
             )
         )
@@ -1042,6 +1044,130 @@ def sim_ivf_pq_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=PQ_RERANK,
         m=PQ_M,
         subdim=PQ_SUBDIM,
+    )
+
+
+def _ivf_pq_residual_oracle() -> str:
+    """by_residual IVF-PQ replay: the _ivf_pq_oracle shape with (a) PQ
+    trained on the residual relation (vector minus assigned final-round
+    centroid — exact CAST-to-double subtraction, one IEEE op per dim)
+    and (b) LUTs built from the QUERY residual per probed cell. Cells,
+    ADC sum, shortlist, and the exact float rerank are verbatim."""
+    res_dims = ", ".join(
+        f"CAST(a.embedding[{d}] AS DOUBLE) - rc.cvec[{d}]" for d in range(1, 65)
+    )
+    # MATERIALIZED: resid is referenced from 4 nested subspace chains x
+    # several consumers each; without the hint DuckDB inlines the whole
+    # cells-kmeans pipeline into every reference (operator-count blowup
+    # that OOMs at 32 threads). Materialize once — it is 5k rows x 64
+    # doubles at sf0.01.
+    resid_cte = f"""resid AS MATERIALIZED (
+  SELECT a.vec_id, a.cid AS cell, [{res_dims}] AS embedding
+  FROM afinal a JOIN c{KM_ITERS - 1} rc ON a.cid = rc.cid
+)"""
+    chains, code_tables = _pq_subspace_sql(source="resid")
+    lut_ctes = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        cb_table = f"(WITH {chains[m]}\n SELECT cid, cvec FROM c{PQ_ITERS - 1})"
+        dist = similarity.sql_l2_chain("q.qs", "cb.cvec", PQ_SUBDIM)
+        lut_ctes.append(
+            f"""lut{m} AS (
+  SELECT q.query_id, q.cell, cb.cid AS c{m}, {dist} AS d
+  FROM (SELECT vec_id AS query_id, cell, embedding[{lo}:{hi}] AS qs
+        FROM resid WHERE vec_id < 10) q
+  CROSS JOIN {cb_table} cb
+)"""
+        )
+    codes_from = _pq_codes_from(code_tables)
+    lut_joins = "\n".join(
+        f"JOIN lut{m} ON lut{m}.query_id = qq.query_id"
+        f" AND lut{m}.cell = cc.cid AND lut{m}.c{m} = x.c{m}"
+        for m in range(PQ_M)
+    )
+    adist = " + ".join(f"lut{m}.d" for m in range(PQ_M))
+    return (
+        "WITH " + ",\n".join(_kmeans_ctes())
+        + f""",
+{resid_cte},
+qcell AS (SELECT vec_id AS query_id, cid AS qc FROM afinal WHERE vec_id < 10),
+codes AS (SELECT * FROM {codes_from}),
+{",".join(lut_ctes)},
+cand AS (
+  SELECT qq.query_id, x.vec_id AS neighbor_id, {adist} AS adist
+  FROM codes x
+  JOIN afinal cc ON cc.vec_id = x.vec_id
+  JOIN qcell qq ON qq.qc = cc.cid AND qq.query_id <> x.vec_id
+  {lut_joins}
+),
+short AS (
+  SELECT query_id, neighbor_id FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY adist ASC, neighbor_id ASC) <= {PQ_RERANK}
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, {_NRM} AS qn FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, {_NRM} AS cn FROM embeddings),
+p AS (
+  SELECT s.query_id, s.neighbor_id, q.qv, c.cv, q.qn, c.cn
+  FROM short s JOIN q USING (query_id) JOIN c USING (neighbor_id)
+),
+{_COSINE_CTES}
+{_FINAL}"""
+    )
+
+
+def _ivf_pq_res_park_dir(sf_dir: str) -> str:
+    """Parked by_residual IVF-PQ cache dir (own namespace — the codebooks
+    are trained on a different relation than the raw-vector index's)."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb)
+    key = hashlib.md5(
+        f"{os.path.realpath(emb)}:{st.st_size}:{st.st_mtime_ns}:"
+        f"kc{KM_K}:ci{KM_ITERS}:m{PQ_M}:d{PQ_SUBDIM}:k{PQ_K}:i{PQ_ITERS}:res".encode()
+    ).hexdigest()
+    return os.path.join(tempfile.gettempdir(), "hadoop_1_spark_ivfpqr", key)
+
+
+@register("sim_ivf_pq_residual_topk_scan", oracle=_ivf_pq_residual_oracle())
+def sim_ivf_pq_residual_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """by_residual IVF-PQ top-5 against the PARKED index — the FAISS
+    IndexIVFPQ DEFAULT layout: PQ codebooks are trained on (vector -
+    assigned coarse centroid), whose variance is far below the raw
+    vectors', so the same 4x4-bit codes carry more precision; the online
+    probe builds one LUT per (query, probed cell) from the QUERY residual
+    (similarity.residual_relation / _pq_adc_scan residual_cents). Scan
+    shape is identical to sim_ivf_pq_topk_scan (DPP-pruned cell read, m
+    LUT adds, exact float rerank). The oracle replays both trainings with
+    PQ pointed at the residual CTE and LUTs keyed (query, cell)."""
+    import os
+
+    emb = _load(spark, sf_dir, "embeddings")
+    path = _ivf_pq_res_park_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        similarity.ivf_pq_park(
+            emb,
+            path,
+            k_cells=KM_K,
+            cell_iters=KM_ITERS,
+            m=PQ_M,
+            subdim=PQ_SUBDIM,
+            kcb=PQ_K,
+            iters=PQ_ITERS,
+            by_residual=True,
+        )
+    return similarity.ivf_pq_topk_scan(
+        emb,
+        emb.where("vec_id < 10"),
+        path,
+        k=K,
+        rerank=PQ_RERANK,
+        m=PQ_M,
+        subdim=PQ_SUBDIM,
+        by_residual=True,
     )
 
 

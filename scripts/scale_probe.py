@@ -173,6 +173,7 @@ QUERIES = [
     "sim_ivf_multiprobe_topk",
     "dedup_minhash_autocap",
     "dedup_ngram_autocap",
+    "sim_ivf_pq_residual_topk_scan",
     # remaining per-pair _cosine consumers (r8 verdict #5 audit): bounded
     # candidate sets by contract — the gate proves the bound holds at sf1
     "sim_lsh_topk",

@@ -776,3 +776,64 @@ def test_knn_graph_blocked_bit_identical(spark):
     )
     assert b == a
     assert len(a) > 0
+
+
+def test_ivf_pq_residual_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sim_ivf_pq_residual_topk_scan")
+
+
+def test_residual_relation_exact_double_subtraction(spark):
+    """The residual is the single IEEE double op double(v[d]) - cvec[d] —
+    bit-identical to the same subtraction done host-side (this is what
+    lets the SQL oracle replay it), and reconstruction (r + c) matches v
+    to within one rounding of the subtraction."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where("vec_id < 200")
+    assigned, cvals, cids = similarity.kmeans_train_assign(
+        emb, k=4, iters=1, return_centroids=True
+    )
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in zip(cids, cvals)],
+        "cid int, cvec array<double>",
+    )
+    cent = {int(c): [float(x) for x in v] for c, v in zip(cids, cvals)}
+    res = {r["vec_id"]: (r["cell"], list(r["embedding"]))
+           for r in similarity.residual_relation(emb, assigned, cent_df).collect()}
+    orig = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.select("vec_id", F.col("embedding").cast("array<double>")
+                                .alias("embedding")).collect()}
+    assert res and set(res) == set(orig)
+    for vid, (cell, rvec) in res.items():
+        expect = [a - b for a, b in zip(orig[vid], cent[cell])]
+        assert rvec == expect  # bit-identical single-op subtraction
+        rebuilt = [a + b for a, b in zip(rvec, cent[cell])]
+        assert all(abs(x - y) <= 1e-12 for x, y in zip(rebuilt, orig[vid]))
+
+
+def test_ivf_pq_residual_trains_different_codebooks(spark, tmp_path):
+    """by_residual=True must actually train on residuals: the parked
+    codebooks differ from the raw-vector index's, while the coarse
+    centroids (trained before the flag applies) are identical."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p_raw = str(tmp_path / "raw")
+    p_res = str(tmp_path / "res")
+    for p, flag in ((p_raw, False), (p_res, True)):
+        similarity.ivf_pq_park(
+            emb, p, k_cells=4, cell_iters=1, m=4, subdim=16, kcb=8,
+            iters=1, by_residual=flag,
+        )
+    raw_cents = sorted(map(tuple, spark.read.parquet(f"{p_raw}/centroids").collect()))
+    res_cents = sorted(map(tuple, spark.read.parquet(f"{p_res}/centroids").collect()))
+    assert [(c, tuple(v)) for c, v in raw_cents] == [(c, tuple(v)) for c, v in res_cents]
+    raw_cb = {(r["sub"], r["cid"]): tuple(r["cvec"])
+              for r in spark.read.parquet(f"{p_raw}/codebooks").collect()}
+    res_cb = {(r["sub"], r["cid"]): tuple(r["cvec"])
+              for r in spark.read.parquet(f"{p_res}/codebooks").collect()}
+    assert raw_cb != res_cb
+    # and the residual scan end-to-end returns k rows per query
+    got = similarity.ivf_pq_topk_scan(
+        emb, emb.where("vec_id < 5"), p_res, k=3, rerank=10, m=4, subdim=16,
+        by_residual=True,
+    ).collect()
+    assert len(got) > 0 and max(r["rank"] for r in got) <= 3
