@@ -184,13 +184,22 @@ def _kmeans_ctes(
     dims: int = 64,
     init: str = "hash",
     source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    prefix: str = "",
+    materialize: bool = False,
 ) -> list[str]:
     """CTE chain replaying kmeans_train_assign exactly (same seeds, same
     fixed-order distance chain, same decimal-exact centroid means); the
-    final assignment lives in CTE ``afinal(vec_id, embedding, cid)``.
-    Shared by the cluster_kmeans oracle, the SemDeDup oracle, and (via
-    ``source_sql`` — the body of the ``e`` CTE, e.g. a subspace slice
-    for product quantization) the PQ codebook oracle."""
+    final assignment lives in CTE ``{prefix}afinal(vec_id, embedding,
+    cid)``. Shared by the cluster_kmeans oracle, the SemDeDup oracle, and
+    (via ``source_sql`` — the body of the ``e`` CTE, e.g. a subspace
+    slice for product quantization) the PQ codebook oracle. ``prefix``
+    renames every internal CTE ({prefix}e, {prefix}seeds, ...) so
+    multiple chains can live in ONE flat WITH scope — required when a
+    chain's source derives from another chain: nested WITH scopes defeat
+    DuckDB's multi-reference CTE sharing (every cross-scope reference
+    re-derives its whole upstream; the by_residual oracle OOMed a
+    32-thread run through ~65k mmaps of duplicated operator state, and
+    MATERIALIZED hints across scopes trip a DuckDB internal error)."""
     dist = similarity.sql_l2_chain("e.embedding", "s.cvec", dims)
     mean_list = ", ".join(
         f"CAST(sum(CAST(CAST(embedding[{d}] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)"
@@ -198,34 +207,48 @@ def _kmeans_ctes(
         for d in range(1, dims + 1)
     )
 
-    def assign_cte(name: str, cents: str) -> str:
-        return f"""{name} AS (
+    p = prefix
+    # MATERIALIZED on the multiply-referenced CTEs (the chain source, the
+    # final centroids, the final assignment): this DuckDB build inlines
+    # every CTE reference regardless of fan-out, so a consumer like the
+    # by_residual oracle (afinal and c{last} referenced ~6x each)
+    # re-derives the whole training per reference — duplicated per-thread
+    # operator state OOMed 32-thread runs. Only legal SAME-scope (a
+    # cross-scope MATERIALIZED reference trips a DuckDB internal error),
+    # hence flat prefixed chains, never nested WITH, when materializing.
+    mat = "MATERIALIZED " if materialize else ""
+
+    def assign_cte(name: str, cents: str, m: str = "") -> str:
+        return f"""{p}{name} AS {m}(
   SELECT vec_id, embedding, cid FROM (
     SELECT e.vec_id, e.embedding, s.cid,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist}, s.cid) AS rn
-    FROM e CROSS JOIN {cents} s) WHERE rn = 1
+    FROM {p}e e CROSS JOIN {cents} s) WHERE rn = 1
 )"""
 
-    ctes = [f"e AS ({source_sql})"]
+    ctes = [f"{p}e AS {mat}({source_sql})"]
     if init == "kmeanspp":
+        if p:
+            raise ValueError("prefix not supported with kmeanspp init")
         ctes.extend(_kmeanspp_seed_ctes(k, dims))
     else:
         ctes.append(
-            f"""seeds AS (
+            f"""{p}seeds AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
          embedding AS cvec
-  FROM (SELECT vec_id, embedding FROM e
+  FROM (SELECT vec_id, embedding FROM {p}e
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
 )"""
         )
-    cents = "seeds"
+    cents = f"{p}seeds"
     for i in range(iters):
         ctes.append(assign_cte(f"a{i}", cents))
         ctes.append(
-            f"c{i} AS (SELECT cid, [{mean_list}] AS cvec FROM a{i} GROUP BY cid)"
+            f"{p}c{i} AS {mat if i == iters - 1 else ''}"
+            f"(SELECT cid, [{mean_list}] AS cvec FROM {p}a{i} GROUP BY cid)"
         )
-        cents = f"c{i}"
-    ctes.append(assign_cte("afinal", cents))
+        cents = f"{p}c{i}"
+    ctes.append(assign_cte("afinal", cents, mat))
     return ctes
 
 
@@ -396,6 +419,59 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantized_topk(
         emb, emb.where("vec_id < 10"), k=K, rerank=RERANK
     )
+
+
+def _bq_pack_sql(vec: str, dims: int = 64) -> str:
+    """SQL twin of similarity.bq_code: the same sum of disjoint signed
+    bit values (bit 63 as -2^63, spelled -9223372036854775807 - 1 so the
+    literal parses as BIGINT arithmetic, not HUGEINT)."""
+    terms = []
+    for d in range(dims):
+        val = str(1 << d) if d < 63 else "(-9223372036854775807 - 1)"
+        terms.append(
+            f"CASE WHEN {vec}[{d + 1}] > 0 THEN CAST({val} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        )
+    return " + ".join(terms)
+
+
+def _bq_oracle() -> str:
+    return f"""
+WITH qq AS (SELECT vec_id AS query_id, {_bq_pack_sql('embedding')} AS qcode
+            FROM embeddings WHERE vec_id < 10),
+cc AS (SELECT vec_id AS neighbor_id, {_bq_pack_sql('embedding')} AS ccode
+       FROM embeddings),
+cand AS (
+  SELECT query_id, neighbor_id,
+         CAST(bit_count(xor(qcode, ccode)) AS INT) AS ham
+  FROM cc CROSS JOIN qq WHERE query_id <> neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY ham ASC, neighbor_id ASC) <= {RERANK}
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, {_NRM} AS qn FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, {_NRM} AS cn FROM embeddings),
+p AS (
+  SELECT s.query_id, s.neighbor_id, q.qv, c.cv, q.qn, c.cn
+  FROM short s JOIN q USING (query_id) JOIN c USING (neighbor_id)
+),
+{_COSINE_CTES}
+{_FINAL}
+"""
+
+
+@register("sim_bq_topk", oracle=_bq_oracle())
+def sim_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN top-5: every vector sign-packed into ONE
+    long (32x compression — the cheapest quantization tier modern vector
+    stores ship), candidates scored by xor+popcount, shortlist reranked
+    under the exact cosine contract. The Hamming stage is integer-exact,
+    so the candidate SET replays in the oracle (the quantized_topk
+    discipline at 1 bit/dim). See similarity.bq_code / similarity.bq_topk."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.bq_topk(emb, emb.where("vec_id < 10"), k=K, rerank=RERANK)
 
 
 @register("sim_ivf_quantized_topk", oracle=_quantized_oracle(cell_join=True))
@@ -707,31 +783,47 @@ PQ_K = 16
 PQ_ITERS = 1
 
 
-def _pq_subspace_sql(source: str = "embeddings") -> tuple[list[str], list[str]]:
+def _pq_subspace_sql(
+    source: str = "embeddings", pre_sliced: bool = False, flat: bool = False
+) -> tuple[list[str], list[str]]:
     """Per-subspace (kmeans CTE chain, aliased code derived-table) pairs
     — the ONE place the PQ training SQL is constructed, shared by the
     codes oracle and the ADC-search oracle so they can never train
     different codebooks. ``source`` points the training at another
-    relation (e.g. the ``resid`` CTE for by_residual IVF-PQ) — the
-    nested WITH chains resolve outer-scope CTE names."""
+    relation; with ``pre_sliced`` the per-subspace source is ``{source}0
+    .. {source}{m-1}`` relations already carrying the 16-dim slice.
+    ``flat`` emits the chains with unique ``s{m}_`` CTE-name prefixes so
+    they live in ONE top-level WITH scope (required when source derives
+    from other CTEs — see _kmeans_ctes' prefix note); the final
+    assignment is then ``s{m}_afinal`` and code_tables reference it
+    directly instead of wrapping a nested WITH."""
     chains, code_tables = [], []
     for m in range(PQ_M):
         lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        src = (
+            f"SELECT vec_id, embedding FROM {source}{m}"
+            if pre_sliced
+            else f"SELECT vec_id, embedding[{lo}:{hi}] AS embedding FROM {source}"
+        )
         chain = ",\n".join(
             _kmeans_ctes(
                 k=PQ_K,
                 iters=PQ_ITERS,
                 dims=PQ_SUBDIM,
-                source_sql=(
-                    f"SELECT vec_id, embedding[{lo}:{hi}] AS embedding"
-                    f" FROM {source}"
-                ),
+                source_sql=src,
+                prefix=f"s{m}_" if flat else "",
+                materialize=flat,
             )
         )
         chains.append(chain)
-        code_tables.append(
-            f"(WITH {chain}\n SELECT vec_id, CAST(cid AS INT) AS c{m} FROM afinal) s{m}"
-        )
+        if flat:
+            code_tables.append(
+                f"(SELECT vec_id, CAST(cid AS INT) AS c{m} FROM s{m}_afinal) s{m}"
+            )
+        else:
+            code_tables.append(
+                f"(WITH {chain}\n SELECT vec_id, CAST(cid AS INT) AS c{m} FROM afinal) s{m}"
+            )
     return chains, code_tables
 
 
@@ -1052,31 +1144,43 @@ def _ivf_pq_residual_oracle() -> str:
     trained on the residual relation (vector minus assigned final-round
     centroid — exact CAST-to-double subtraction, one IEEE op per dim)
     and (b) LUTs built from the QUERY residual per probed cell. Cells,
-    ADC sum, shortlist, and the exact float rerank are verbatim."""
-    res_dims = ", ".join(
-        f"CAST(a.embedding[{d}] AS DOUBLE) - rc.cvec[{d}]" for d in range(1, 65)
-    )
-    # MATERIALIZED: resid is referenced from 4 nested subspace chains x
-    # several consumers each; without the hint DuckDB inlines the whole
-    # cells-kmeans pipeline into every reference (operator-count blowup
-    # that OOMs at 32 threads). Materialize once — it is 5k rows x 64
-    # doubles at sf0.01.
-    resid_cte = f"""resid AS MATERIALIZED (
-  SELECT a.vec_id, a.cid AS cell, [{res_dims}] AS embedding
+    ADC sum, shortlist, and the exact float rerank are verbatim.
+
+    EVERYTHING lives in ONE flat WITH scope — the subspace chains carry
+    unique s{m}_ CTE-name prefixes instead of nested WITH subqueries —
+    and the multiply-referenced CTEs (afinal, final centroids, rs{m},
+    chain sources) are MATERIALIZED. Both are load-bearing: this DuckDB
+    build inlines every CTE reference regardless of fan-out, so
+    unmaterialized, each of rs{m} -> afinal and chains -> rs{m}
+    re-derived its entire upstream and the duplicated per-thread
+    operator state OOMed 32-thread runs at sf0.1 through ~65k mmaps;
+    and a MATERIALIZED hint referenced from a NESTED scope trips a
+    DuckDB internal error ("Recursive CTE scan found without recursive
+    CTE node") — flat + same-scope hints is the one working combination
+    (measured: 3 consecutive sf0.1 runs, ~2-4 s each, maps bounded)."""
+    rs_ctes = []
+    for m in range(PQ_M):
+        lo = m * PQ_SUBDIM
+        dims = ", ".join(
+            f"CAST(a.embedding[{lo + d}] AS DOUBLE) - rc.cvec[{lo + d}]"
+            for d in range(1, PQ_SUBDIM + 1)
+        )
+        rs_ctes.append(
+            f"""rs{m} AS MATERIALIZED (
+  SELECT a.vec_id, a.cid AS cell, [{dims}] AS embedding
   FROM afinal a JOIN c{KM_ITERS - 1} rc ON a.cid = rc.cid
 )"""
-    chains, code_tables = _pq_subspace_sql(source="resid")
+        )
+    chains, code_tables = _pq_subspace_sql(source="rs", pre_sliced=True, flat=True)
     lut_ctes = []
     for m in range(PQ_M):
-        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
-        cb_table = f"(WITH {chains[m]}\n SELECT cid, cvec FROM c{PQ_ITERS - 1})"
         dist = similarity.sql_l2_chain("q.qs", "cb.cvec", PQ_SUBDIM)
         lut_ctes.append(
             f"""lut{m} AS (
   SELECT q.query_id, q.cell, cb.cid AS c{m}, {dist} AS d
-  FROM (SELECT vec_id AS query_id, cell, embedding[{lo}:{hi}] AS qs
-        FROM resid WHERE vec_id < 10) q
-  CROSS JOIN {cb_table} cb
+  FROM (SELECT vec_id AS query_id, cell, embedding AS qs
+        FROM rs{m} WHERE vec_id < 10) q
+  CROSS JOIN (SELECT cid, cvec FROM s{m}_c{PQ_ITERS - 1}) cb
 )"""
         )
     codes_from = _pq_codes_from(code_tables)
@@ -1087,9 +1191,10 @@ def _ivf_pq_residual_oracle() -> str:
     )
     adist = " + ".join(f"lut{m}.d" for m in range(PQ_M))
     return (
-        "WITH " + ",\n".join(_kmeans_ctes())
+        "WITH " + ",\n".join(_kmeans_ctes(materialize=True))
         + f""",
-{resid_cte},
+{",".join(rs_ctes)},
+{",".join(chains)},
 qcell AS (SELECT vec_id AS query_id, cid AS qc FROM afinal WHERE vec_id < 10),
 codes AS (SELECT * FROM {codes_from}),
 {",".join(lut_ctes)},
