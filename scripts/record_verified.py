@@ -99,4 +99,13 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    # Unknown flags must NOT silently fall through to main(): main()
+    # re-pins the latest CORRECTNESS round's digests at HEAD, which is
+    # only correct at ROUND START before code edits — an accidental
+    # mid-round invocation (e.g. a guessed `--status`) would stamp
+    # verified-at digests onto sources the driver never checked.
+    unknown = [a for a in sys.argv[1:] if a != "--repin"]
+    if unknown:
+        sys.exit(f"record_verified.py: unknown argument(s) {unknown}; "
+                 "usage: record_verified.py [--repin]")
     repin() if "--repin" in sys.argv[1:] else main()
