@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "dedup_minhash_autocap",   # occupancy-derived hot-band cap (median rule)
     "dedup_ngram_autocap",     # DF auto-cap twin of the exact-Jaccard path
     "sim_ivf_pq_residual_topk_scan",  # by_residual IVF-PQ (FAISS default layout)
+    "sim_bq_topk",             # binary-quantization tier: xor+popcount scan
 ]
 
 

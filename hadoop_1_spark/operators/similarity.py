@@ -801,6 +801,74 @@ def quantized_topk(
     return _exact_rerank(short, corpus, queries, k, id_col, vec_col)
 
 
+def bq_code(vec: Column, dims: int = DIMS) -> Column:
+    """1-bit-per-dim sign quantization packed into ONE signed 64-bit code
+    (dims <= 64): bit d is set iff vec[d] > 0 — the binary-quantization
+    compression modern vector stores ship as their cheapest tier (32x
+    smaller than float32; Hamming distance approximates angular
+    distance for roughly centered embeddings). The code is built as a
+    SUM of disjoint signed bit values (bit 63 enters as -2^63), which
+    equals the two's-complement bit pattern exactly and replays in any
+    SQL engine without unsigned types. Pure JVM Column arithmetic — no
+    UDF, whole-stage-codegen friendly."""
+    if dims > 64:
+        raise ValueError("bq_code packs at most 64 dims into one long")
+    out = None
+    for d in range(dims):
+        val = (1 << d) if d < 63 else -(1 << 63)
+        term = (
+            F.when(vec[d] > 0, F.lit(val).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+        )
+        out = term if out is None else out + term
+    return out
+
+
+def bq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = DIMS,
+) -> DataFrame:
+    """Binary-quantization ANN: sign-pack every vector into one long
+    (bq_code), score all candidates by Hamming distance
+    bit_count(qcode XOR ccode) — a single integer instruction per
+    candidate over a 32x-compressed relation — shortlist the
+    ``rerank`` lowest per query (ties: hamming ASC, neighbor ASC), and
+    rerank only those under the exact cosine contract (_exact_rerank,
+    shared with every two-stage ANN here). The candidate stage is
+    integer-exact, so the candidate SET is oracle-checkable, the
+    quantized_topk discipline at 1 bit/dim.
+
+    Scale shape at 100 TB: the scanned relation is ONE long per corpus
+    vector (8 bytes vs 256 for float32 — parquet column-pruned), queries
+    broadcast, per-candidate work is xor+popcount in codegen; floats are
+    touched only by <= |queries| x rerank survivors. Compose with the
+    IVF cell partition (ivf_park) for a partition-pruned binary tier."""
+    code = bq_code(F.col(vec_col), dims)
+    qq = queries.select(F.col(id_col).alias("query_id"), code.alias("qcode"))
+    cc = corpus.select(F.col(id_col).alias("neighbor_id"), code.alias("ccode"))
+    cand = (
+        cc.crossJoin(F.broadcast(qq))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.bit_count(F.col("qcode").bitwiseXOR(F.col("ccode"))).alias("_ham"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_ham"), F.asc("neighbor_id"))
+    short = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(short, corpus, queries, k, id_col, vec_col)
+
+
 def negative_mine_topk(
     emb: DataFrame,
     queries: DataFrame,

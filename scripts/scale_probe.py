@@ -174,6 +174,7 @@ QUERIES = [
     "dedup_minhash_autocap",
     "dedup_ngram_autocap",
     "sim_ivf_pq_residual_topk_scan",
+    "sim_bq_topk",
     # remaining per-pair _cosine consumers (r8 verdict #5 audit): bounded
     # candidate sets by contract — the gate proves the bound holds at sf1
     "sim_lsh_topk",

@@ -837,3 +837,41 @@ def test_ivf_pq_residual_trains_different_codebooks(spark, tmp_path):
         by_residual=True,
     ).collect()
     assert len(got) > 0 and max(r["rank"] for r in got) <= 3
+
+
+def test_bq_topk_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sim_bq_topk")
+
+
+def test_bq_code_bit_pattern(spark):
+    """bq_code's signed-sum packing equals the two's-complement bit
+    pattern of 'bit d set iff v[d] > 0', including bit 63."""
+    from pyspark.sql import functions as F
+
+    vec = [1.0 if d % 3 == 0 else -1.0 for d in range(63)] + [0.5]  # bit 63 set
+    expect_bits = sum(1 << d for d in range(64) if vec[d] > 0)
+    expect = expect_bits - (1 << 64) if expect_bits >= (1 << 63) else expect_bits
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<double>")
+    got = df.select(similarity.bq_code(F.col("embedding")).alias("c")).collect()[0]["c"]
+    assert got == expect
+    # all-negative vector -> code 0
+    df0 = spark.createDataFrame([(1, [-1.0] * 64)], "vec_id long, embedding array<double>")
+    assert df0.select(similarity.bq_code(F.col("embedding")).alias("c")).collect()[0]["c"] == 0
+
+
+def test_bq_topk_never_beats_brute_force(spark):
+    """BQ is an approximation: for every (query, rank) its reranked
+    cosine is <= the brute-force cosine at the same rank, and it returns
+    exactly k rows per query."""
+    from tests.conftest import SF_DIR as _SF
+
+    emb = spark.read.parquet(f"{_SF}/embeddings.parquet")
+    q = emb.where("vec_id < 5")
+    brute = {(r["query_id"], r["rank"]): r["cosine"]
+             for r in similarity.cosine_topk(emb, q, k=3).collect()}
+    bq = similarity.bq_topk(emb, q, k=3, rerank=20).collect()
+    per_q = {}
+    for r in bq:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert r["cosine"] <= brute[(r["query_id"], r["rank"])] + 1e-12
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
