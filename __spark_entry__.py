@@ -133,13 +133,15 @@ def _core_files() -> list[str]:
     import glob
 
     base = os.path.dirname(os.path.abspath(__file__))
-    # dedup.py is core because registry's dispatch wrapper calls
-    # dedup.release_caches around EVERY query (round-8 advice): an edit
-    # there must mark all queries core-dirty, not only dedup importers.
+    # caching.py is core because registry's dispatch wrapper calls
+    # caching.release_caches around EVERY query (round-11 shrink: the
+    # cache registry used to be re-exported through dedup.py, which made
+    # ALL of dedup.py core and poisoned the whole ledger on any dedup
+    # edit; now only the 40-line caching module carries that weight).
     files = [
         "hadoop_1_spark/registry.py",
         "hadoop_1_spark/session.py",
-        "hadoop_1_spark/operators/dedup.py",
+        "hadoop_1_spark/operators/caching.py",
     ]
     files += [
         os.path.relpath(p, base)

@@ -38,12 +38,12 @@ SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = 15
 
 # Signature/fingerprint tables persist through the engine-wide tracked
-# cache (operators/caching.py) so the registry dispatch can release them
-# between queries. release_caches is re-exported here because
-# registry.register's dispatch calls dedup.release_caches().
+# cache (operators/caching.py) so the registry dispatch — which calls
+# caching.release_caches() directly (round-11: dedup.py no longer sits on
+# the dispatch path, so dedup edits dirty only dedup-backed closures, not
+# the whole ledger) — can release them between queries.
 from hadoop_1_spark.operators.caching import (  # noqa: F401
     persist_tracked as _persist,
-    release_caches,
     track as _track,
 )
 

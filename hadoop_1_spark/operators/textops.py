@@ -248,21 +248,36 @@ def simhash64(sh_tokens: DataFrame, id_col: str = "doc_id", term_col: str = "tok
     """60-bit SimHash over terms: per bit b, sum ±1 of bit b of each term
     hash; fingerprint bit b = 1 iff the sum > 0.
 
-    Implemented as 60 aggregate columns over the token rows (NOT a 60-way
-    row explosion — same sums, 60x fewer shuffle rows). All JVM-side
-    expressions; one partial-agg groupBy on doc. The reference analog is
-    MD5Hash keys (io/MD5Hash.java:30)."""
+    Lane-packed bit-plane pre-agg (round-11, TODO 0f): long k of 30 packed
+    sum-aggregates holds plane k in its low 32-bit lane and plane k+30 in
+    its high lane, so the per-doc aggregate buffer (and the partial-agg
+    rows through the shuffle) is 30 longs + a count instead of 60 longs,
+    and each input row updates 30 accumulators instead of 60. Lanes can't
+    carry into each other: a lane counts tokens of ONE doc, and a single
+    document row can't hold 2^32 tokens (a Spark string caps at 2 GiB).
+    The ±1 sum is recovered exactly post-agg: sum_b = 2*cnt_b - n, so
+    bit b = 1 iff 2*cnt_b > n — same integer semantics as the previous
+    60-column form, bit-identical fingerprints. NOT a 60-way row explosion
+    (same sums, 60x fewer shuffle rows); all JVM-side expressions; one
+    partial-agg groupBy on doc. The reference analog is MD5Hash keys
+    (io/MD5Hash.java:30)."""
     h = shingle_hash(F.col(term_col), 0)
     bits = sh_tokens.select(F.col(id_col), h.alias("h"))
-    sums = bits.groupBy(id_col).agg(
-        *[
-            F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"s{b}")
-            for b in range(60)
-        ]
-    )
+    packed = [
+        F.sum(
+            F.expr(
+                f"(shiftright(h, {k}) & 1) | shiftleft(shiftright(h, {k + 30}) & 1, 32)"
+            )
+        ).alias(f"p{k}")
+        for k in range(30)
+    ]
+    sums = bits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *packed)
     fingerprint = None
     for b in range(60):
-        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        cnt = F.expr(f"shiftright(p{b % 30}, {32 * (b // 30)}) & 4294967295")
+        bit = F.when(cnt * 2 > F.col("n"), F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         fingerprint = bit if fingerprint is None else fingerprint + bit
     return sums.select(F.col(id_col), fingerprint.alias("simhash"))
 

@@ -44,7 +44,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     (reserved for genuinely non-SQL-expressible ops).
 
     Every registered entry point releases the previous query's persisted
-    signature tables (dedup.release_caches) before building: by the time
+    signature tables (operators.caching.release_caches) before building: by
+    the time
     the next query is being built the previous result has been collected,
     so its caches are dead weight. Bounded invariant for a long-lived
     session running the whole catalog: at most one query's caches are
@@ -55,9 +56,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     def wrap(fn: QueryFn) -> QueryFn:
         @functools.wraps(fn)
         def dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
-            from hadoop_1_spark.operators import dedup
+            from hadoop_1_spark.operators import caching
 
-            dedup.release_caches()
+            caching.release_caches()
             return fn(spark, sf_dir)
 
         QUERIES[name] = dispatch

@@ -30,13 +30,16 @@ def test_core_files_are_the_shared_closure():
     assert "hadoop_1_spark/registry.py" in core
     assert "hadoop_1_spark/session.py" in core
     # dedup.py is core: registry's dispatch wrapper calls
-    # dedup.release_caches around EVERY query (round-8 advice).
-    assert "hadoop_1_spark/operators/dedup.py" in core
+    # caching.release_caches around EVERY query (round-11 shrink: the
+    # cache registry moved out of dedup.py so dedup edits dirty only
+    # dedup-backed closures).
+    assert "hadoop_1_spark/operators/caching.py" in core
+    assert "hadoop_1_spark/operators/dedup.py" not in core
     # No query modules or OTHER operator modules belong to the core set.
     assert not any(f.startswith("hadoop_1_spark/queries/q_") for f in core)
     assert not any(
         f.startswith("hadoop_1_spark/operators/")
-        and not f.endswith(("__init__.py", "dedup.py"))
+        and not f.endswith(("__init__.py", "caching.py"))
         for f in core
     )
 
@@ -87,15 +90,15 @@ def test_operator_edit_changes_only_its_queries():
     assert entry.core_digest(read=edited) == entry.core_digest(read=_tree_read)
 
 
-def test_dedup_edit_is_core_dirty_not_query_dirty():
-    """dedup.py sits on registry's dispatch path (release_caches wraps
+def test_caching_edit_is_core_dirty_not_query_dirty():
+    """caching.py sits on registry's dispatch path (release_caches wraps
     every query), so an edit there must move the CORE digest — reaching
     all queries via the core-dirty rank — and must NOT move any
     per-query closure digest (core files are excluded from closures)."""
 
     def edited(rel: str) -> bytes:
         data = _tree_read(rel)
-        if rel == "hadoop_1_spark/operators/dedup.py":
+        if rel == "hadoop_1_spark/operators/caching.py":
             data += b"\n# simulated operator edit\n"
         return data
 
@@ -104,6 +107,26 @@ def test_dedup_edit_is_core_dirty_not_query_dirty():
         assert entry.query_digest(name, read=edited) == entry.query_digest(
             name, read=_tree_read
         )
+
+
+def test_dedup_edit_dirties_only_dedup_queries():
+    """Round-11 rotation-core shrink: dedup.py is no longer core — an
+    edit there moves dedup-backed closures only, not the core digest and
+    not unrelated queries."""
+
+    def edited(rel: str) -> bytes:
+        data = _tree_read(rel)
+        if rel == "hadoop_1_spark/operators/dedup.py":
+            data += b"\n# simulated operator edit\n"
+        return data
+
+    assert entry.core_digest(read=edited) == entry.core_digest(read=_tree_read)
+    assert entry.query_digest("dedup_minhash_lsh", read=edited) != entry.query_digest(
+        "dedup_minhash_lsh", read=_tree_read
+    )
+    assert entry.query_digest("fieldsel", read=edited) == entry.query_digest(
+        "fieldsel", read=_tree_read
+    )
 
 
 def test_from_import_submodules_join_the_closure():
