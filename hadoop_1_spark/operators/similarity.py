@@ -1474,6 +1474,11 @@ def _pq_adc_scan(
         return F.slice(F.col(vec_col), i * subdim + 1, subdim)
 
     if residual_cents is not None:
+        if qcells is None:
+            raise ValueError(
+                "residual_cents requires qcells: by-residual LUTs are keyed "
+                "(query_id, cell), so the probed-cell assignment must be given"
+            )
         # query residual per probed cell: (query_id, cell, residual)
         qr = (
             queries.select(
@@ -1937,3 +1942,90 @@ def ivf_topk_scan(
         _cosine(q["qv"], c["cv"], q["qn"], c["cn"]).alias("cosine"),
     )
     return _topk(scored, k)
+
+
+def bq_ivf_park(spark, path: str, id_col: str = "vec_id", vec_col: str = "embedding", dims: int = DIMS) -> None:
+    """Derive the binary tier of a PARKED IVF index (round-11, the rung
+    bq_topk's docstring promises): read ``{path}/cells`` (ivf_park's
+    cell-partitioned corpus), sign-pack each vector into one long
+    (bq_code), and write (id, code) PARTITIONED BY the same trained cell
+    to ``{path}/bqcodes`` — the production layout where the cheapest
+    quantization tier is ALSO partition-pruned (reference analog:
+    partition-pruned MapFile lookups, io/MapFile.java:49). No retraining:
+    the cell assignment is the parked one, so the binary tier can never
+    disagree with the float tier about cell membership. One scan of the
+    parked cells, one 9-byte-per-vector write."""
+    cells = spark.read.parquet(f"{path}/cells")
+    (
+        cells.select(
+            F.col(id_col),
+            bq_code(F.col(vec_col), dims).alias("code"),
+            F.col("cell"),
+        )
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(f"{path}/bqcodes")
+    )
+
+
+def bq_ivf_topk_scan(
+    corpus: DataFrame,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    rerank: int = 20,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = DIMS,
+) -> DataFrame:
+    """Partition-pruned binary-quantization ANN against a parked IVF
+    index: load the k-row centroid model, assign each query to its
+    ``nprobe`` nearest trained cells in-plan (ivf_probe_cells — the same
+    argmin rule training used, so the oracle's kmeans CTEs replay it),
+    scan ONLY the probed cells of the parked binary tier
+    (``{path}/bqcodes``: one long per vector, written by bq_ivf_park) by
+    xor+popcount Hamming distance, shortlist the ``rerank`` lowest per
+    query (ties: hamming ASC, neighbor ASC), and rerank the survivors
+    under the exact cosine contract (_exact_rerank).
+
+    Scale shape at 100 TB — the missing rung between bq_topk (full
+    binary scan) and the IVF-PQ tiers: queries broadcast; the bqcodes
+    relation is partitioned by cell, so the broadcast join on the
+    partition column dynamic-partition-prunes the read to the probed
+    cell directories; the pruned scan touches 8 bytes per candidate;
+    floats are read only for <= |queries| x rerank rerank survivors.
+    Candidate cost is sum(|probed cells|) longs, never |corpus|."""
+    spark = queries.sparkSession
+    cents = sorted(
+        (int(r["cid"]), list(r["cvec"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            bq_code(F.col(vec_col), dims).alias("qcode"),
+        ).join(
+            ivf_probe_cells(queries, cents, nprobe, id_col, vec_col),
+            "query_id",
+        )
+    )
+    c = spark.read.parquet(f"{path}/bqcodes").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("code").alias("ccode"),
+        F.col("cell").cast("int").alias("ccell"),
+    )
+    cand = q.join(
+        c, (q["qcell"] == c["ccell"]) & (q["query_id"] != c["neighbor_id"])
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.bit_count(F.col("qcode").bitwiseXOR(F.col("ccode"))).alias("_ham"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_ham"), F.asc("neighbor_id"))
+    short = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(short, corpus, queries, k, id_col, vec_col)

@@ -1328,3 +1328,76 @@ def sim_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_scan(
         emb.where("vec_id < 10"), path, k=K, nprobe=IVF_NPROBE
     )
+
+
+def _bq_ivf_oracle() -> str:
+    """Partition-pruned BQ replay: the multiprobe oracle's qprobe CTE
+    (kmeans training + per-query nprobe nearest final centroids) with the
+    candidate stage swapped from float cosine to the sign-pack + Hamming
+    shortlist of _bq_oracle, then the shared exact-rerank tail — so
+    neither the probe rule nor the binary discipline can diverge from
+    their standalone oracles."""
+    dist = similarity.sql_l2_chain("q0.embedding", "s.cvec", 64)
+    return (
+        "WITH " + ",\n".join(_kmeans_ctes())
+        + f""",
+qprobe AS (
+  SELECT query_id, cid AS qcell FROM (
+    SELECT q0.vec_id AS query_id, s.cid,
+           row_number() OVER (PARTITION BY q0.vec_id ORDER BY {dist}, s.cid) AS rn
+    FROM (SELECT vec_id, embedding FROM e WHERE vec_id < 10) q0
+    CROSS JOIN c{KM_ITERS - 1} s
+  ) WHERE rn <= {IVF_NPROBE}
+),
+qq AS (SELECT vec_id AS query_id, {_bq_pack_sql('embedding')} AS qcode
+       FROM e WHERE vec_id < 10),
+cc AS (SELECT vec_id AS neighbor_id, {_bq_pack_sql('embedding')} AS ccode,
+              cid AS ccell
+       FROM afinal),
+cand AS (
+  SELECT jp.query_id, cc.neighbor_id,
+         CAST(bit_count(xor(qq.qcode, cc.ccode)) AS INT) AS ham
+  FROM qprobe jp
+  JOIN qq ON qq.query_id = jp.query_id
+  JOIN cc ON cc.ccell = jp.qcell AND jp.query_id <> cc.neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY ham ASC, neighbor_id ASC) <= {RERANK}
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, {_NRM} AS qn FROM e WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, {_NRM} AS cn FROM e),
+p AS (
+  SELECT s.query_id, s.neighbor_id, q.qv, c.cv, q.qn, c.cn
+  FROM short s JOIN q USING (query_id) JOIN c USING (neighbor_id)
+),
+{_COSINE_CTES}
+{_FINAL}"""
+    )
+
+
+@register("sim_bq_ivf_topk", oracle=_bq_ivf_oracle())
+def sim_bq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned binary-quantization ANN top-5 — the production
+    rung between sim_bq_topk (full-corpus binary scan) and the IVF-PQ
+    tiers: the parked IVF index grows a binary tier (bq_ivf_park: one
+    sign-packed long per vector, PARTITIONED BY trained cell), each query
+    probes its two nearest cells (nprobe=2, same rule as
+    sim_ivf_multiprobe_topk), the xor+popcount scan reads ONLY the probed
+    cell directories (dynamic partition pruning), and the shortlist is
+    reranked under the exact cosine contract. Scan bytes per query:
+    8 x sum(|probed cells|) — never the corpus, never floats.
+    See similarity.bq_ivf_park / similarity.bq_ivf_topk_scan."""
+    import os
+
+    emb = _load(spark, sf_dir, "embeddings")
+    path = _ivf_park_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+        similarity.ivf_park(emb, path, k_cells=KM_K, iters=KM_ITERS)
+    if not os.path.exists(os.path.join(path, "bqcodes", "_SUCCESS")):
+        similarity.bq_ivf_park(spark, path)
+    return similarity.bq_ivf_topk_scan(
+        emb, emb.where("vec_id < 10"), path, k=K, rerank=RERANK,
+        nprobe=IVF_NPROBE,
+    )

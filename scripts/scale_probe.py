@@ -4,7 +4,11 @@ gen_scale_probe.py), best-of-3 each, and print the ratio table for
 BENCH_NOTES. A ratio well under 10x on 10x data is the evidence that the
 DuckDB gap at sf0.1 is fixed-overhead, not throughput.
 
-Usage: python scripts/scale_probe.py [sf1_dir] [--gate]
+Usage: python scripts/scale_probe.py [sf1_dir] [--gate] [--resume <prior-table>]
+
+``--resume <prior-table>`` re-reads a previous (possibly partial) probe's
+markdown table and skips already-measured rows; they still count toward
+the gate verdict.
 
 ``--gate`` is the round-close gate (round-8 verdict #6): generate the sf1
 dataset if missing, run the full table, and EXIT NON-ZERO listing every
@@ -230,10 +234,23 @@ def main() -> None:
         argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if a != "--gate"]
     sf1 = args[0] if args else "/tmp/sf1"
-    if gate and not os.path.exists(os.path.join(sf1, "documents.parquet")):
+    # Regenerate unless EVERY table gen_scale_probe.py writes is present
+    # (with its _SUCCESS commit marker): a partially generated dir — e.g.
+    # documents written, embeddings missing after an interrupted gen —
+    # must not be mistaken for complete, or the gate dies mid-run.
+    required = [
+        "documents", "lineitem", "orders", "supplier", "part", "customer",
+        "events", "embeddings", "region", "nation",
+    ] + [f"negprobe_{t}_{s}" for t in ("base", "cat10", "usr10") for s in ("pos", "cat")]
+    missing = [
+        t for t in required
+        if not os.path.exists(os.path.join(sf1, f"{t}.parquet", "_SUCCESS"))
+    ]
+    if gate and missing:
         import subprocess
 
-        print(f"[gate] {sf1} missing — generating via gen_scale_probe.py")
+        print(f"[gate] {sf1} incomplete (missing: {', '.join(missing)}) — "
+              f"generating via gen_scale_probe.py")
         subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__), "gen_scale_probe.py"), sf1],
             check=True,
@@ -247,8 +264,10 @@ def main() -> None:
         if name in prior:
             continue
         if name in KNOWN_QUADRATIC:
+            # Four cells exactly, matching the header — the skip reason
+            # rides in the ratio column so the markdown row stays well-formed.
             print(
-                f"| {name} | - | skipped | - | by-design quadratic baseline"
+                f"| {name} | - | - | skipped: by-design quadratic baseline"
                 f" ({KNOWN_QUADRATIC[name]}) |"
             )
             continue

@@ -839,6 +839,22 @@ def test_ivf_pq_residual_trains_different_codebooks(spark, tmp_path):
     assert len(got) > 0 and max(r["rank"] for r in got) <= 3
 
 
+def test_residual_cents_without_qcells_raises(spark):
+    """residual_cents is only meaningful per probed cell — passing it
+    without qcells must fail fast with a named contract error, not crash
+    inside the LUT build (round-10 advice)."""
+    import pytest
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where("vec_id < 50")
+    cents = spark.createDataFrame([(0, [0.0] * 64)], "cid int, cvec array<double>")
+    with pytest.raises(ValueError, match="residual_cents requires qcells"):
+        similarity._pq_adc_scan(
+            codes=emb, books=[], corpus=emb, queries=emb, k=3, rerank=10,
+            m=4, subdim=16, id_col="vec_id", vec_col="embedding",
+            qcells=None, residual_cents=cents,
+        )
+
+
 def test_bq_topk_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "sim_bq_topk")
 
@@ -875,3 +891,29 @@ def test_bq_topk_never_beats_brute_force(spark):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
         assert r["cosine"] <= brute[(r["query_id"], r["rank"])] + 1e-12
     assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+
+def test_bq_ivf_topk_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sim_bq_ivf_topk")
+
+
+def test_bq_ivf_park_codes_match_cells(spark, tmp_path):
+    """The derived binary tier must carry exactly the parked cells'
+    membership (same ids, same cell) with each code equal to bq_code of
+    the parked vector — no retraining drift between tiers."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where("vec_id < 300")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_park(emb, path, k_cells=4, iters=1)
+    similarity.bq_ivf_park(spark, path)
+    cells = spark.read.parquet(f"{path}/cells").select(
+        "vec_id", similarity.bq_code(F.col("embedding")).alias("want"),
+        F.col("cell").cast("int").alias("cell"),
+    )
+    codes = spark.read.parquet(f"{path}/bqcodes").select(
+        "vec_id", F.col("code").alias("got"), F.col("cell").cast("int").alias("cell")
+    )
+    j = cells.join(codes, ["vec_id", "cell"], "full_outer")
+    assert j.where("want IS NULL OR got IS NULL OR want <> got").count() == 0
+    assert codes.count() == emb.count()
