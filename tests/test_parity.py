@@ -301,3 +301,26 @@ def test_parse_spec_no_keyspec_defaults():
         k = got[0]
         assert (k.field_start, k.field_end, k.numeric, k.reverse) == (
             1, None, False, False), spec
+
+
+def test_is_whole_line_and_identity_compile(spark):
+    """A whole-line spec (flag-only, or explicit -k1) compiles to the line
+    column ITSELF — split-on-separator then rejoin is the identity — so
+    whole-line sorts carry no byte-identical key duplicate. Any char
+    offset, bounded field range, or numeric flag disqualifies."""
+    from pyspark.sql import functions as F
+
+    from hadoop_1_spark.operators import keyfield
+
+    assert keyfield.is_whole_line(keyfield.parse_sort_spec("-r")[0])
+    assert keyfield.is_whole_line(keyfield.parse_sort_spec("-k1")[0])
+    assert not keyfield.is_whole_line(keyfield.parse_sort_spec("-n")[0])  # numeric cast
+    assert not keyfield.is_whole_line(keyfield.parse_sort_spec("-k1,2")[0])
+    assert not keyfield.is_whole_line(keyfield.parse_sort_spec("-k1.2")[0])
+    assert not keyfield.is_whole_line(keyfield.parse_sort_spec("-k2")[0])
+
+    # compile on a line with empty and repeated fields: identity holds
+    df = spark.createDataFrame([("a--b-",), ("-x-",), ("plain",)], "line string")
+    key, rev = keyfield.compile_sort_keys(F.col("line"), "-r", separator="-")[0]
+    assert rev
+    assert df.where(key != F.col("line")).count() == 0
