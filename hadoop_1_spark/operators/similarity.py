@@ -1813,7 +1813,7 @@ def ivf_pq_topk_scan(
 def ivf_park(
     corpus: DataFrame,
     path: str,
-    k_cells: int = 8,
+    k_cells: int | None = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1830,7 +1830,15 @@ def ivf_park(
 
     Training is kmeans_train_assign: deterministic (md5-seeded init,
     fixed-order distance folds, decimal-exact means), so an oracle can
-    replay the parked assignment exactly."""
+    replay the parked assignment exactly.
+
+    ``k_cells=None`` derives k = max(2, isqrt(n)) — the FAISS-style
+    sqrt(n) cell count that keeps expected cell size ~sqrt(n), so probe
+    cost (nprobe cells) and per-cell scan cost grow as sqrt(corpus)
+    instead of one of them being fixture-pinned (round-11: the k_cells=8
+    default is sf0.1-sized; auto-k is the 100 TB knob). Probing a
+    many-cell parked index should use ivf_probe_cells_join (any-k probe)
+    rather than the unrolled-literal form."""
     assigned, cvals, cids = kmeans_train_assign(
         corpus,
         k=k_cells,
@@ -1888,6 +1896,41 @@ def ivf_probe_cells(
     )
 
 
+def ivf_probe_cells_join(
+    queries: DataFrame,
+    cents: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, qcell) via broadcast join + window — the ANY-k probe
+    twin of ivf_probe_cells: the unrolled-literal form embeds k x dims
+    constants into the plan (right for a fixture-sized k; expression
+    count blows past whole-stage codegen limits at a few hundred cells),
+    while this crossJoins the broadcast k-row centroid relation and ranks
+    by the same (fixed-order l2_chain, cid) order — the exact assignment
+    shape kmeans training itself uses (assign()'s min(struct)), so
+    nprobe=1 still reproduces the trained cell for corpus members and
+    the kmeans oracle CTEs replay any nprobe with a row_number. The
+    window ranks |queries| x k rows — the query side of an ANN probe,
+    never the corpus."""
+    scored = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            F.col("cid"),
+            l2_chain(F.col(vec_col), F.col("cvec")).alias("_d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", F.col("cid").alias("qcell"))
+    )
+
+
 def ivf_topk_scan(
     queries: DataFrame,
     path: str,
@@ -1895,6 +1938,7 @@ def ivf_topk_scan(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe: str = "unrolled",
 ) -> DataFrame:
     """IVF top-k against a PARKED index (ivf_park's artifact): load the
     centroid model (bounded driver read — k_cells rows, the IVF
@@ -1912,21 +1956,33 @@ def ivf_topk_scan(
     shrink probe cost exactly as ivf_topk's label-cell economics;
     ``nprobe`` > 1 scans each query's nprobe nearest cells — the
     standard IVF recall/latency knob (nprobe = k_cells degenerates to
-    the exact brute-force scan)."""
+    the exact brute-force scan).
+
+    ``probe="join"`` assigns queries to cells via the broadcast-join
+    probe (ivf_probe_cells_join) instead of the unrolled per-centroid
+    literals — required for auto-k (isqrt(n)-cell) parked indexes where
+    the unrolled form's k x dims plan constants stop being viable."""
     spark = queries.sparkSession
-    cents = sorted(
-        (int(r["cid"]), list(r["cvec"]))
-        for r in spark.read.parquet(f"{path}/centroids").collect()
-    )
+    if probe == "join":
+        cells = ivf_probe_cells_join(
+            queries,
+            spark.read.parquet(f"{path}/centroids"),
+            nprobe,
+            id_col,
+            vec_col,
+        )
+    else:
+        cents = sorted(
+            (int(r["cid"]), list(r["cvec"]))
+            for r in spark.read.parquet(f"{path}/centroids").collect()
+        )
+        cells = ivf_probe_cells(queries, cents, nprobe, id_col, vec_col)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
             _norm(F.col(vec_col)).alias("qn"),
-        ).join(
-            ivf_probe_cells(queries, cents, nprobe, id_col, vec_col),
-            "query_id",
-        )
+        ).join(cells, "query_id")
     )
     c = spark.read.parquet(f"{path}/cells").select(
         F.col(id_col).alias("neighbor_id"),

@@ -179,7 +179,7 @@ seeds{i + 1} AS (SELECT cid, cvec FROM seeds{i} UNION ALL SELECT cid, cvec FROM 
 
 
 def _kmeans_ctes(
-    k: int = KM_K,
+    k: int | str = KM_K,
     iters: int = KM_ITERS,
     dims: int = 64,
     init: str = "hash",
@@ -199,7 +199,12 @@ def _kmeans_ctes(
     DuckDB's multi-reference CTE sharing (every cross-scope reference
     re-derives its whole upstream; the by_residual oracle OOMed a
     32-thread run through ~65k mmaps of duplicated operator state, and
-    MATERIALIZED hints across scopes trip a DuckDB internal error)."""
+    MATERIALIZED hints across scopes trip a DuckDB internal error).
+
+    ``k`` may be a SQL string — e.g. a scalar subquery deriving
+    isqrt(n) — interpolated into the seeds CTE's LIMIT (hash init only:
+    kmeanspp unrolls one CTE per seed, so its k must be an int). The
+    assignment/update CTEs are k-independent, so nothing else changes."""
     dist = similarity.sql_l2_chain("e.embedding", "s.cvec", dims)
     mean_list = ", ".join(
         f"CAST(sum(CAST(CAST(embedding[{d}] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)"
@@ -230,6 +235,8 @@ def _kmeans_ctes(
     if init == "kmeanspp":
         if p:
             raise ValueError("prefix not supported with kmeanspp init")
+        if not isinstance(k, int):
+            raise ValueError("kmeanspp init needs an integer k (one CTE per seed)")
         ctes.extend(_kmeanspp_seed_ctes(k, dims))
     else:
         ctes.append(
@@ -976,11 +983,13 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_park_dir(sf_dir: str) -> str:
+def _ivf_park_dir(sf_dir: str, params: str | None = None) -> str:
     """Parked-IVF cache dir keyed on the embeddings file identity
     (realpath + size + mtime) and the training hyperparameters — the
     same fingerprint recipe as _pq_park_dir: a new fixture or parameter
-    change auto-invalidates, a same-data rerun reuses the trained index."""
+    change auto-invalidates, a same-data rerun reuses the trained index.
+    ``params`` overrides the hyperparameter tag (the auto-k twin parks
+    under its own key, never colliding with the fixture k=8 index)."""
     import hashlib
     import os
     import tempfile
@@ -989,7 +998,7 @@ def _ivf_park_dir(sf_dir: str) -> str:
     st = os.stat(emb)
     key = hashlib.md5(
         f"{os.path.realpath(emb)}:{st.st_size}:{st.st_mtime_ns}:"
-        f"k{KM_K}:i{KM_ITERS}".encode()
+        f"{params or f'k{KM_K}:i{KM_ITERS}'}".encode()
     ).hexdigest()
     return os.path.join(tempfile.gettempdir(), "hadoop_1_spark_ivf", key)
 
@@ -1400,4 +1409,52 @@ def sim_bq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.bq_ivf_topk_scan(
         emb, emb.where("vec_id < 10"), path, k=K, rerank=RERANK,
         nprobe=IVF_NPROBE,
+    )
+
+
+# Auto-k SQL twin of kmeans_train_assign's k=None: max(2, isqrt(n)).
+# floor(sqrt(n)) over a double equals math.isqrt for every feasible corpus
+# size here (they can only differ where the double sqrt of an integer
+# rounds across an integer boundary, ~2^52-scale corpora).
+_AUTO_K_SQL = (
+    "(SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
+)
+
+
+def _ivf_auto_oracle() -> str:
+    """sim_ivf_topk_scan's oracle with the seeds CTE's LIMIT swapped to
+    the isqrt(n) scalar subquery — everything else (training replay,
+    nprobe=1 cell join, cosine, rank) is identical, so the auto-k twin
+    can only diverge from the fixture-k scan through k itself."""
+    return (
+        "WITH " + ",\n".join(_kmeans_ctes(k=_AUTO_K_SQL))
+        + f""",
+q AS (SELECT vec_id AS query_id, embedding AS qv, {_NRM} AS qn, cid AS qcell FROM afinal WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, {_NRM} AS cn, cid AS ccell FROM afinal),
+p AS (SELECT query_id, neighbor_id, qv, cv, qn, cn FROM q JOIN c ON qcell = ccell AND query_id <> neighbor_id),
+{_COSINE_CTES}
+{_FINAL}"""
+    )
+
+
+@register("sim_ivf_auto_topk_scan", oracle=_ivf_auto_oracle())
+def sim_ivf_auto_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 against an AUTO-SIZED parked index: k_cells=None derives
+    k = max(2, isqrt(n)) at park time (expected cell size ~sqrt(n) — the
+    FAISS-style default that keeps probe cost AND per-cell scan cost
+    sqrt(corpus) as data grows, where the fixture k=8 would let cells
+    grow linearly), and the probe uses the broadcast-join assignment
+    (ivf_probe_cells_join) instead of unrolled per-centroid literals —
+    the any-k probe an isqrt(n)-cell index requires. Oracle replays
+    training with the same isqrt(n) via a scalar-subquery LIMIT in the
+    seeds CTE. See similarity.ivf_park (k_cells=None) /
+    similarity.ivf_probe_cells_join."""
+    import os
+
+    emb = _load(spark, sf_dir, "embeddings")
+    path = _ivf_park_dir(sf_dir, params=f"kauto:i{KM_ITERS}")
+    if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+        similarity.ivf_park(emb, path, k_cells=None, iters=KM_ITERS)
+    return similarity.ivf_topk_scan(
+        emb.where("vec_id < 10"), path, k=K, probe="join"
     )

@@ -917,3 +917,37 @@ def test_bq_ivf_park_codes_match_cells(spark, tmp_path):
     j = cells.join(codes, ["vec_id", "cell"], "full_outer")
     assert j.where("want IS NULL OR got IS NULL OR want <> got").count() == 0
     assert codes.count() == emb.count()
+
+
+def test_ivf_auto_topk_scan_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sim_ivf_auto_topk_scan")
+
+
+def test_probe_join_equals_unrolled_probe(spark, tmp_path):
+    """The broadcast-join probe must pick EXACTLY the cells the
+    unrolled-literal probe picks (same fixed-order l2, same (d, cid)
+    tie-break) for every query and nprobe — the any-k twin can never
+    change an assignment."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_park(emb, path, k_cells=4, iters=1)
+    cents_df = spark.read.parquet(f"{path}/centroids")
+    cents = sorted((int(r["cid"]), list(r["cvec"])) for r in cents_df.collect())
+    q = emb.where("vec_id < 30")
+    for nprobe in (1, 3):
+        a = {(r["query_id"], r["qcell"]) for r in similarity.ivf_probe_cells(
+            q, cents, nprobe, "vec_id", "embedding").collect()}
+        b = {(r["query_id"], r["qcell"]) for r in similarity.ivf_probe_cells_join(
+            q, cents_df, nprobe, "vec_id", "embedding").collect()}
+        assert a == b
+
+
+def test_ivf_park_auto_k_is_isqrt(spark, tmp_path):
+    """k_cells=None must train max(2, isqrt(n)) centroids."""
+    import math
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where("vec_id < 120")
+    path = str(tmp_path / "auto")
+    similarity.ivf_park(emb, path, k_cells=None, iters=1)
+    got = spark.read.parquet(f"{path}/centroids").count()
+    assert got == max(2, math.isqrt(emb.count()))
