@@ -846,8 +846,10 @@ def bq_topk(
     Scale shape at 100 TB: the scanned relation is ONE long per corpus
     vector (8 bytes vs 256 for float32 — parquet column-pruned), queries
     broadcast, per-candidate work is xor+popcount in codegen; floats are
-    touched only by <= |queries| x rerank survivors. Compose with the
-    IVF cell partition (ivf_park) for a partition-pruned binary tier."""
+    touched only by <= |queries| x rerank survivors. The partition-pruned
+    composition with the IVF cell partition EXISTS as bq_ivf_park /
+    bq_ivf_topk_scan (round-11): codes parked by trained cell, probes
+    DPP-pruned to nprobe cell directories."""
     code = bq_code(F.col(vec_col), dims)
     qq = queries.select(F.col(id_col).alias("query_id"), code.alias("qcode"))
     cc = corpus.select(F.col(id_col).alias("neighbor_id"), code.alias("ccode"))
