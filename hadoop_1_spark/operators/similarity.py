@@ -1669,7 +1669,7 @@ def residual_relation(
 def ivf_pq_park(
     corpus: DataFrame,
     path: str,
-    k_cells: int = 8,
+    k_cells: int | None = 8,
     cell_iters: int = 2,
     m: int = 4,
     subdim: int = 16,
@@ -1692,7 +1692,9 @@ def ivf_pq_park(
     trained on residual_relation's (vector - assigned centroid) — the
     canonical FAISS default, where the codebooks see the low-variance
     residual distribution. Either way both trainings are the existing
-    deterministic recipes and the oracle composes their replays."""
+    deterministic recipes and the oracle composes their replays.
+    ``k_cells=None`` derives max(2, isqrt(n)) coarse cells exactly as
+    ivf_park's auto-k (probe such an index with probe="join")."""
     assigned, cvals, cids = kmeans_train_assign(
         corpus,
         k=k_cells,
@@ -1753,6 +1755,7 @@ def ivf_pq_topk_scan(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     by_residual: bool = False,
+    probe: str = "unrolled",
 ) -> DataFrame:
     """IVF-PQ top-k against the PARKED index (ivf_pq_park's artifact) —
     the production vector-search read path end-to-end: load the coarse
@@ -1774,18 +1777,28 @@ def ivf_pq_topk_scan(
     ``by_residual=True`` reads an index parked with the same flag: the
     LUT side switches to per-(query, probed-cell) tables over the query
     residual (see _pq_adc_scan) — everything else (DPP-pruned code read,
-    ADC adds, shortlist, exact float rerank) is the same plan."""
+    ADC adds, shortlist, exact float rerank) is the same plan.
+
+    ``probe="join"`` uses the broadcast-join cell assignment
+    (ivf_probe_cells_join) — the any-k probe for auto-k
+    (isqrt(n)-cell) parked indexes, where unrolled per-centroid plan
+    literals stop being viable; the centroid model then enters the plan
+    only as the broadcast k-row relation, never collected."""
     spark = queries.sparkSession
-    cents = sorted(
-        (int(r["cid"]), list(r["cvec"]))
-        for r in spark.read.parquet(f"{path}/centroids").collect()
-    )
-    qcells = ivf_probe_cells(queries, cents, nprobe, id_col, vec_col)
-    residual_cents = None
-    if by_residual:
-        residual_cents = spark.createDataFrame(
-            [(c, v) for c, v in cents], "cid int, cvec array<double>"
+    cents_df = spark.read.parquet(f"{path}/centroids")
+    if probe == "join":
+        qcells = ivf_probe_cells_join(queries, cents_df, nprobe, id_col, vec_col)
+        residual_cents = cents_df if by_residual else None
+    else:
+        cents = sorted(
+            (int(r["cid"]), list(r["cvec"])) for r in cents_df.collect()
         )
+        qcells = ivf_probe_cells(queries, cents, nprobe, id_col, vec_col)
+        residual_cents = None
+        if by_residual:
+            residual_cents = spark.createDataFrame(
+                [(c, v) for c, v in cents], "cid int, cvec array<double>"
+            )
     cb = spark.read.parquet(f"{path}/codebooks").collect()
     books: list[tuple[list[list[float]], list[int]]] = []
     for s in range(m):

@@ -1041,12 +1041,14 @@ def sim_ivf_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_scan(emb.where("vec_id < 10"), path, k=K)
 
 
-def _ivf_pq_oracle() -> str:
+def _ivf_pq_oracle(k: int | str = KM_K) -> str:
     """IVF-PQ scan replay: the flat _pq_adc_oracle with its candidate
     stage restricted to same-trained-cell pairs — cells from the shared
     kmeans CTEs (afinal), PQ trainings/LUTs/ADC sum/shortlist/rerank
     verbatim from the PQ machinery, so neither training can diverge from
-    its standalone oracle."""
+    its standalone oracle. ``k`` feeds the cell training's seeds LIMIT
+    (the auto-k twin passes the isqrt(n) scalar subquery); the PQ
+    codebook trainings are k-independent."""
     chains, code_tables = _pq_subspace_sql()
     lut_ctes = []
     for m in range(PQ_M):
@@ -1068,7 +1070,7 @@ def _ivf_pq_oracle() -> str:
     )
     adist = " + ".join(f"lut{m}.d" for m in range(PQ_M))
     return (
-        "WITH " + ",\n".join(_kmeans_ctes())
+        "WITH " + ",\n".join(_kmeans_ctes(k=k))
         + f""",
 qcell AS (SELECT vec_id AS query_id, cid AS qc FROM afinal WHERE vec_id < 10),
 codes AS (SELECT * FROM {codes_from}),
@@ -1096,9 +1098,10 @@ p AS (
     )
 
 
-def _ivf_pq_park_dir(sf_dir: str) -> str:
+def _ivf_pq_park_dir(sf_dir: str, kc: str | None = None) -> str:
     """Parked IVF-PQ cache dir — the _pq_park_dir fingerprint recipe over
-    BOTH trainings' hyperparameters."""
+    BOTH trainings' hyperparameters. ``kc`` overrides the coarse-cell
+    tag (the auto-k twin parks under kc=auto)."""
     import hashlib
     import os
     import tempfile
@@ -1107,7 +1110,7 @@ def _ivf_pq_park_dir(sf_dir: str) -> str:
     st = os.stat(emb)
     key = hashlib.md5(
         f"{os.path.realpath(emb)}:{st.st_size}:{st.st_mtime_ns}:"
-        f"kc{KM_K}:ci{KM_ITERS}:m{PQ_M}:d{PQ_SUBDIM}:k{PQ_K}:i{PQ_ITERS}".encode()
+        f"kc{kc or KM_K}:ci{KM_ITERS}:m{PQ_M}:d{PQ_SUBDIM}:k{PQ_K}:i{PQ_ITERS}".encode()
     ).hexdigest()
     return os.path.join(tempfile.gettempdir(), "hadoop_1_spark_ivfpq", key)
 
@@ -1457,4 +1460,31 @@ def sim_ivf_auto_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.ivf_park(emb, path, k_cells=None, iters=KM_ITERS)
     return similarity.ivf_topk_scan(
         emb.where("vec_id < 10"), path, k=K, probe="join"
+    )
+
+
+@register("sim_ivf_pq_auto_topk_scan", oracle=_ivf_pq_oracle(k=_AUTO_K_SQL))
+def sim_ivf_pq_auto_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 against an AUTO-SIZED parked index — the auto-k twin
+    of sim_ivf_pq_topk_scan: k_cells=None trains max(2, isqrt(n)) coarse
+    cells (expected cell size ~sqrt(n)), the probe assigns queries with
+    the broadcast-join rule (probe="join" — the centroid model is never
+    collected), and the DPP-pruned code read + LUT adds + shortlist +
+    exact rerank are byte-for-byte sim_ivf_pq_topk_scan's fragments.
+    The oracle is _ivf_pq_oracle with the cell training's seeds LIMIT
+    swapped to the isqrt(n) scalar subquery. Together with
+    sim_ivf_auto_topk_scan this closes the auto-k story for both parked
+    tiers (floats and PQ codes)."""
+    import os
+
+    emb = _load(spark, sf_dir, "embeddings")
+    path = _ivf_pq_park_dir(sf_dir, kc="auto")
+    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        similarity.ivf_pq_park(
+            emb, path, k_cells=None, cell_iters=KM_ITERS,
+            m=PQ_M, subdim=PQ_SUBDIM, kcb=PQ_K, iters=PQ_ITERS,
+        )
+    return similarity.ivf_pq_topk_scan(
+        emb, emb.where("vec_id < 10"), path, k=K, rerank=PQ_RERANK,
+        m=PQ_M, subdim=PQ_SUBDIM, probe="join",
     )

@@ -179,6 +179,10 @@ QUERIES = [
     "dedup_ngram_autocap",
     "sim_ivf_pq_residual_topk_scan",
     "sim_bq_topk",
+    # round-11 block
+    "sim_bq_ivf_topk",
+    "sim_ivf_auto_topk_scan",
+    "sim_ivf_pq_auto_topk_scan",
     # remaining per-pair _cosine consumers (r8 verdict #5 audit): bounded
     # candidate sets by contract — the gate proves the bound holds at sf1
     "sim_lsh_topk",

@@ -951,3 +951,7 @@ def test_ivf_park_auto_k_is_isqrt(spark, tmp_path):
     similarity.ivf_park(emb, path, k_cells=None, iters=1)
     got = spark.read.parquet(f"{path}/centroids").count()
     assert got == max(2, math.isqrt(emb.count()))
+
+
+def test_ivf_pq_auto_topk_scan_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sim_ivf_pq_auto_topk_scan")
