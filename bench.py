@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "sim_bq_ivf_topk",         # parked binary tier: DPP-pruned cells x xor+popcount
     "sim_ivf_auto_topk_scan",  # isqrt(n)-cell parked IVF, broadcast-join probe
     "sim_ivf_pq_auto_topk_scan",  # auto-k IVF-PQ twin (probe="join")
+    "corpus_dsir_select",      # DSIR importance selection (hashed-bigram models)
 ]
 
 

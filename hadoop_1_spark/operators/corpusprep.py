@@ -405,3 +405,113 @@ def mix_temperature(
         "share_q6",
         F.expr("(_w * 1000000) div _wtot").cast("bigint").alias("temp_share_q6"),
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 1024,
+    share: tuple[int, int] = (1, 4),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection (Data Selection with Importance
+    Resampling, Xie et al. 2023 — public method): fit hashed-bigram
+    bucket LMs on the TARGET slice (``target`` is a boolean Column over
+    ``docs``) and on the RAW corpus, score every document by the mean
+    Laplace-smoothed bucket probability ratio p_t(b)/p_r(b) over its
+    bigrams, and select the top ``share[0]/share[1]`` of documents by
+    (importance DESC, id) — the deterministic top-k variant of the
+    paper's Gumbel resampling (driver RNG is not oracle-replayable; the
+    paper evaluates noise-free top-k selection as a variant).
+
+    Exact integer arithmetic throughout — no logs, no floats (the same
+    oracle-ability trade as textops.lm_score, which documents why a
+    log/perplexity twin cannot be checked across engines):
+
+    - bucket(b) = shingle_hash(bigram) % n_buckets (md5-derived, both
+      engines replay it);
+    - per bucket, ratio_q6 = ((c_t+1)(N_r+B) * 10^6) div
+      ((c_r+1)(N_t+B)) — the Laplace-smoothed probability ratio in q6
+      fixed point, computed in decimal(38,0) so corpus-scale products
+      never overflow;
+    - per doc, dsir_q6 = mean of ratio_q6 over its bigrams (arithmetic
+      mean stands in for the paper's sum-of-logs exactly as lm_score's
+      mean inverse probability stands in for perplexity: both are
+      monotone in the per-gram ratios and need no logs);
+    - selected = global rank by (dsir_q6 DESC, id) * share[1]
+      <= n_docs * share[0] — an exact cross-multiplied cut.
+
+    Scale shape at 100 TB: both bucket models are B-row relations ->
+    broadcast joins against the exploded gram stream (the corpus is
+    never shuffled on grams); per-doc scores are one groupBy on id; the
+    only total-order machinery is sort.global_rank's range shuffle over
+    the (doc, score) relation — the budget-trim primitive, never a
+    single-partition window. Reference analog: the md5-bucket sampling
+    discipline of SequenceFileInputFilter.MD5Filter
+    (mapred/SequenceFileInputFilter.java:242)."""
+    from hadoop_1_spark.operators import sort as sortops
+
+    B = n_buckets
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), textops.TOKEN_RE),
+        lambda t: t != F.lit(""),
+    )
+    grams_arr = F.when(
+        F.size(F.col("_t")) >= 2,
+        F.expr("transform(sequence(1, size(_t) - 1), "
+               "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"),
+    ).otherwise(F.expr("array()"))
+    grams = (
+        docs.select(F.col(id_col), target.alias("_is_t"), toks.alias("_t"))
+        .select(F.col(id_col), "_is_t", F.explode_outer(grams_arr).alias("_g"))
+        .select(
+            F.col(id_col),
+            "_is_t",
+            F.when(
+                F.col("_g").isNotNull(),
+                textops.shingle_hash(F.col("_g"), 0) % B,
+            ).alias("_b"),
+        )
+    )
+    raw = grams.where(F.col("_b").isNotNull()).groupBy("_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cr"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).cast("bigint").alias("_ct"),
+    )
+    totals = raw.agg(
+        F.coalesce(F.sum("_cr"), F.lit(0)).cast("bigint").alias("_nr"),
+        F.coalesce(F.sum("_ct"), F.lit(0)).cast("bigint").alias("_nt"),
+    )
+    model = raw.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        F.expr(
+            f"cast((cast(_ct + 1 as decimal(38,0)) * (_nr + {B}) * 1000000)"
+            f" div (cast(_cr + 1 as decimal(38,0)) * (_nt + {B})) as bigint)"
+        ).alias("_ratio_q6"),
+    )
+    per = (
+        grams.join(F.broadcast(model), "_b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_b").cast("bigint").alias("n_grams"),
+            F.coalesce(F.sum("_ratio_q6"), F.lit(0)).cast("bigint").alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.expr("_s div greatest(n_grams, CAST(1 AS BIGINT))")
+            .cast("bigint")
+            .alias("dsir_q6"),
+        )
+    )
+    ranked = sortops.global_rank(
+        per, F.desc("dsir_q6"), F.asc(id_col)
+    )
+    n_docs = per.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    return ranked.crossJoin(F.broadcast(n_docs)).select(
+        F.col(id_col),
+        "n_grams",
+        "dsir_q6",
+        F.col("rank").cast("bigint").alias("rank"),
+        (F.col("rank") * share[1] <= F.col("_n") * share[0]).alias("selected"),
+    )

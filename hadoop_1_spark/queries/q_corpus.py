@@ -978,3 +978,71 @@ def corpus_split_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hit"), F.lit(0)) * 10 >= F.col("n_fps") * 5
         ).alias("leaked"),
     )
+
+
+_DSIR_B = 1024
+
+
+@register(
+    "corpus_dsir_select",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks
+),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('0:' || g), 1, 15))::BIGINT % {_DSIR_B} AS bk,
+         (lang = 'en') AS is_t
+  FROM grams
+),
+raw AS (
+  SELECT bk, count(*) AS cr,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+  FROM b GROUP BY bk
+),
+tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM raw),
+model AS (
+  SELECT bk,
+         CAST(((ct + 1)::HUGEINT * (tot.nr + {_DSIR_B}) * 1000000)
+              // ((cr + 1)::HUGEINT * (tot.nt + {_DSIR_B})) AS BIGINT) AS ratio_q6
+  FROM raw, tot
+),
+per AS (
+  SELECT d.doc_id,
+         CAST(count(m.ratio_q6) AS BIGINT) AS n_grams,
+         CAST(coalesce(sum(m.ratio_q6), 0)
+              // greatest(count(m.ratio_q6), 1) AS BIGINT) AS dsir_q6
+  FROM documents d
+  LEFT JOIN b ON b.doc_id = d.doc_id
+  LEFT JOIN model m ON m.bk = b.bk
+  GROUP BY d.doc_id
+),
+nd AS (SELECT count(*) AS n FROM documents),
+r AS (
+  SELECT doc_id, n_grams, dsir_q6,
+         CAST(row_number() OVER (ORDER BY dsir_q6 DESC, doc_id) AS BIGINT) AS rank
+  FROM per
+)
+SELECT doc_id, n_grams, dsir_q6, rank, (rank * 4 <= nd.n * 1) AS selected
+FROM r, nd
+""",
+)
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection toward an English target domain:
+    hashed-bigram bucket LMs (B=1024) for the lang='en' slice vs the raw
+    corpus, per-doc q6 mean probability ratio, top-quarter selection by
+    (importance DESC, doc_id) — exact integer arithmetic end-to-end
+    (decimal(38,0) products, integer quotients, cross-multiplied cut),
+    so the oracle replays buckets, both models, scores, ranks, and the
+    selection bit-for-bit. See corpusprep.dsir_importance."""
+    docs = _load(spark, sf_dir, "documents")
+    return corpusprep.dsir_importance(
+        docs, F.col("lang") == "en", n_buckets=_DSIR_B, share=(1, 4)
+    )

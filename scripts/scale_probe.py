@@ -183,6 +183,7 @@ QUERIES = [
     "sim_bq_ivf_topk",
     "sim_ivf_auto_topk_scan",
     "sim_ivf_pq_auto_topk_scan",
+    "corpus_dsir_select",
     # remaining per-pair _cosine consumers (r8 verdict #5 audit): bounded
     # candidate sets by contract — the gate proves the bound holds at sf1
     "sim_lsh_topk",

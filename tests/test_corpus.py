@@ -392,3 +392,28 @@ def test_split_leak_detects_verbatim_copy(spark):
     assert rows[8]["leaked"] is True and rows[8]["n_hit"] == rows[8]["n_fps"]
     assert rows[20]["leaked"] is False and rows[20]["n_hit"] == 0
     assert rows[8]["split"] == "test"
+
+
+def test_corpus_dsir_select_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "corpus_dsir_select")
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """Selection must skew toward the target distribution: with lang='en'
+    as the target, the selected quarter should be majority-en (the raw
+    corpus is ~44% en), every doc gets exactly one rank, and the selected
+    count is exactly floor(n/4)."""
+    from hadoop_1_spark import registry
+    from hadoop_1_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = registry.QUERIES["corpus_dsir_select"](spark, SF_DIR)
+    rows = out.join(docs.select("doc_id", "lang"), "doc_id").collect()
+    n = len(rows)
+    assert sorted(r["rank"] for r in rows) == list(range(1, n + 1))
+    sel = [r for r in rows if r["selected"]]
+    assert len(sel) == n // 4
+    en_share_sel = sum(1 for r in sel if r["lang"] == "en") / len(sel)
+    en_share_all = sum(1 for r in rows if r["lang"] == "en") / n
+    assert en_share_sel > en_share_all
