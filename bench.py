@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "sim_ivf_auto_topk_scan",  # isqrt(n)-cell parked IVF, broadcast-join probe
     "sim_ivf_pq_auto_topk_scan",  # auto-k IVF-PQ twin (probe="join")
     "corpus_dsir_select",      # DSIR importance selection (hashed-bigram models)
+    "dedup_containment",       # directed n-gram containment (quote/subset dups)
+    "dedup_sentences",         # sentence-level duplication report
 ]
 
 

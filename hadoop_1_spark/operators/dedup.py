@@ -1135,3 +1135,125 @@ def prefix_filter_jaccard_pairs(
         .cast("bigint")
         .alias("jaccard_q6"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: directed (src, dst, containment)
+    with containment(src -> dst) = |S_src ∩ S_dst| / |S_src| >= threshold
+    over k-token shingle SETS. The asymmetric twin of ngram_jaccard_pairs
+    for the case Jaccard structurally misses: a short document quoted
+    inside a long one has Jaccard ~|src|/|dst| (tiny) but containment ~1
+    — the quote/boilerplate/subset-duplicate detector training-data
+    pipelines run alongside symmetric near-dup (public practice:
+    Broder's containment from the same resemblance sketch family).
+
+    Shape: one shingle self-join (the intersection is computed ONCE per
+    unordered pair, then both directions are emitted and thresholded —
+    the join never runs twice), sizes joined back by id. Same skew story
+    as ngram_jaccard_pairs: ``df_cap`` drops shingles in more than
+    df_cap docs before the self-join (at web scale a 1M-doc shingle is
+    10^12 join rows); the capped variant REMOVES those shingles from
+    intersections only — sizes stay the true set sizes, so containment
+    is a lower bound under the cap, never inflated."""
+    sh = textops.shingles(df, k=k, text_col=text_col, id_col=id_col)
+    if df_cap is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(
+            F.broadcast(freq.where(F.col("df") > df_cap)), "shingle", "left_anti"
+        )
+    sh = _persist(sh)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("c"))
+    )
+    both = inter.join(
+        sizes.select(F.col(id_col).alias("d1"), F.col("n").alias("n1")), "d1"
+    ).join(sizes.select(F.col(id_col).alias("d2"), F.col("n").alias("n2")), "d2")
+    fwd = both.select(
+        F.col("d1").alias("src"),
+        F.col("d2").alias("dst"),
+        (F.col("c").cast("double") / F.col("n1")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("d2").alias("src"),
+        F.col("d1").alias("dst"),
+        (F.col("c").cast("double") / F.col("n2")).alias("containment"),
+    )
+    return fwd.unionAll(rev).where(F.col("containment") >= threshold)
+
+
+def sentence_dedup_stats(
+    df: DataFrame,
+    min_chars: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-level duplication report: split each document into
+    sentences ([.!?]+ boundaries), normalize (lowercase, collapsed
+    whitespace), drop fragments under ``min_chars``, and per document
+    count how many of its DISTINCT sentences also occur in at least one
+    OTHER document — the boilerplate/churnalism signal sentence-level
+    dedup pipelines act on (docs whose prose is mostly shared lines:
+    cookie banners, templated reviews, syndicated paragraphs).
+
+    Output (id, n_sents, n_dup, boilerplate) with boilerplate =
+    n_dup * 2 >= n_sents (an exact cross-multiplied >= 50% cut; no
+    float share crosses engines). Scale shape: the sentence relation is
+    (doc, md5) rows; duplication is one groupBy on the hash counting
+    DISTINCT docs (map-side partial), joined back on the hash — two
+    hash-key shuffles and one per-doc aggregation, never a self-join
+    (sentence identity is exact equality, so no pair enumeration
+    exists). The reference analog is the line-oriented dedup idiom of
+    sort -u / secondary sort (SURVEY §2.6)."""
+    sents = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), r"[.!?]+")).alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            normalize_text(F.col("_s")).alias("_n"),
+        )
+        .where(F.length("_n") >= min_chars)
+        .select(F.col(id_col), F.md5(F.col("_n")).alias("_h"))
+        .distinct()
+    )
+    sents = _persist(sents)
+    docs_per_sent = sents.groupBy("_h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_docs")
+    )
+    per = (
+        sents.join(docs_per_sent, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sents"),
+            F.sum(F.when(F.col("_docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_sents"), F.lit(0)).cast("bigint").alias("n_sents"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup"),
+            (
+                F.coalesce(F.col("n_dup"), F.lit(0)) * 2
+                >= F.greatest(F.coalesce(F.col("n_sents"), F.lit(0)), F.lit(1))
+            ).alias("boilerplate"),
+        )
+    )

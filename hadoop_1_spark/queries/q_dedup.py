@@ -696,3 +696,70 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_filter_jaccard_pairs(
         sh, "doc_id", "shingle", t_num=3, t_den=5
     )
+
+
+CONTAIN_T = 0.5
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH {_SHINGLE_CTES},
+cont AS (
+  SELECT d1 AS src, d2 AS dst, CAST(c AS DOUBLE) / s1.n AS containment
+  FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst, CAST(c AS DOUBLE) / s2.n AS containment
+  FROM inter JOIN sizes s2 ON d2 = s2.doc_id
+)
+SELECT src, dst, containment FROM cont WHERE containment >= {CONTAIN_T}
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram CONTAINMENT pairs at threshold 0.5 — the
+    asymmetric twin of dedup_ngram_jaccard: containment(src -> dst) =
+    |S_src ∩ S_dst| / |S_src| finds quotes/boilerplate/subset
+    duplicates Jaccard structurally misses when sizes differ (a short
+    doc quoted in a long one has Jaccard ~|src|/|dst| but containment
+    ~1). The intersection is computed once per unordered pair; both
+    directions are emitted and thresholded. See
+    dedup.containment_pairs (df_cap is the same skew guard as the
+    Jaccard path)."""
+    return dedup.containment_pairs(
+        _load(spark, sf_dir, "documents"), k=3, threshold=CONTAIN_T
+    )
+
+
+@register(
+    "dedup_sentences",
+    oracle="""
+WITH s0 AS (
+  SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS s FROM documents
+),
+sn AS (
+  SELECT DISTINCT doc_id,
+         md5(trim(regexp_replace(lower(s), '\\s+', ' ', 'g'))) AS h
+  FROM s0
+  WHERE length(trim(regexp_replace(lower(s), '\\s+', ' ', 'g'))) >= 20
+),
+dps AS (SELECT h, count(*) AS docs FROM sn GROUP BY h),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+         CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM sn JOIN dps USING (h) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_sents, 0) AS n_sents,
+       coalesce(per.n_dup, 0) AS n_dup,
+       (coalesce(per.n_dup, 0) * 2 >= greatest(coalesce(per.n_sents, 0), 1)) AS boilerplate
+FROM documents d LEFT JOIN per USING (doc_id)
+""",
+)
+def dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level duplication report: per document, how many of its
+    distinct normalized sentences (>= 20 chars) occur in at least one
+    other document; boilerplate = exact cross-multiplied >= 50% cut.
+    Never a self-join — sentence identity is exact md5 equality, so the
+    duplication count is one groupBy on the hash. See
+    dedup.sentence_dedup_stats."""
+    return dedup.sentence_dedup_stats(_load(spark, sf_dir, "documents"))

@@ -184,6 +184,8 @@ QUERIES = [
     "sim_ivf_auto_topk_scan",
     "sim_ivf_pq_auto_topk_scan",
     "corpus_dsir_select",
+    "dedup_containment",
+    "dedup_sentences",
     # remaining per-pair _cosine consumers (r8 verdict #5 audit): bounded
     # candidate sets by contract — the gate proves the bound holds at sf1
     "sim_lsh_topk",

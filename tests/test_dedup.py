@@ -341,3 +341,52 @@ def test_prefix_filter_exact_boundary_threshold(spark):
     df = spark.createDataFrame(rows, "id bigint, item string")
     out = dedup.prefix_filter_jaccard_pairs(df, "id", "item", t_num=1, t_den=3).collect()
     assert [(r.id_a, r.id_b, r.jaccard_q6) for r in out] == [(1, 2, 333333)]
+
+
+def test_containment_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "dedup_containment")
+
+
+def test_sentences_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "dedup_sentences")
+
+
+def test_containment_finds_quote_jaccard_misses(spark):
+    """The motivating asymmetry: a short doc fully quoted inside a long
+    one must score containment 1.0 (short -> long) while its Jaccard
+    stays under any dedup threshold."""
+    from hadoop_1_spark.operators import dedup
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        "doc_id long, text string",
+    )
+    cont = {(r["src"], r["dst"]): r["containment"]
+            for r in dedup.containment_pairs(df, k=3, threshold=0.5).collect()}
+    assert cont[(1, 2)] == 1.0
+    assert (2, 1) not in cont  # long doc is NOT contained in the quote
+    jac = dedup.ngram_jaccard_pairs(df, k=3, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses the pair entirely
+
+
+def test_sentence_dedup_flags_boilerplate(spark):
+    """A doc whose sentences are mostly shared lines is flagged; a doc of
+    unique prose is not; sub-min_chars fragments don't count."""
+    from hadoop_1_spark.operators import dedup
+
+    shared = "This cookie banner sentence is shared boilerplate text."
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} Unique opening line for document one."),
+            (2, f"{shared} Entirely different closing line for two."),
+            (3, "Totally original prose with no duplicated sentences here. ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.sentence_dedup_stats(df).collect()}
+    assert rows[1]["n_dup"] == 1 and rows[1]["boilerplate"]
+    assert rows[2]["n_dup"] == 1 and rows[2]["boilerplate"]
+    assert rows[3]["n_dup"] == 0 and not rows[3]["boilerplate"]
+    assert rows[3]["n_sents"] == 1  # the trailing "ok" fragment dropped
