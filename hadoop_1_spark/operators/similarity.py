@@ -1784,6 +1784,8 @@ def ivf_pq_topk_scan(
     (isqrt(n)-cell) parked indexes, where unrolled per-centroid plan
     literals stop being viable; the centroid model then enters the plan
     only as the broadcast k-row relation, never collected."""
+    if probe not in ("unrolled", "join"):
+        raise ValueError(f"unknown probe {probe!r} (want 'unrolled' or 'join')")
     spark = queries.sparkSession
     cents_df = spark.read.parquet(f"{path}/centroids")
     if probe == "join":
@@ -1977,6 +1979,8 @@ def ivf_topk_scan(
     probe (ivf_probe_cells_join) instead of the unrolled per-centroid
     literals — required for auto-k (isqrt(n)-cell) parked indexes where
     the unrolled form's k x dims plan constants stop being viable."""
+    if probe not in ("unrolled", "join"):
+        raise ValueError(f"unknown probe {probe!r} (want 'unrolled' or 'join')")
     spark = queries.sparkSession
     if probe == "join":
         cells = ivf_probe_cells_join(

@@ -955,3 +955,32 @@ def test_ivf_park_auto_k_is_isqrt(spark, tmp_path):
 
 def test_ivf_pq_auto_topk_scan_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "sim_ivf_pq_auto_topk_scan")
+
+
+def test_ivf_pq_residual_join_probe_bit_identical(spark, tmp_path):
+    """by_residual + probe="join" (residual_cents read straight from the
+    parked parquet, never collected) must return exactly what the
+    unrolled probe returns — same cells, same LUTs, same ranks."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "res")
+    similarity.ivf_pq_park(
+        emb, path, k_cells=4, cell_iters=1, m=4, subdim=16, kcb=8,
+        iters=1, by_residual=True,
+    )
+    q = emb.where("vec_id < 5")
+    kw = dict(k=3, rerank=10, m=4, subdim=16, by_residual=True)
+    a = sorted(map(tuple, similarity.ivf_pq_topk_scan(
+        emb, q, path, probe="unrolled", **kw).collect()))
+    b = sorted(map(tuple, similarity.ivf_pq_topk_scan(
+        emb, q, path, probe="join", **kw).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_unknown_probe_raises(spark, tmp_path):
+    import pytest
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where("vec_id < 50")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_park(emb, path, k_cells=2, iters=1)
+    with pytest.raises(ValueError, match="unknown probe"):
+        similarity.ivf_topk_scan(emb, path, probe="jion")
