@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "sim_ivf_pq_auto_topk_scan",  # auto-k IVF-PQ twin (probe="join")
     "corpus_dsir_select",      # DSIR importance selection (hashed-bigram models)
     "dedup_containment",       # directed n-gram containment (quote/subset dups)
+    "dedup_containment_capped",# df_cap skew-guarded twin (the gated scale path)
     "dedup_sentences",         # sentence-level duplication report
 ]
 

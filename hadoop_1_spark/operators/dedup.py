@@ -1159,9 +1159,10 @@ def containment_pairs(
     the join never runs twice), sizes joined back by id. Same skew story
     as ngram_jaccard_pairs: ``df_cap`` drops shingles in more than
     df_cap docs before the self-join (at web scale a 1M-doc shingle is
-    10^12 join rows); the capped variant REMOVES those shingles from
-    intersections only — sizes stay the true set sizes, so containment
-    is a lower bound under the cap, never inflated."""
+    10^12 join rows); under the cap BOTH the intersections and the set
+    sizes are over the capped shingle sets (the dedup_ngram_jaccard_capped
+    convention — the statistic is containment of the rare-shingle
+    profile, and the oracle replays it identically)."""
     sh = textops.shingles(df, k=k, text_col=text_col, id_col=id_col)
     if df_cap is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))

@@ -763,3 +763,30 @@ def dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication count is one groupBy on the hash. See
     dedup.sentence_dedup_stats."""
     return dedup.sentence_dedup_stats(_load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_containment_capped",
+    oracle=f"""
+WITH {_SHINGLE_CTES_CAPPED},
+cont AS (
+  SELECT d1 AS src, d2 AS dst, CAST(c AS DOUBLE) / s1.n AS containment
+  FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst, CAST(c AS DOUBLE) / s2.n AS containment
+  FROM inter JOIN sizes s2 ON d2 = s2.doc_id
+)
+SELECT src, dst, containment FROM cont WHERE containment >= {CONTAIN_T}
+""",
+)
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df_cap skew-guarded containment twin (same arrangement as
+    dedup_ngram_jaccard / _capped): shingles in more than DF_CAP
+    documents are dropped before the self-join, so the pair count stays
+    bounded on degenerate vocabularies — the variant to gate/run at
+    scale, while dedup_containment is the exact baseline. Sizes are the
+    CAPPED set sizes in both engines (the _capped Jaccard convention),
+    so the two engines replay the identical statistic."""
+    return dedup.containment_pairs(
+        _load(spark, sf_dir, "documents"), k=3, threshold=CONTAIN_T, df_cap=DF_CAP
+    )

@@ -184,7 +184,10 @@ QUERIES = [
     "sim_ivf_auto_topk_scan",
     "sim_ivf_pq_auto_topk_scan",
     "corpus_dsir_select",
-    "dedup_containment",
+    # uncapped dedup_containment is the exact baseline (the same
+    # degenerate-vocab caveat as uncapped dedup_ngram_jaccard — not
+    # gated); the capped twin is the scale path and IS gated:
+    "dedup_containment_capped",
     "dedup_sentences",
     # remaining per-pair _cosine consumers (r8 verdict #5 audit): bounded
     # candidate sets by contract — the gate proves the bound holds at sf1

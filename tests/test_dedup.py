@@ -390,3 +390,7 @@ def test_sentence_dedup_flags_boilerplate(spark):
     assert rows[2]["n_dup"] == 1 and rows[2]["boilerplate"]
     assert rows[3]["n_dup"] == 0 and not rows[3]["boilerplate"]
     assert rows[3]["n_sents"] == 1  # the trailing "ok" fragment dropped
+
+
+def test_containment_capped_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "dedup_containment_capped")
