@@ -447,10 +447,16 @@ def dsir_importance(
     never shuffled on grams); per-doc scores are one groupBy on id; the
     only total-order machinery is sort.global_rank's range shuffle over
     the (doc, score) relation — the budget-trim primitive, never a
-    single-partition window. Reference analog: the md5-bucket sampling
-    discipline of SequenceFileInputFilter.MD5Filter
+    single-partition window. The exploded gram relation feeds BOTH the
+    model build and the per-doc score join, so it is persisted once
+    (the same discipline as dedup.containment_pairs' shingle relation);
+    n_docs is a count of the INPUT relation (explode_outer guarantees
+    one ``per`` row per doc), never a replay of the gram lineage.
+    Reference analog: the md5-bucket sampling discipline of
+    SequenceFileInputFilter.MD5Filter
     (mapred/SequenceFileInputFilter.java:242)."""
     from hadoop_1_spark.operators import sort as sortops
+    from hadoop_1_spark.operators.caching import persist_tracked as _persist
 
     B = n_buckets
     toks = F.filter(
@@ -462,7 +468,7 @@ def dsir_importance(
         F.expr("transform(sequence(1, size(_t) - 1), "
                "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"),
     ).otherwise(F.expr("array()"))
-    grams = (
+    grams = _persist(
         docs.select(F.col(id_col), target.alias("_is_t"), toks.alias("_t"))
         .select(F.col(id_col), "_is_t", F.explode_outer(grams_arr).alias("_g"))
         .select(
@@ -507,7 +513,7 @@ def dsir_importance(
     ranked = sortops.global_rank(
         per, F.desc("dsir_q6"), F.asc(id_col)
     )
-    n_docs = per.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     return ranked.crossJoin(F.broadcast(n_docs)).select(
         F.col(id_col),
         "n_grams",

@@ -2053,12 +2053,16 @@ def bq_ivf_topk_scan(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = DIMS,
+    probe: str = "unrolled",
 ) -> DataFrame:
     """Partition-pruned binary-quantization ANN against a parked IVF
     index: load the k-row centroid model, assign each query to its
     ``nprobe`` nearest trained cells in-plan (ivf_probe_cells — the same
-    argmin rule training used, so the oracle's kmeans CTEs replay it),
-    scan ONLY the probed cells of the parked binary tier
+    argmin rule training used, so the oracle's kmeans CTEs replay it;
+    ``probe="join"`` swaps in ivf_probe_cells_join's broadcast-join
+    probe, required for auto-k isqrt(n)-cell parked indexes exactly as
+    in ivf_topk_scan / ivf_pq_topk_scan), scan ONLY the probed cells of
+    the parked binary tier
     (``{path}/bqcodes``: one long per vector, written by bq_ivf_park) by
     xor+popcount Hamming distance, shortlist the ``rerank`` lowest per
     query (ties: hamming ASC, neighbor ASC), and rerank the survivors
@@ -2071,19 +2075,28 @@ def bq_ivf_topk_scan(
     cell directories; the pruned scan touches 8 bytes per candidate;
     floats are read only for <= |queries| x rerank rerank survivors.
     Candidate cost is sum(|probed cells|) longs, never |corpus|."""
+    if probe not in ("unrolled", "join"):
+        raise ValueError(f"unknown probe {probe!r} (want 'unrolled' or 'join')")
     spark = queries.sparkSession
-    cents = sorted(
-        (int(r["cid"]), list(r["cvec"]))
-        for r in spark.read.parquet(f"{path}/centroids").collect()
-    )
+    if probe == "join":
+        cells = ivf_probe_cells_join(
+            queries,
+            spark.read.parquet(f"{path}/centroids"),
+            nprobe,
+            id_col,
+            vec_col,
+        )
+    else:
+        cents = sorted(
+            (int(r["cid"]), list(r["cvec"]))
+            for r in spark.read.parquet(f"{path}/centroids").collect()
+        )
+        cells = ivf_probe_cells(queries, cents, nprobe, id_col, vec_col)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             bq_code(F.col(vec_col), dims).alias("qcode"),
-        ).join(
-            ivf_probe_cells(queries, cents, nprobe, id_col, vec_col),
-            "query_id",
-        )
+        ).join(cells, "query_id")
     )
     c = spark.read.parquet(f"{path}/bqcodes").select(
         F.col(id_col).alias("neighbor_id"),

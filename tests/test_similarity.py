@@ -976,6 +976,24 @@ def test_ivf_pq_residual_join_probe_bit_identical(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_bq_ivf_join_probe_bit_identical(spark, tmp_path):
+    """bq_ivf_topk_scan(probe="join") must return exactly what the
+    unrolled probe returns, including against an auto-k (isqrt(n)-cell)
+    parked index — the composition ADVICE r11 flagged as missing (the
+    binary tier previously only supported the unrolled probe)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where("vec_id < 200")
+    path = str(tmp_path / "auto")
+    similarity.ivf_park(emb, path, k_cells=None, iters=1)
+    similarity.bq_ivf_park(spark, path)
+    q = emb.where("vec_id < 5")
+    kw = dict(k=3, rerank=10, nprobe=2)
+    a = sorted(map(tuple, similarity.bq_ivf_topk_scan(
+        emb, q, path, probe="unrolled", **kw).collect()))
+    b = sorted(map(tuple, similarity.bq_ivf_topk_scan(
+        emb, q, path, probe="join", **kw).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_unknown_probe_raises(spark, tmp_path):
     import pytest
 
@@ -984,3 +1002,5 @@ def test_unknown_probe_raises(spark, tmp_path):
     similarity.ivf_park(emb, path, k_cells=2, iters=1)
     with pytest.raises(ValueError, match="unknown probe"):
         similarity.ivf_topk_scan(emb, path, probe="jion")
+    with pytest.raises(ValueError, match="unknown probe"):
+        similarity.bq_ivf_topk_scan(emb, emb, path, probe="jion")
