@@ -1163,13 +1163,23 @@ def containment_pairs(
     sizes are over the capped shingle sets (the dedup_ngram_jaccard_capped
     convention — the statistic is containment of the rare-shingle
     profile, and the oracle replays it identically)."""
-    sh = textops.shingles(df, k=k, text_col=text_col, id_col=id_col)
+    # Persist the BASE shingle relation before the cap branch: the DF
+    # guard's frequency pre-agg and the capped relation's anti-join both
+    # consume it, and without the pin the guard re-runs the full
+    # tokenize+shingle lineage (r11 verdict watch #3 — this constant was
+    # the most expensive sf0.1 bench row). Spark's CacheManager matches
+    # canonicalized plans, so an uncapped containment_pairs call in the
+    # same session shares this cache entry too.
+    sh = _persist(textops.shingles(df, k=k, text_col=text_col, id_col=id_col))
     if df_cap is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        sh = sh.join(
-            F.broadcast(freq.where(F.col("df") > df_cap)), "shingle", "left_anti"
+        sh = _persist(
+            sh.join(
+                F.broadcast(freq.where(F.col("df") > df_cap)),
+                "shingle",
+                "left_anti",
+            )
         )
-    sh = _persist(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("d1"), "shingle")
     b = sh.select(F.col(id_col).alias("d2"), "shingle")

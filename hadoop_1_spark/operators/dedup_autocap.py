@@ -88,6 +88,46 @@ def median_cap(
     )
 
 
+def work_budget_cap(
+    counts: DataFrame, count_col: str, work_factor: int = 16
+) -> DataFrame:
+    """1-row work-budget cap over a (key, count) frequency table: the
+    largest count value v such that the PREDICTED self-join work of the
+    keys it admits — the cumulative sum of nkeys * count^2 over the
+    count histogram, ascending — stays within ``work_factor`` times the
+    total input rows (sum of counts). Admitted join rows are therefore
+    O(work_factor * n) BY CONSTRUCTION, the linear-at-scale guarantee
+    the median-relative cap cannot give when the whole count
+    distribution shifts up together (round-12 diagnosis: the sf1
+    31-word vocabulary puts the lower-median shingle DF at 89, so
+    cap = 4 * 89 = 356 sits ABOVE the max DF of 130 and drops nothing —
+    237M join rows, the 9.03x worst gate row of round 11).
+
+    Returns NULL _wcap when even the smallest count exceeds the budget
+    (callers coalesce to 0 and let their cap_floor win). Exact integer
+    arithmetic — decimal(38,0) cumulative products so corpus-scale
+    nkeys * count^2 never overflows bigint — and one ordered window
+    over the HISTOGRAM (<= sqrt(2 * total rows) rows, see module
+    docstring), so a DuckDB oracle replays the cap to the bit."""
+    hist = counts.groupBy(count_col).agg(F.count(F.lit(1)).alias("_nkeys"))
+    cumj = hist.select(
+        count_col,
+        F.sum(
+            F.col("_nkeys").cast("decimal(38,0)")
+            * F.col(count_col)
+            * F.col(count_col)
+        )
+        .over(Window.orderBy(count_col).rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_cumj"),
+    )
+    total = counts.agg(F.sum(count_col).cast("decimal(38,0)").alias("_total"))
+    return (
+        cumj.crossJoin(F.broadcast(total))
+        .where(F.col("_cumj") <= F.lit(work_factor) * F.col("_total"))
+        .agg(F.max(count_col).alias("_wcap"))
+    )
+
+
 def derived_band_cap(
     banded: DataFrame, cap_floor: int = 8, cap_factor: int = 4
 ) -> tuple[DataFrame, DataFrame]:
@@ -163,21 +203,46 @@ def ngram_jaccard_pairs_autocap(
     id_col: str = "doc_id",
     cap_floor: int = 8,
     cap_factor: int = 4,
+    work_factor: int = 16,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs with the document-frequency cap
-    derived from the measured shingle-DF distribution (the ``df_cap``
-    analog of the band auto-cap; see module docstring for the median
-    rationale). Jaccard is over the CAPPED shingle sets, same as
-    ``dedup.ngram_jaccard_pairs(df_cap=...)``: the hot-shingle drop is the
-    over-cap set broadcast into a left-anti join — the over-cap set is
-    small by construction (hot keys are few), so the drop never shuffles
-    the shingle relation.
+    """Exact n-gram Jaccard near-dup pairs with a TWO-LEVEL document-
+    frequency cap derived from the measured shingle-DF distribution:
+
+        cap = max(cap_floor, min(cap_factor * lower-median DF, work cap))
+
+    The median level (see module docstring) drops hot keys relative to
+    the typical shingle; the work level (``work_budget_cap``) bounds the
+    ADMITTED self-join rows to work_factor * |shingle rows| even when
+    the whole DF distribution shifts up together — the regime the
+    median cannot guard (a fixed vocabulary under a growing corpus
+    moves the median itself, so a median-relative cap chases the
+    offenders; round-11's worst gate row). On a healthy sparse corpus
+    the work cap sits at or above the max DF and the result is
+    bit-identical to the single-level cap (measured: sf0.01 and sf0.1
+    admit everything under both rules). Jaccard is over the CAPPED
+    shingle sets, same as ``dedup.ngram_jaccard_pairs(df_cap=...)``:
+    the hot-shingle drop is the over-cap set broadcast into a left-anti
+    join — small by construction, so the drop never shuffles the
+    shingle relation.
     """
-    # two consumers (DF counts + the capped relation _pair_jaccard then
-    # re-persists) — cache so the tokenize/explode runs once
+    # three consumers of freq (median cap, work cap, hot set) and two of
+    # sh (DF counts + the capped relation _pair_jaccard then re-persists)
+    # — cache so the tokenize/explode runs once
     sh = _persist(textops.shingles(df, k=k, text_col=text_col, id_col=id_col))
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    cap = median_cap(freq, "_df", cap_floor, cap_factor)
+    freq = _persist(sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df")))
+    cap = (
+        median_cap(freq, "_df", cap_floor, cap_factor)
+        .crossJoin(F.broadcast(work_budget_cap(freq, "_df", work_factor)))
+        .select(
+            F.greatest(
+                F.lit(cap_floor).cast("bigint"),
+                F.least(
+                    F.col("_cap"),
+                    F.coalesce(F.col("_wcap"), F.lit(0)).cast("bigint"),
+                ),
+            ).alias("_cap")
+        )
+    )
     hot = (
         freq.crossJoin(F.broadcast(cap))
         .where(F.col("_df") > F.col("_cap"))

@@ -129,8 +129,11 @@ banded AS (
 
 
 # Auto-capped shingle CTEs: document frequency capped at the derived
-# median cap (replays operators/dedup_autocap.median_cap to the bit —
-# exact BIGINT histogram-median arithmetic), Jaccard over the capped sets.
+# TWO-LEVEL cap — max(floor, min(4 * lower-median DF, work-budget cap))
+# (replays operators/dedup_autocap.median_cap AND work_budget_cap to the
+# bit — exact integer histogram arithmetic; the work cap is the largest
+# df whose cumulative nkeys*df^2 stays within 16x the total shingle
+# rows), Jaccard over the capped sets.
 _SHINGLE_CTES_AUTOCAP = f"""
 t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 sh_all AS (
@@ -139,10 +142,13 @@ sh_all AS (
 ),
 freq AS (SELECT shingle, count(*) AS df FROM sh_all GROUP BY shingle),
 fhist AS (SELECT df, count(*) AS nkeys FROM freq GROUP BY df),
-fcum AS (SELECT df, sum(nkeys) OVER (ORDER BY df) AS cumb FROM fhist),
-fnbt AS (SELECT sum(nkeys) AS nb FROM fhist),
+fcum AS (SELECT df, sum(nkeys) OVER (ORDER BY df) AS cumb,
+                sum(nkeys::HUGEINT * df * df) OVER (ORDER BY df) AS cumj
+         FROM fhist),
+fnbt AS (SELECT sum(nkeys) AS nb, sum(nkeys::HUGEINT * df) AS total_rows FROM fhist),
 fmed AS (SELECT min(df) AS m FROM fcum, fnbt WHERE cumb >= (nb + 1) // 2),
-fcapv AS (SELECT greatest(8, 4 * m) AS cap FROM fmed),
+fwc AS (SELECT max(df) AS wc FROM fcum, fnbt WHERE cumj <= 16 * total_rows),
+fcapv AS (SELECT greatest(8, least(4 * m, coalesce(wc, 0))) AS cap FROM fmed, fwc),
 sh AS (
   SELECT s.doc_id, s.shingle
   FROM sh_all s JOIN freq f ON s.shingle = f.shingle, fcapv

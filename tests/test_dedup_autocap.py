@@ -76,6 +76,73 @@ def test_ngram_autocap_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "dedup_ngram_autocap")
 
 
+def test_work_budget_cap_arithmetic(spark):
+    """wcap = largest count v with cumulative nkeys * v^2 (ascending)
+    within work_factor * total rows; NULL when even the smallest count
+    blows the budget."""
+
+    def wcap_for(counts, work_factor):
+        rows = [(f"k{i}", n) for i, n in enumerate(counts)]
+        df = spark.createDataFrame(rows, "key string, _c long")
+        rel = dedup_autocap.work_budget_cap(df, "_c", work_factor)
+        return rel.collect()[0]["_wcap"]
+
+    # hist {1:3, 2:1, 3:1, 10:1}, total 18; cumj 3,7,16,116
+    assert wcap_for([1, 1, 1, 2, 3, 10], 16) == 10   # 116 <= 288
+    assert wcap_for([1, 1, 1, 2, 3, 10], 1) == 3     # 16 <= 18 < 116
+    assert wcap_for([100], 16) is None               # 10000 > 1600
+
+
+def test_ngram_autocap_work_cap_binds_on_dense_vocab(spark):
+    """The dense-vocabulary regime the median level cannot guard (r11's
+    worst gate row): every shingle DF sits near the median, so
+    4 * median > max DF admits EVERYTHING. The two-level cap must bind
+    at the work-budget level, and the result must equal the static
+    df_cap operator evaluated at the derived cap (same capped-profile
+    contract)."""
+    vocab = ["aa", "bb", "cc"]
+    rows = [
+        (i, " ".join(vocab[(i * 7 + j * j) % 3] for j in range(12)))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from hadoop_1_spark.operators import textops
+
+    freq = (
+        textops.shingles(df, k=3)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    counts = sorted(r["_df"] for r in freq.collect())
+    total = sum(counts)
+    med = counts[(len(counts) + 1) // 2 - 1]
+    from collections import Counter
+
+    cumj, wcap = 0, None
+    # replay work_budget_cap in plain python: cumulative per DISTINCT
+    # count value (the histogram), ascending
+    for v, nk in sorted(Counter(counts).items()):
+        cumj += nk * v * v
+        if cumj <= 16 * total:
+            wcap = v
+    expected_cap = max(8, min(4 * med, wcap or 0))
+    # the regime premise: median level alone admits everything
+    assert 4 * med > max(counts)
+    # ... and the work level genuinely binds below the max
+    assert expected_cap < max(counts)
+    auto = {
+        (r.d1, r.d2, round(r.jaccard, 12))
+        for r in dedup_autocap.ngram_jaccard_pairs_autocap(
+            df, k=3, threshold=0.8).collect()
+    }
+    static = {
+        (r.d1, r.d2, round(r.jaccard, 12))
+        for r in dedup.ngram_jaccard_pairs(
+            df, k=3, threshold=0.8, df_cap=expected_cap).collect()
+    }
+    assert auto == static
+
+
 def test_ngram_autocap_identity_on_distinct_vocab(spark):
     """On a corpus whose shingle DFs stay under the floor, the auto-capped
     Jaccard equals the uncapped one (capped sets == full sets)."""
