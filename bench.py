@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     "dedup_containment",       # directed n-gram containment (quote/subset dups)
     "dedup_containment_capped",# df_cap skew-guarded twin (the gated scale path)
     "dedup_sentences",         # sentence-level duplication report
+    # round-12 block
+    "sim_lsh_topk_scan",       # parked LSH signatures: DPP-pruned bucket probe
 ]
 
 

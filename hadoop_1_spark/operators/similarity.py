@@ -313,6 +313,91 @@ def lsh_ann_topk(
     return _topk(scored, k)
 
 
+def lsh_park(
+    emb: DataFrame,
+    path: str,
+    nbits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Park the LSH layout once for a static corpus: one fused Arrow pass
+    computes every hyperplane sum + the norm (project_udf — bit-identical
+    to the in-plan bucket_expr/_norm by the signed_sums_fused contract),
+    and the corpus is written PARTITIONED BY bucket with the norm
+    materialized, to ``{path}/buckets``. lsh_ann_topk recomputes the
+    corpus signatures on EVERY query run — fine for one-shot, wasteful
+    for query serving; this is the production layout (r11 verdict #6;
+    reference analog: MapFile's precomputed index, io/MapFile.java:49)
+    where the online probe is a partition-pruned read of the query's
+    bucket directory."""
+    signs = hyperplane_signs(nbits, seed=seed)
+    (
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            project_udf(signs)(F.col(vec_col)).alias("_p"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_p.nrm").alias("nrm"),
+            bucket_from_sums(F.col("_p.sums"), 0, nbits).alias("bucket"),
+        )
+        # cluster rows by bucket before the partitioned write: without it
+        # every task writes a sliver into every bucket directory (tasks x
+        # 2^nbits small files) and the probe's read cost is file-open
+        # overhead, not data — the classic small-files trap. One shuffle
+        # at park time (offline, amortized over every query run).
+        .repartition(F.col("bucket"))
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(f"{path}/buckets")
+    )
+
+
+def lsh_topk_scan(
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    nbits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH ANN top-k against a PARKED signature layout (lsh_park's
+    artifact): queries compute their bucket in-plan (bucket_expr over
+    the same deterministic hyperplane_signs, so a parked corpus member
+    lands in exactly its parked bucket) and broadcast; the join on the
+    ``bucket`` partition column lets dynamic partition pruning skip
+    every unprobed bucket directory, and the parked norm is read, not
+    recomputed. Scan cost is the probed buckets (~|corpus| / 2^nbits
+    per query), never the corpus — and unlike lsh_ann_topk, ZERO
+    signature compute on the corpus side at query time."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
+            bucket_expr(F.col(vec_col), hyperplane_signs(nbits, seed=seed)).alias("qb"),
+        )
+    )
+    c = queries.sparkSession.read.parquet(f"{path}/buckets").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("bucket").cast("int").alias("cb"),
+    )
+    scored = q.join(
+        c, (q["qb"] == c["cb"]) & (q["query_id"] != c["neighbor_id"])
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _cosine(q["qv"], c["cv"], q["qn"], c["cn"]).alias("cosine"),
+    )
+    return _topk(scored, k)
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -94,6 +94,27 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(emb, emb.where("vec_id < 10"), k=K, nbits=NBITS)
 
 
+@register("sim_lsh_topk_scan", oracle=_lsh_oracle())
+def sim_lsh_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_lsh_topk against a PARKED signature layout: lsh_park computes
+    the corpus buckets + norms once per (data, params) fingerprint and
+    writes the corpus PARTITIONED BY bucket; the query assigns its own
+    bucket in-plan and the probe is a partition-pruned read — zero
+    corpus-side signature compute at query time (the production layout
+    for a static corpus, same pattern as sim_ivf_topk_scan). Identical
+    hyperplanes and fold order, so the oracle is sim_lsh_topk's
+    verbatim. See similarity.lsh_park / similarity.lsh_topk_scan."""
+    import os
+
+    emb = _load(spark, sf_dir, "embeddings")
+    path = _ivf_park_dir(sf_dir, params=f"lsh:n{NBITS}:s42")
+    if not os.path.exists(os.path.join(path, "buckets", "_SUCCESS")):
+        similarity.lsh_park(emb, path, nbits=NBITS, seed=42)
+    return similarity.lsh_topk_scan(
+        emb.where("vec_id < 10"), path, k=K, nbits=NBITS, seed=42
+    )
+
+
 @register(
     "sim_recall_eval",
     oracle=f"""

@@ -206,6 +206,8 @@ QUERIES = [
     # candidate sets by contract — the gate proves the bound holds at sf1
     "sim_lsh_topk",
     "sim_ivf_topk",
+    # round-12 block
+    "sim_lsh_topk_scan",
 ]
 
 

@@ -976,6 +976,24 @@ def test_ivf_pq_residual_join_probe_bit_identical(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_lsh_topk_scan_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sim_lsh_topk_scan")
+
+
+def test_lsh_topk_scan_equals_inline_lsh(spark, tmp_path):
+    """The parked-signature scan must return exactly what lsh_ann_topk
+    computes inline — same buckets (deterministic hyperplanes), same
+    parked norms (project_udf nrm is bit-identical to _norm), same
+    cosine chain, same ranks."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where("vec_id < 10")
+    path = str(tmp_path / "lsh")
+    similarity.lsh_park(emb, path, nbits=4)
+    a = sorted(map(tuple, similarity.lsh_ann_topk(emb, q, k=5, nbits=4).collect()))
+    b = sorted(map(tuple, similarity.lsh_topk_scan(q, path, k=5, nbits=4).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_bq_ivf_join_probe_bit_identical(spark, tmp_path):
     """bq_ivf_topk_scan(probe="join") must return exactly what the
     unrolled probe returns, including against an auto-k (isqrt(n)-cell)
