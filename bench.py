@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "dedup_sentences",         # sentence-level duplication report
     # round-12 block
     "sim_lsh_topk_scan",       # parked LSH signatures: DPP-pruned bucket probe
+    "corpus_decontaminate_fuzzy",  # MinHash-LSH eval-leak scrub (directional)
 ]
 
 

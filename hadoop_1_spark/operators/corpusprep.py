@@ -125,6 +125,73 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag corpus documents whose
+    MinHash-LSH-verified Jaccard against ANY benchmark document reaches
+    ``threshold`` — the near-duplicate complement of ``decontaminate``
+    (exact shingle overlap), for the leak mode exact n-grams miss:
+    paraphrased, reformatted, or lightly-edited eval material (the
+    fuzzy-dedup-against-eval step public pipeline reports run alongside
+    exact n-gram scrubbing). Returns (doc_id, bench_id, jaccard) per
+    contaminated (corpus doc, benchmark doc) pair; callers drop doc_ids
+    with a left-anti join.
+
+    Scale shape: the benchmark is eval-set-sized (thousands of rows), so
+    BOTH its band relation and its signature/hash-set relation broadcast
+    — the band join is DIRECTIONAL (corpus x benchmark, same discipline
+    as incremental_dedup's batch-vs-snapshot join), candidates scale
+    with benchmark occupancy per band, and the corpus is shuffled
+    exactly once (the per-doc signature aggregation inside
+    minhash_signature_relation). The verify leg is the standard exact
+    Jaccard over the 60-bit shingle-hash sets, restricted to the
+    candidate sliver."""
+    from hadoop_1_spark.operators import dedup
+
+    pd_c, band_c = dedup.minhash_signature_relation(
+        corpus, k=k, num_hashes=num_hashes, bands=bands,
+        text_col=text_col, id_col=id_col,
+    )
+    pd_b, band_b = dedup.minhash_signature_relation(
+        benchmark, k=k, num_hashes=num_hashes, bands=bands,
+        text_col=text_col, id_col=id_col,
+    )
+    cand = (
+        band_c.join(
+            F.broadcast(
+                band_b.select(F.col(id_col).alias("bench_id"), "band_key")
+            ),
+            "band_key",
+        )
+        .select(F.col(id_col), "bench_id")
+        .distinct()
+    )
+    sets_c = pd_c.select(F.col(id_col), F.col("hs").alias("_hs1"))
+    sets_b = pd_b.select(F.col(id_col).alias("bench_id"), F.col("hs").alias("_hs2"))
+    pairs = (
+        cand.join(sets_c, id_col)
+        .join(F.broadcast(sets_b), "bench_id")
+        .withColumn("_i", F.size(F.array_intersect("_hs1", "_hs2")))
+        .select(
+            F.col(id_col),
+            "bench_id",
+            (
+                F.col("_i").cast("double")
+                / (F.size("_hs1") + F.size("_hs2") - F.col("_i"))
+            ).alias("jaccard"),
+        )
+    )
+    return pairs.where(F.col("jaccard") >= threshold)
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

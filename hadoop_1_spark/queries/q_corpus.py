@@ -169,6 +169,31 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpusprep.decontaminate(train, bench, k=DECON_K)
 
 
+def _fuzzy_decon_oracle() -> str:
+    from hadoop_1_spark.queries.q_dedup import _minhash_oracle
+
+    return _minhash_oracle(bench_mod=BENCH_MOD)
+
+
+@register("corpus_decontaminate_fuzzy", oracle=_fuzzy_decon_oracle())
+def corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-DUPLICATE twin of corpus_decontaminate (same every-7th-doc
+    synthetic benchmark): MinHash(16) + LSH(8 bands) candidates joined
+    DIRECTIONALLY corpus x benchmark, exact-Jaccard verified at 0.8 —
+    the leak mode exact shingle overlap misses (paraphrased/reformatted
+    eval material). The benchmark side broadcasts (band relation AND
+    hash sets); the corpus is shuffled once for signatures. The oracle
+    replays the full LSH pipeline with the directional candidate stage
+    (q_dedup._minhash_oracle(bench_mod=7)), so candidate-set equality is
+    part of the check. See corpusprep.decontaminate_fuzzy."""
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) == 0)
+    train = docs.where(F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) != 0)
+    return corpusprep.decontaminate_fuzzy(
+        train, bench, k=3, num_hashes=16, bands=8, threshold=0.8
+    )
+
+
 @register(
     "corpus_shards",
     oracle=f"""

@@ -188,7 +188,12 @@ def _minhash_oracle(
     bands: int = 8,
     band_cap: int | None = None,
     auto_cap: tuple[int, int] | None = None,
+    bench_mod: int | None = None,
 ) -> str:
+    """``bench_mod`` switches the candidate stage to the DIRECTIONAL
+    corpus-vs-benchmark form (benchmark = doc_id % bench_mod == 0) used
+    by corpus_decontaminate_fuzzy: same signatures, same band keys, same
+    exact-Jaccard verify — only the pair universe changes."""
     rows = num_hashes // bands
     # affine permutations over one md5-derived base hash (matches
     # textops.minhash_affine — same literal coefficients and modulus)
@@ -219,11 +224,19 @@ mins AS (
 banded0 AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM mins),
 {_band_filter_ctes(band_cap, auto_cap)}
 cand AS (
-  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-  FROM banded x JOIN banded y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+  {"SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2"
+   " FROM banded x JOIN banded y ON x.band_key = y.band_key"
+   f" AND x.doc_id % {bench_mod} <> 0 AND y.doc_id % {bench_mod} = 0"
+   if bench_mod is not None else
+   "SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2"
+   " FROM banded x JOIN banded y ON x.band_key = y.band_key AND x.doc_id < y.doc_id"}
 )
-SELECT cand.d1, cand.d2, jac.jaccard
-FROM cand JOIN jac ON cand.d1 = jac.d1 AND cand.d2 = jac.d2
+{f"SELECT cand.d1 AS doc_id, cand.d2 AS bench_id, jac.jaccard"
+ f" FROM cand JOIN jac ON jac.d1 = least(cand.d1, cand.d2)"
+ f" AND jac.d2 = greatest(cand.d1, cand.d2)"
+ if bench_mod is not None else
+ "SELECT cand.d1, cand.d2, jac.jaccard"
+ " FROM cand JOIN jac ON cand.d1 = jac.d1 AND cand.d2 = jac.d2"}
 WHERE jac.jaccard >= 0.8
 """
 

@@ -208,6 +208,7 @@ QUERIES = [
     "sim_ivf_topk",
     # round-12 block
     "sim_lsh_topk_scan",
+    "corpus_decontaminate_fuzzy",
 ]
 
 

@@ -398,6 +398,29 @@ def test_corpus_dsir_select_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "corpus_dsir_select")
 
 
+def test_corpus_decontaminate_fuzzy_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "corpus_decontaminate_fuzzy")
+
+
+def test_decontaminate_fuzzy_flags_paraphrased_leak(spark):
+    """A corpus doc that is a lightly-edited copy of a benchmark doc
+    shares no long exact shingle run but crosses the 0.8 Jaccard bar —
+    the fuzzy pass must flag it; an unrelated doc must not be flagged;
+    and the direction is corpus -> benchmark only."""
+    from hadoop_1_spark.operators import corpusprep
+
+    bench_text = " ".join(f"tok{i}" for i in range(30))
+    leaked = " ".join(f"tok{i}" for i in range(29)) + " zz"
+    clean = "entirely different words about some other topic altogether now"
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, leaked), (2, clean)], "doc_id long, text string"
+    )
+    got = corpusprep.decontaminate_fuzzy(corpus, bench, k=3, threshold=0.8).collect()
+    assert {(r["doc_id"], r["bench_id"]) for r in got} == {(1, 100)}
+    assert all(r["jaccard"] >= 0.8 for r in got)
+
+
 def test_dsir_selects_target_like_docs(spark):
     """Selection must skew toward the target distribution: with lang='en'
     as the target, the selected quarter should be majority-en (the raw
