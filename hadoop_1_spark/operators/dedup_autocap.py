@@ -23,9 +23,13 @@ near-identical docs agree on most bands, so planted-pair recall cost is
 tiny (the same trade the static cap documents at dedup.py:238-245). On a
 healthy corpus band keys are near-unique (median 1, sf0.01 max occupancy
 3), so cap = cap_floor drops nothing and the result is bit-identical to
-the uncapped operator. The one regime the rule cannot guard is a corpus
-that is MOSTLY one duplicate cluster (median itself is huge) — that
-corpus needs exact_dedup first, not an LSH cap.
+the uncapped operator. The one regime the MEDIAN rule cannot guard is a
+corpus that is MOSTLY duplicate clusters (the median itself is hot, so a
+median-relative cap admits the cliques) — round 12 closes it with the
+same work-budget level as the ngram twin (see ``work_budget_cap``):
+cap = max(floor, min(factor * median, work cap)), so admitted join work
+is O(work_factor * banded rows) by construction and the clique bands
+abstain (those duplicates are exact_dedup's job, as always documented).
 
 Scale shape: the median is computed from the occupancy HISTOGRAM
 (occupancy value -> number of bands), never a global sort of the band
@@ -146,15 +150,27 @@ def minhash_lsh_pairs_autocap(
     id_col: str = "doc_id",
     cap_floor: int = 8,
     cap_factor: int = 4,
+    work_factor: int = 16,
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs with the occupancy-derived band cap.
+    """MinHash+LSH near-dup pairs with the TWO-LEVEL occupancy-derived
+    band cap: max(cap_floor, min(cap_factor * lower-median occupancy,
+    work-budget cap)).
 
     Identical to ``dedup.minhash_lsh_pairs`` except the hot-band guard is
     derived from the data (see module docstring) instead of passed in.
     Same signature relation, same band keys, same exact-Jaccard verify —
     on a corpus whose max band occupancy is below the derived cap the
     result is bit-identical to the uncapped operator.
-    """
+
+    The work level (``work_budget_cap``, round 12 — same rule as the
+    ngram twin) closes the one regime the module docstring previously
+    declared unguardable: a corpus that is MOSTLY duplicate clusters,
+    where the band-occupancy median itself is hot and a median-relative
+    cap admits the O(B^2) cliques. Under the work budget the admitted
+    band join is O(work_factor * banded rows) BY CONSTRUCTION — the
+    clique bands are dropped (those duplicates are exact_dedup's job,
+    as documented) while sparse planted-pair bands survive the
+    cap_floor."""
     per_doc, banded = dedup.minhash_signature_relation(
         df, k=k, num_hashes=num_hashes, bands=bands,
         text_col=text_col, id_col=id_col,
@@ -162,7 +178,23 @@ def minhash_lsh_pairs_autocap(
     # three consumers (occupancy counts + both self-join sides) — cache
     # the tiny (id, band_key) relation so the signature agg runs once
     banded = _persist(banded)
-    counts, cap = derived_band_cap(banded, cap_floor=cap_floor, cap_factor=cap_factor)
+    # counts feeds the median cap, the work cap, and the keep filter
+    counts = _persist(
+        banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bc"))
+    )
+    cap = (
+        median_cap(counts, "_bc", cap_floor, cap_factor)
+        .crossJoin(F.broadcast(work_budget_cap(counts, "_bc", work_factor)))
+        .select(
+            F.greatest(
+                F.lit(cap_floor).cast("bigint"),
+                F.least(
+                    F.col("_cap"),
+                    F.coalesce(F.col("_wcap"), F.lit(0)).cast("bigint"),
+                ),
+            ).alias("_cap")
+        )
+    )
     ok_bands = (
         counts.crossJoin(F.broadcast(cap))
         .where(F.col("_bc") <= F.col("_cap"))

@@ -105,17 +105,22 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _band_filter_ctes(band_cap: int | None, auto_cap: tuple[int, int] | None) -> str:
     """The ``banded`` CTE (plus helpers) for the minhash oracle: uncapped,
-    statically capped, or occupancy-auto-capped. The auto-cap rule is
-    exact BIGINT arithmetic — ceil-division via ``(tot + nb - 1) // nb`` —
-    replaying operators/dedup_autocap.derived_band_cap to the bit."""
+    statically capped, or occupancy-auto-capped. The auto-cap rule is the
+    TWO-LEVEL cap in exact integer arithmetic — lower-median via the
+    cumulative histogram, work cap = largest occupancy whose cumulative
+    nbands*bc^2 stays within 16x the total banded rows — replaying
+    operators/dedup_autocap.median_cap + work_budget_cap to the bit."""
     if auto_cap is not None:
         floor_, factor = auto_cap
         return f"""occ AS (SELECT count(*) AS bc FROM banded0 GROUP BY band_key),
 hist AS (SELECT bc, count(*) AS nbands FROM occ GROUP BY bc),
-cum AS (SELECT bc, sum(nbands) OVER (ORDER BY bc) AS cumb FROM hist),
-nbt AS (SELECT sum(nbands) AS nb FROM hist),
+cum AS (SELECT bc, sum(nbands) OVER (ORDER BY bc) AS cumb,
+               sum(nbands::HUGEINT * bc * bc) OVER (ORDER BY bc) AS cumj
+        FROM hist),
+nbt AS (SELECT sum(nbands) AS nb, sum(nbands::HUGEINT * bc) AS total_rows FROM hist),
 med AS (SELECT min(bc) AS m FROM cum, nbt WHERE cumb >= (nb + 1) // 2),
-capv AS (SELECT greatest({floor_}, {factor} * m) AS cap FROM med),
+wc AS (SELECT max(bc) AS w FROM cum, nbt WHERE cumj <= 16 * total_rows),
+capv AS (SELECT greatest({floor_}, least({factor} * m, coalesce(w, 0))) AS cap FROM med, wc),
 banded AS (
   SELECT doc_id, band_key FROM banded0
   QUALIFY count(*) OVER (PARTITION BY band_key) <= (SELECT cap FROM capv)
@@ -271,12 +276,15 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_autocap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Occupancy-auto-capped MinHash-LSH (operators/dedup_autocap.py): the
     hot-band cap is derived in-plan from the measured occupancy
-    distribution (cap = max(8, 4 * lower-median occupancy) — median over
-    BANDS, so hot bands cannot inflate their own cap) instead of passed as
-    a static knob, so the path degrades gracefully on degenerate
-    vocabularies. On this corpus (max band occupancy 3 < floor 8) the
-    result is bit-identical to dedup_minhash_lsh; the oracle replays the
-    histogram-median cap arithmetic exactly."""
+    distribution — the TWO-LEVEL rule max(8, min(4 * lower-median
+    occupancy, work-budget cap)), median over BANDS so hot bands cannot
+    inflate their own cap, work cap bounding the admitted band join to
+    16x the banded rows (r12, same rule as dedup_ngram_autocap) —
+    instead of passed as a static knob, so the path degrades gracefully
+    on degenerate vocabularies AND mostly-duplicate corpora. On this
+    corpus (max band occupancy 3 < floor 8) the result is bit-identical
+    to dedup_minhash_lsh; the oracle replays the histogram arithmetic
+    exactly."""
     return dedup_autocap.minhash_lsh_pairs_autocap(
         _load(spark, sf_dir, "documents"), k=3, num_hashes=16, bands=8,
         threshold=0.8, cap_floor=8, cap_factor=4,

@@ -76,6 +76,26 @@ def test_ngram_autocap_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "dedup_ngram_autocap")
 
 
+def test_band_work_cap_guards_mostly_duplicate_corpus(spark):
+    """The regime the module docstring previously declared unguardable:
+    a corpus that is MOSTLY duplicate clusters, where most bands are hot
+    so the occupancy MEDIAN itself is hot and 4 * median admits the
+    O(B^2) cliques. The work-budget level must drop the clique bands
+    (their duplicates are exact_dedup's job) while the planted sparse
+    near-dup pair survives via the cap_floor."""
+    texts = [
+        " ".join(f"w{t}x{i}" for i in range(20)) for t in range(20)
+    ]
+    rows = [(t * 100 + c, texts[t]) for t in range(20) for c in range(30)]
+    base = " ".join(f"tok{i}" for i in range(25))
+    near = " ".join(f"tok{i}" for i in range(24)) + " zz"
+    rows += [(9000, base), (9001, near)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    auto = {(r.d1, r.d2) for r in dedup_autocap.minhash_lsh_pairs_autocap(
+        df, threshold=0.8).collect()}
+    assert auto == {(9000, 9001)}
+
+
 def test_work_budget_cap_arithmetic(spark):
     """wcap = largest count v with cumulative nkeys * v^2 (ascending)
     within work_factor * total rows; NULL when even the smallest count
