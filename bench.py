@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     # round-12 block
     "sim_lsh_topk_scan",       # parked LSH signatures: DPP-pruned bucket probe
     "corpus_decontaminate_fuzzy",  # MinHash-LSH eval-leak scrub (directional)
+    # round-13 block
+    "sim_pq_topk_scan_r50",    # PQ scan at the production rerank window (50)
 ]
 
 
@@ -252,7 +254,46 @@ def _prior_committed_rows() -> dict[str, dict]:
         return {}
 
 
+def _fresh_rerun_child(names: list[str]) -> None:
+    """``bench.py --fresh-rerun a,b,c``: re-measure the named queries in
+    THIS process (a fresh JVM — the parent spawned us for exactly that)
+    and print one JSON line {name: best_of_3_sec}. Used by the parent's
+    drift guard; never writes a table."""
+    spark = get_spark("hadoop_1_spark_bench_fresh")
+    spark.range(1000).agg({"id": "sum"}).collect()
+    out = {name: round(run_query(spark, name), 3) for name in names
+           if name in registry.QUERIES}
+    print("FRESH_RERUN_JSON:" + json.dumps(out), flush=True)
+
+
+def _fresh_jvm_remeasure(flagged: list[str]) -> dict[str, float]:
+    """Spawn a child bench process (its own JVM) to re-measure ``flagged``
+    rows. Round-12 lesson: same-JVM re-runs cannot clear accumulated JVM
+    state or a transient load spike that outlives the retry — three r12
+    rows (sessionize_events 2.56 s vs 0.94 s isolated) carried documented-
+    but-inflated values into the committed table. The same remedy the
+    scale gate got (`scale_probe --restart-every 1 --resume`), applied to
+    the bench table: every committed row is fresh-JVM-confirmed or
+    explicitly flagged in the JSON itself."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--fresh-rerun",
+         ",".join(flagged)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("FRESH_RERUN_JSON:"):
+            return json.loads(line[len("FRESH_RERUN_JSON:"):])
+    print(f"bench: fresh-JVM rerun failed (rc={proc.returncode}); "
+          f"flagged rows keep their in-run values", file=sys.stderr)
+    return {}
+
+
 def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--fresh-rerun":
+        _fresh_rerun_child(sys.argv[2].split(","))
+        return
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     spark = get_spark("hadoop_1_spark_bench")
@@ -282,6 +323,29 @@ def main() -> None:
             reran.add(name)
         times[name] = round(t, 3)
 
+    # Fresh-JVM drift pass (round-12 verdict #5): any row still >2x its
+    # prior committed spark_s after the in-JVM retry gets ONE re-measure
+    # in a CHILD process with its own JVM — accumulated JVM state and
+    # load spikes that outlive a same-JVM retry were the r12 mechanism
+    # (sessionize_events 2.56 s committed vs 0.94 s isolated). The parent
+    # session stops FIRST so the child never measures against a second
+    # active JVM. Rows the child confirms keep the flag below; rows it
+    # deflates record the fresh reading. Full runs only (subset loops are
+    # iteration aids, never committed).
+    fresh_confirmed: set[str] = set()
+    if only_set is None and os.environ.get("SPARK_GRAFT_BENCH_FRESH", "1") != "0":
+        flagged = sorted(
+            name for name, t in times.items()
+            if (p := (prior.get(name) or {}).get("spark_s")) and t > 2 * p
+        )
+        if flagged:
+            spark.stop()
+            print(f"bench: fresh-JVM re-measuring {len(flagged)} drifted"
+                  f" row(s): {', '.join(flagged)}", file=sys.stderr)
+            for name, t2 in _fresh_jvm_remeasure(flagged).items():
+                times[name] = min(times[name], t2)
+                fresh_confirmed.add(name)
+
     # Same-run DuckDB-oracle totals (round-5 verdict #10): Spark wall
     # times swing ±35% with machine load across rounds, so a per-row
     # {spark_s, duck_s, ratio} from ONE run gives the stable
@@ -303,6 +367,11 @@ def main() -> None:
             "ratio": round(t / duck[name], 2) if duck.get(name) else None,
             **({"drift_rerun": True} if name in reran else {}),
             **({"duck_drift_rerun": True} if name in duck_reran else {}),
+            # the row was re-measured in its own fresh JVM; if still
+            # >2x prior, the drift is real (or prior was an outlier),
+            # not JVM/load state — the table itself says which rows
+            # carry that confirmation (round-12 verdict #5).
+            **({"fresh_jvm": True} if name in fresh_confirmed else {}),
         }
         for name, t in times.items()
     }

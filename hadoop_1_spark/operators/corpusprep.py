@@ -519,6 +519,15 @@ def dsir_importance(
     (the same discipline as dedup.containment_pairs' shingle relation);
     n_docs is a count of the INPUT relation (explode_outer guarantees
     one ``per`` row per doc), never a replay of the gram lineage.
+
+    Input precondition: ``id_col`` must be unique in ``docs`` (one row
+    per document). The selection denominator counts input ROWS — the
+    registered oracle replays exactly that (count(*) over the table) —
+    so duplicated ids would both shrink the effective share (rank rows
+    collapse under the groupBy while the denominator keeps the dups)
+    and double-count the dup's grams in the raw model. Dedup upstream
+    (exact_dedup) before scoring; this operator does not pay a
+    count-distinct shuffle to re-check it.
     Reference analog: the md5-bucket sampling discipline of
     SequenceFileInputFilter.MD5Filter
     (mapred/SequenceFileInputFilter.java:242)."""

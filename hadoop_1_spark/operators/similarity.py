@@ -798,7 +798,16 @@ def _exact_rerank(
     shortlist back to full vectors, score with the fixed-order dot fold
     + round-9 cosine, cut to top-k with the (cosine DESC, neighbor ASC)
     tie-break. ONE implementation so the rerank discipline can never
-    diverge between operators."""
+    diverge between operators.
+
+    Sizing the shortlist (the ``rerank`` parameter upstream): the
+    round-12 recall frontier (SCALE.md) measured quantized-tier recall
+    as SHORTLIST-bound, not probe-bound — rerank 20 -> 50 roughly
+    doubles PQ recall and adds ~50% to BQ, while extra nprobe without a
+    wider shortlist buys almost nothing. Deploy quantized tiers at
+    rerank=50 (the measured default; sim_pq_topk_scan_r50 prices it);
+    the cost is linear in |queries| x rerank float-row reads, which
+    stays negligible next to the code scan at any corpus size."""
     nrm = _norm(F.col(vec_col))
     qside = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), nrm.alias("qn")
@@ -1705,7 +1714,11 @@ def pq_adc_topk_scan(
 
     Shape at 100 TB: the scan reads m ints per corpus vector from
     parquet (column-pruned), LUTs are broadcast; corpus floats are
-    touched only by the <= |queries| * rerank survivors."""
+    touched only by the <= |queries| * rerank survivors. ``rerank`` is
+    the recall knob for this tier — deploy at 50, the measured default
+    from the round-12 frontier (SCALE.md: shortlist-bound recall;
+    rerank 20 -> 50 ~doubles PQ recall for 2.5x survivor float reads),
+    priced by the sim_pq_topk_scan_r50 bench row."""
     spark = corpus.sparkSession
     cb = spark.read.parquet(f"{path}/codebooks").collect()
     books: list[tuple[list[list[float]], list[int]]] = []
@@ -1858,6 +1871,9 @@ def ivf_pq_topk_scan(
     _pq_adc_scan's exact fragments, so scores are bit-identical to the
     flat PQ scan restricted to the same cells; ``nprobe`` > 1 widens the
     probe to each query's nprobe nearest cells (the IVF recall knob).
+    Size ``rerank`` BEFORE nprobe: the round-12 frontier (SCALE.md)
+    measured quantized-tier recall as shortlist-bound — rerank=50 is
+    the deployment default (nprobe alone buys PQ almost nothing).
 
     ``by_residual=True`` reads an index parked with the same flag: the
     LUT side switches to per-(query, probed-cell) tables over the query
@@ -2151,7 +2167,10 @@ def bq_ivf_topk_scan(
     (``{path}/bqcodes``: one long per vector, written by bq_ivf_park) by
     xor+popcount Hamming distance, shortlist the ``rerank`` lowest per
     query (ties: hamming ASC, neighbor ASC), and rerank the survivors
-    under the exact cosine contract (_exact_rerank).
+    under the exact cosine contract (_exact_rerank). Deploy this tier
+    at rerank=50: the round-12 frontier (SCALE.md) measured BQ recall
+    as shortlist-bound (+~50% recall from rerank 20 -> 50, nearly
+    nothing from extra nprobe at a fixed shortlist).
 
     Scale shape at 100 TB — the missing rung between bq_topk (full
     binary scan) and the IVF-PQ tiers: queries broadcast; the bqcodes

@@ -103,13 +103,16 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _band_filter_ctes(band_cap: int | None, auto_cap: tuple[int, int] | None) -> str:
+def _band_filter_ctes(band_cap: int | None, auto_cap: tuple[int, int] | None,
+                      work_factor: int = 16) -> str:
     """The ``banded`` CTE (plus helpers) for the minhash oracle: uncapped,
     statically capped, or occupancy-auto-capped. The auto-cap rule is the
     TWO-LEVEL cap in exact integer arithmetic — lower-median via the
     cumulative histogram, work cap = largest occupancy whose cumulative
-    nbands*bc^2 stays within 16x the total banded rows — replaying
-    operators/dedup_autocap.median_cap + work_budget_cap to the bit."""
+    nbands*bc^2 stays within ``work_factor`` times the total banded rows —
+    replaying operators/dedup_autocap.median_cap + work_budget_cap to the
+    bit. ``work_factor`` MUST match the operator's work_factor argument
+    (both default 16) or the replay-to-the-bit contract breaks."""
     if auto_cap is not None:
         floor_, factor = auto_cap
         return f"""occ AS (SELECT count(*) AS bc FROM banded0 GROUP BY band_key),
@@ -119,7 +122,7 @@ cum AS (SELECT bc, sum(nbands) OVER (ORDER BY bc) AS cumb,
         FROM hist),
 nbt AS (SELECT sum(nbands) AS nb, sum(nbands::HUGEINT * bc) AS total_rows FROM hist),
 med AS (SELECT min(bc) AS m FROM cum, nbt WHERE cumb >= (nb + 1) // 2),
-wc AS (SELECT max(bc) AS w FROM cum, nbt WHERE cumj <= 16 * total_rows),
+wc AS (SELECT max(bc) AS w FROM cum, nbt WHERE cumj <= {work_factor} * total_rows),
 capv AS (SELECT greatest({floor_}, least({factor} * m, coalesce(w, 0))) AS cap FROM med, wc),
 banded AS (
   SELECT doc_id, band_key FROM banded0
@@ -137,9 +140,11 @@ banded AS (
 # TWO-LEVEL cap — max(floor, min(4 * lower-median DF, work-budget cap))
 # (replays operators/dedup_autocap.median_cap AND work_budget_cap to the
 # bit — exact integer histogram arithmetic; the work cap is the largest
-# df whose cumulative nkeys*df^2 stays within 16x the total shingle
-# rows), Jaccard over the capped sets.
-_SHINGLE_CTES_AUTOCAP = f"""
+# df whose cumulative nkeys*df^2 stays within work_factor times the total
+# shingle rows; work_factor MUST match the operator argument, both
+# default 16), Jaccard over the capped sets.
+def _shingle_ctes_autocap(work_factor: int = 16) -> str:
+    return f"""
 t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 sh_all AS (
   SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
@@ -152,7 +157,7 @@ fcum AS (SELECT df, sum(nkeys) OVER (ORDER BY df) AS cumb,
          FROM fhist),
 fnbt AS (SELECT sum(nkeys) AS nb, sum(nkeys::HUGEINT * df) AS total_rows FROM fhist),
 fmed AS (SELECT min(df) AS m FROM fcum, fnbt WHERE cumb >= (nb + 1) // 2),
-fwc AS (SELECT max(df) AS wc FROM fcum, fnbt WHERE cumj <= 16 * total_rows),
+fwc AS (SELECT max(df) AS wc FROM fcum, fnbt WHERE cumj <= {work_factor} * total_rows),
 fcapv AS (SELECT greatest(8, least(4 * m, coalesce(wc, 0))) AS cap FROM fmed, fwc),
 sh AS (
   SELECT s.doc_id, s.shingle
@@ -174,7 +179,7 @@ jac AS (
 
 @register(
     "dedup_ngram_autocap",
-    oracle=f"WITH {_SHINGLE_CTES_AUTOCAP} SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.8",
+    oracle=f"WITH {_shingle_ctes_autocap()} SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.8",
 )
 def dedup_ngram_autocap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The df_cap auto-derived twin of dedup_ngram_jaccard_capped: shingle
@@ -194,6 +199,7 @@ def _minhash_oracle(
     band_cap: int | None = None,
     auto_cap: tuple[int, int] | None = None,
     bench_mod: int | None = None,
+    work_factor: int = 16,
 ) -> str:
     """``bench_mod`` switches the candidate stage to the DIRECTIONAL
     corpus-vs-benchmark form (benchmark = doc_id % bench_mod == 0) used
@@ -227,7 +233,7 @@ mins AS (
   FROM hashed GROUP BY doc_id
 ),
 banded0 AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM mins),
-{_band_filter_ctes(band_cap, auto_cap)}
+{_band_filter_ctes(band_cap, auto_cap, work_factor)}
 cand AS (
   {"SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2"
    " FROM banded x JOIN banded y ON x.band_key = y.band_key"

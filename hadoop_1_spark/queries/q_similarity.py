@@ -884,13 +884,14 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_RERANK = 20
 
 
-def _pq_adc_oracle() -> str:
+def _pq_adc_oracle(rerank: int = PQ_RERANK) -> str:
     """Replays the full ADC pipeline: four subspace codebook trainings
     (codes from afinal, the codebook from the final-round centroid CTE),
     per-query L2 lookup tables on the SQL-recomputed codebooks, the
-    left-associated 4-term ADC sum, the (adist, neighbor) shortlist cut,
-    and the exact cosine rerank — so the CANDIDATE SETS of the
-    compressed scan, not just final scores, must match."""
+    left-associated 4-term ADC sum, the (adist, neighbor) shortlist cut
+    at ``rerank``, and the exact cosine rerank — so the CANDIDATE SETS
+    of the compressed scan, not just final scores, must match.
+    ``rerank`` MUST match the operator call's rerank argument."""
     chains, code_tables = _pq_subspace_sql()
     lut_ctes = []
     for m in range(PQ_M):
@@ -924,7 +925,7 @@ cand AS (
 short AS (
   SELECT query_id, neighbor_id FROM cand
   QUALIFY row_number() OVER (PARTITION BY query_id
-                             ORDER BY adist ASC, neighbor_id ASC) <= {PQ_RERANK}
+                             ORDER BY adist ASC, neighbor_id ASC) <= {rerank}
 ),
 q AS (SELECT vec_id AS query_id, embedding AS qv, {_NRM} AS qn FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv, {_NRM} AS cn FROM embeddings),
@@ -980,6 +981,36 @@ def sim_pq_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
         k=K,
         rerank=PQ_RERANK,
+        m=PQ_M,
+        subdim=PQ_SUBDIM,
+    )
+
+
+@register("sim_pq_topk_scan_r50", oracle=_pq_adc_oracle(rerank=50))
+def sim_pq_topk_scan_r50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_pq_topk_scan at the PRODUCTION rerank window (rerank=50): the
+    round-12 recall frontier (SCALE.md) showed quantized-tier recall is
+    SHORTLIST-bound — widening rerank 20 -> 50 roughly doubles PQ recall
+    (.152 -> .284 at nprobe=4) where extra nprobe buys almost nothing —
+    so 50 is the measured deployment default and this row prices it:
+    the extra cost is 2.5x more float reads per query (|queries| x
+    rerank rows), nothing on the code scan. Shares the parked index
+    with sim_pq_topk_scan (same data/params fingerprint); the oracle
+    replays the wider shortlist cut exactly."""
+    import os
+
+    emb = _load(spark, sf_dir, "embeddings")
+    path = _pq_park_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        similarity.pq_park(
+            emb, path, m=PQ_M, subdim=PQ_SUBDIM, kcb=PQ_K, iters=PQ_ITERS
+        )
+    return similarity.pq_adc_topk_scan(
+        emb,
+        emb.where("vec_id < 10"),
+        path,
+        k=K,
+        rerank=50,
         m=PQ_M,
         subdim=PQ_SUBDIM,
     )

@@ -209,6 +209,8 @@ QUERIES = [
     # round-12 block
     "sim_lsh_topk_scan",
     "corpus_decontaminate_fuzzy",
+    # round-13 block
+    "sim_pq_topk_scan_r50",
 ]
 
 
@@ -313,6 +315,15 @@ def _orchestrate(sf1: str, every: int, out: str, gate: bool,
 
     if resume_path and os.path.exists(resume_path) and os.path.abspath(
             resume_path) != os.path.abspath(out):
+        # Never clobber rows already accumulated in ``out``: seeding from a
+        # different resume table is only safe when out is absent or empty
+        # (header-only counts as empty — no measured/skip rows yet).
+        if os.path.exists(out) and _parse_prior(out) != (dict(), set(), 0):
+            sys.exit(
+                f"refusing to overwrite {out}: it already contains rows that"
+                f" differ from --resume {resume_path}; merge or remove it"
+                f" first, or pass --resume {out} to continue it in place"
+            )
         shutil.copyfile(resume_path, out)
     if not os.path.exists(out):
         with open(out, "w", encoding="utf-8") as fh:
@@ -351,6 +362,8 @@ def main() -> None:
     def popopt(flag: str):
         if flag in argv:
             i = argv.index(flag)
+            if i + 1 >= len(argv):
+                sys.exit(f"usage: {flag} requires a value")
             val = argv[i + 1]
             del argv[i:i + 2]
             return val
@@ -359,6 +372,11 @@ def main() -> None:
     resume_path = popopt("--resume")
     restart_every = popopt("--restart-every")
     max_rows = popopt("--max-rows")
+    if restart_every is not None and int(restart_every) < 1:
+        sys.exit("usage: --restart-every must be >= 1 (a 0 chunk size would"
+                 " respawn children forever without measuring anything)")
+    if max_rows is not None and int(max_rows) < 1:
+        sys.exit("usage: --max-rows must be >= 1")
     out_path = popopt("--out")
     args = [a for a in argv if a != "--gate"]
     sf1 = args[0] if args else "/tmp/sf1"
@@ -396,6 +414,13 @@ def main() -> None:
               f" line(s)) — inherited rows were measured against an older build")
         if 0 < len(prior) <= 20:
             print("[resume] inherited: " + ", ".join(sorted(prior)))
+    if (out_path and not resume_path and os.path.exists(out_path)
+            and _parse_prior(out_path) != (dict(), set(), 0)):
+        sys.exit(
+            f"refusing to append to {out_path}: it already contains rows and"
+            f" no --resume was given (would re-measure and duplicate them);"
+            f" pass --resume {out_path} to continue it, or remove it first"
+        )
     out_fh = open(out_path, "a", encoding="utf-8") if out_path else None
 
     def emit(line: str) -> None:
@@ -409,8 +434,11 @@ def main() -> None:
     ratios: dict[str, float] = dict(prior)
     limit = int(max_rows) if max_rows else None
     # The table header goes to the shared out file only when starting it
-    # fresh; on resume it is already there (stdout always shows it).
-    if out_fh is None or (not prior and not skip_names):
+    # fresh. Gate on the FILE being empty, not on prior/skip counts: under
+    # --restart-every the orchestrator pre-writes the header before the
+    # first child runs, so a child with zero inherited rows must still not
+    # duplicate it (stdout always shows it).
+    if out_fh is None or os.path.getsize(out_path) == 0:
         emit(TABLE_HEADER)
         emit(TABLE_SEP)
     else:
