@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "corpus_decontaminate_fuzzy",  # MinHash-LSH eval-leak scrub (directional)
     # round-13 block
     "sim_pq_topk_scan_r50",    # PQ scan at the production rerank window (50)
+    "sim_knn_graph_auto",      # occupancy-scaled k-NN graph (the scale path)
 ]
 
 

@@ -1047,9 +1047,12 @@ def knn_graph(
     pass for norm + hyperplane sums — persisted, and self-joined on the
     bucket key. One co-partitioning shuffle; in-bucket pair count is
     sum(|bucket|^2), bounded by the hash family exactly as in the LSH
-    dedup path (raise nbits to shrink buckets as the corpus grows — the
-    2^nbits knob is the scale lever). Per-query top-k is a
-    WindowGroupLimit-pruned rank, never a global sort."""
+    dedup path. A FIXED nbits makes that bound quadratic in the corpus
+    (n^2 / 2^nbits — the round-12 gate row's mechanism: 16 buckets,
+    pair work grew exactly 100x on 10x data); knn_graph_auto below
+    derives nbits from the corpus size and is the scale path — this
+    fixed-width form is the oracle-simplest baseline. Per-query top-k
+    is a WindowGroupLimit-pruned rank, never a global sort."""
     from hadoop_1_spark.operators.caching import persist_tracked
 
     signs = hyperplane_signs(nbits, seed=seed)
@@ -1064,32 +1067,44 @@ def knn_graph(
             bucket_from_sums(F.col("_p.sums"), 0, nbits).alias("_b"),
         )
     )
-    # Cellwise pair scoring (r8): the bucket self-join's per-pair Arrow
-    # DOT_FOLD shipped BOTH vectors per candidate pair — O(pairs * dims)
-    # transfer, 135 s / 76.7x at the sf1 probe. One applyInPandas pass
-    # per bucket instead: vectors cross Arrow once per ROW, in-cell dots
-    # are per-DIMENSION outer-product accumulation (DOT_FOLD's exact flop
-    # order -> bit-identical cosines; same recipe as
-    # dedup.semantic_dedup_pairs_cellwise), and each query emits only the
-    # candidates that can still reach the rounded top-k (unrounded kth
-    # minus a 1e-8 margin, far wider than round-at-9's 5e-10 swing), so
-    # the Arrow RETURN is O(rows * k) scalars. Division + HALF_UP round
-    # and the rank window stay JVM-side, untouched.
-    #
-    # Memory (r10, mirroring dedup.semantic_dedup_pairs_cellwise): the
-    # accumulator is blocked on BOTH axes to row_block x col_block doubles
-    # (32 MB at the 2048x2048 defaults) — a bound independent of bucket
-    # size; the bucket's own vectors (n x dims x 8 B) remain the residency
-    # floor either way. Per-(i,j) flop order is unchanged by the column
-    # blocking (same ascending-d sequence per pair), so dots stay
-    # bit-identical. The top-k prune threshold becomes a RUNNING per-row
-    # kth-largest, merged block by block: a running kth is always <= the
-    # full-row kth, so each block keeps a SUPERSET of the unblocked keep
-    # set (worst case ~k extra per col block) and the JVM-side rank
-    # window — which always did the final top-k — is unaffected.
-    # Parallelism = 2^nbits buckets (the scale knob); AQE cannot
-    # skew-split an applyInPandas group, so a badly skewed bucket whose
-    # vectors alone blow the residency floor needs a larger nbits.
+    return _knn_cell_topk(base, k, row_block, col_block)
+
+
+def _knn_cell_topk(
+    base: DataFrame, k: int, row_block: int, col_block: int
+) -> DataFrame:
+    """Shared cellwise pair-scoring tail of knn_graph / knn_graph_auto:
+    ``base`` is the persisted (_id, _v, _n, _b) relation; everything from
+    the bucket groupBy on is identical between the fixed-nbits and
+    occupancy-scaled variants.
+
+    Cellwise pair scoring (r8): the bucket self-join's per-pair Arrow
+    DOT_FOLD shipped BOTH vectors per candidate pair — O(pairs * dims)
+    transfer, 135 s / 76.7x at the sf1 probe. One applyInPandas pass
+    per bucket instead: vectors cross Arrow once per ROW, in-cell dots
+    are per-DIMENSION outer-product accumulation (DOT_FOLD's exact flop
+    order -> bit-identical cosines; same recipe as
+    dedup.semantic_dedup_pairs_cellwise), and each query emits only the
+    candidates that can still reach the rounded top-k (unrounded kth
+    minus a 1e-8 margin, far wider than round-at-9's 5e-10 swing), so
+    the Arrow RETURN is O(rows * k) scalars. Division + HALF_UP round
+    and the rank window stay JVM-side, untouched.
+
+    Memory (r10, mirroring dedup.semantic_dedup_pairs_cellwise): the
+    accumulator is blocked on BOTH axes to row_block x col_block doubles
+    (32 MB at the 2048x2048 defaults) — a bound independent of bucket
+    size; the bucket's own vectors (n x dims x 8 B) remain the residency
+    floor either way. Per-(i,j) flop order is unchanged by the column
+    blocking (same ascending-d sequence per pair), so dots stay
+    bit-identical. The top-k prune threshold becomes a RUNNING per-row
+    kth-largest, merged block by block: a running kth is always <= the
+    full-row kth, so each block keeps a SUPERSET of the unblocked keep
+    set (worst case ~k extra per col block) and the JVM-side rank
+    window — which always did the final top-k — is unaffected.
+    Parallelism = the bucket count; AQE cannot skew-split an
+    applyInPandas group, so a badly skewed bucket whose vectors alone
+    blow the residency floor needs more buckets (fixed variant: raise
+    nbits; auto variant: lower target_occupancy)."""
     import pandas as pd
 
     empty = pd.DataFrame(
@@ -1155,6 +1170,108 @@ def knn_graph(
         F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 9).alias("cosine"),
     )
     return _topk(scored, k)
+
+
+def auto_nbits_expr(
+    count_col: Column, target_occupancy: int, min_nbits: int, max_nbits: int
+) -> Column:
+    """Occupancy-scaled LSH width: the smallest ``b`` in
+    [min_nbits, max_nbits] with 2^b * target_occupancy >= n — i.e.
+    ceil(log2(n / target)) in EXACT integer arithmetic (a CASE chain of
+    integer comparisons; no floating log whose last-ulp behavior could
+    differ between engines at exact powers of two). Mean bucket
+    occupancy stays <= target, so the in-bucket pair work sum(|b|^2)
+    stays ~n * target — LINEAR in the corpus, where a fixed nbits gives
+    n^2 / 2^nbits (the round-12 sim_knn_graph gate row: 16 fixed
+    buckets, sum(|b|^2) grew exactly 100x on 10x data)."""
+    expr = F.when(
+        F.lit((1 << min_nbits) * target_occupancy) >= count_col, F.lit(min_nbits)
+    )
+    for b in range(min_nbits + 1, max_nbits):
+        expr = expr.when(
+            F.lit((1 << b) * target_occupancy) >= count_col, F.lit(b)
+        )
+    return expr.otherwise(F.lit(max_nbits)).cast("int")
+
+
+def bucket_from_sums_dyn(
+    sums: Column, offset: int, max_bits: int, nbits_col: Column
+) -> Column:
+    """bucket_from_sums with a RUNTIME bit count: bit i contributes only
+    when i < nbits_col (the broadcast occupancy-derived width). The
+    first ``nbits`` hyperplanes of a max_bits family are byte-identical
+    to a standalone nbits family (hyperplane_signs derives row i from
+    seed:i:d independently), so a dynamic width never changes which
+    planes the bits come from."""
+    acc = F.lit(0).cast("int")
+    for i in range(max_bits):
+        acc = acc + F.when(
+            (F.lit(i) < nbits_col) & (F.element_at(sums, offset + i + 1) > 0),
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+    return acc
+
+
+def knn_graph_auto(
+    emb: DataFrame,
+    k: int = 3,
+    target_occupancy: int = 128,
+    min_nbits: int = 4,
+    max_nbits: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    row_block: int = 2048,
+    col_block: int = 2048,
+) -> DataFrame:
+    """knn_graph with the LSH width derived from the CORPUS SIZE instead
+    of passed as a static knob — the scale path the round-12 gate asked
+    for: with nbits fixed, in-bucket pair work sum(|bucket|^2) is
+    n^2 / 2^nbits and grew exactly 100x on 10x data (8.9x wall on the
+    r12 probe only because the numpy per-pair constant is tiny); with
+    nbits = max(min_nbits, ceil(log2(n / target_occupancy))) the mean
+    occupancy is pinned <= target_occupancy and pair work is
+    ~n * target — linear by construction, the knn_graph analog of
+    dedup_autocap's work-budget rule.
+
+    The width is derived IN-PLAN (a 1-row count relation, broadcast
+    into both the bucket projection — no driver collect), the
+    hyperplane sums are computed once for max_nbits planes in the same
+    single Arrow pass, and the bucket takes the first nbits bits
+    (identical planes to a fixed-nbits family, see bucket_from_sums_dyn),
+    so on any corpus where the derived width equals ``nbits`` the
+    result is BIT-IDENTICAL to knn_graph (at the defaults: every corpus
+    with n <= 2^4 * 128 = 2048, which includes the sf0.01 oracle
+    fixture and the sf0.1 bench fixture).
+
+    Semantics note: on larger corpora the graph is built over FINER
+    buckets (each query ranks against ~target_occupancy candidates, the
+    recall/cost dial every LSH path here exposes) — the oracle replays
+    the width derivation and the dynamic bucket bit-for-bit."""
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    signs = hyperplane_signs(max_nbits, seed=seed)
+    nrel = emb.agg(F.count(F.lit(1)).alias("_cnt")).select(
+        auto_nbits_expr(F.col("_cnt"), target_occupancy, min_nbits, max_nbits)
+        .alias("_nbits")
+    )
+    base = persist_tracked(
+        emb.crossJoin(F.broadcast(nrel))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            project_udf(signs)(F.col(vec_col)).alias("_p"),
+            "_nbits",
+        )
+        .select(
+            "_id", "_v",
+            F.col("_p.nrm").alias("_n"),
+            bucket_from_sums_dyn(
+                F.col("_p.sums"), 0, max_nbits, F.col("_nbits")
+            ).alias("_b"),
+        )
+    )
+    return _knn_cell_topk(base, k, row_block, col_block)
 
 
 def mmr_topk(

@@ -578,6 +578,76 @@ FROM r WHERE rn <= {KNN_K}
 """
 
 
+KNN_TARGET_OCC = 128
+KNN_MIN_NBITS = 4
+KNN_MAX_NBITS = 10
+
+
+def _auto_nbits_sql() -> str:
+    """SQL twin of similarity.auto_nbits_expr: the same integer CASE
+    chain (no floating log2 — exact at powers of two on both engines)."""
+    whens = " ".join(
+        f"WHEN {(1 << b) * KNN_TARGET_OCC} >= n THEN {b}"
+        for b in range(KNN_MIN_NBITS, KNN_MAX_NBITS)
+    )
+    return (f"SELECT CASE {whens} ELSE {KNN_MAX_NBITS} END AS nbits "
+            f"FROM (SELECT count(*) AS n FROM embeddings)")
+
+
+def _bucket_sql_dyn(vec: str, signs: list[list[int]], nbits_ref: str) -> str:
+    """SQL twin of similarity.bucket_from_sums_dyn: bit i contributes
+    only when i < the derived width."""
+    parts = []
+    for i, row in enumerate(signs):
+        chain = "0.0 + " + " + ".join(
+            f"CAST({vec}[{d + 1}] AS DOUBLE) * ({float(row[d])})" for d in range(len(row))
+        )
+        parts.append(
+            f"(CASE WHEN {i} < {nbits_ref} AND ({chain}) > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
+def _knn_auto_oracle() -> str:
+    signs = similarity.hyperplane_signs(KNN_MAX_NBITS)
+    return f"""
+WITH nb AS ({_auto_nbits_sql()}),
+v AS (
+  SELECT vec_id, embedding AS ev, {_NRM} AS nrm,
+         {_bucket_sql_dyn("embedding", signs, "nb.nbits")} AS bkt
+  FROM embeddings, nb
+),
+p AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         a.ev AS qv, b.ev AS cv, a.nrm AS qn, b.nrm AS cn
+  FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+),
+{_COSINE_CTES}
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= {KNN_K}
+"""
+
+
+@register("sim_knn_graph_auto", oracle=_knn_auto_oracle())
+def sim_knn_graph_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The occupancy-scaled twin of sim_knn_graph and the registered
+    SCALE PATH (round-12 verdict #2): the LSH width is derived in-plan
+    as max(4, ceil(log2(n / 128))) in exact integer arithmetic, pinning
+    mean bucket occupancy <= 128 so in-bucket pair work stays ~n * 128 —
+    linear in the corpus by construction, where the fixed-nbits baseline
+    is n^2/16 (its pair count grew exactly 100x on the 10x gate data).
+    Bit-identical to sim_knn_graph on corpora up to 2048 vectors (the
+    derived width clamps to the same 4 bits — covers the sf0.01 oracle
+    and sf0.1 bench fixtures); on the sf1 gate data it self-widens to
+    8 bits / 256 buckets. The oracle replays the width derivation and
+    the dynamic bucket bit-for-bit. See similarity.knn_graph_auto."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.knn_graph_auto(
+        emb, k=KNN_K, target_occupancy=KNN_TARGET_OCC,
+        min_nbits=KNN_MIN_NBITS, max_nbits=KNN_MAX_NBITS,
+    )
+
+
 @register("sim_knn_graph", oracle=_knn_oracle())
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs k-NN graph (k=3) within LSH buckets over the whole

@@ -211,6 +211,7 @@ QUERIES = [
     "corpus_decontaminate_fuzzy",
     # round-13 block
     "sim_pq_topk_scan_r50",
+    "sim_knn_graph_auto",
 ]
 
 
@@ -235,6 +236,11 @@ GATE_RATIO = 10.0
 KNOWN_QUADRATIC = {
     "entity_match_parts": "entity_match_parts_fine is the scale path",
     "dedup_fuzzy_titles": "dedup_fuzzy_titles_fine is the scale path",
+    # r13: fixed 2^4 buckets -> sum(|b|^2) grows as n^2/16 by construction
+    # (measured: exactly 100x pair work on 10x data, 8.9x wall on the r12
+    # gate); the occupancy-scaled twin pins mean occupancy <= 128 and is
+    # the measured-linear scale path (1.43x on 10x data).
+    "sim_knn_graph": "sim_knn_graph_auto is the scale path",
 }
 
 

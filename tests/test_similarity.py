@@ -345,6 +345,45 @@ def test_knn_graph_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "sim_knn_graph")
 
 
+def test_knn_graph_auto_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sim_knn_graph_auto")
+
+
+def test_knn_graph_auto_clamps_to_fixed_on_small_corpus(spark):
+    """n <= 2^min_nbits * target -> the derived width clamps to
+    min_nbits and the auto twin is BIT-IDENTICAL to the fixed-width
+    operator (the contract that lets sim_knn_graph_auto share
+    sim_knn_graph's semantics on the oracle/bench fixtures)."""
+    from hadoop_1_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    a = sorted(map(tuple, similarity.knn_graph_auto(emb, k=3).collect()))
+    b = sorted(map(tuple, similarity.knn_graph(emb, k=3, nbits=4).collect()))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_knn_graph_auto_widens_past_target(spark):
+    """Past 2^b * target vectors the derived width must step to b+1 and
+    the dynamic-bucket plan must equal the static plan at that width —
+    pinned at a small target (8) so the test corpus stays tiny: the
+    sf0.01 fixture's n = 500 needs 2^6 * 8 = 512 -> width 6, not the
+    4-bit floor."""
+    from hadoop_1_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    a = sorted(
+        map(
+            tuple,
+            similarity.knn_graph_auto(emb, k=3, target_occupancy=8).collect(),
+        )
+    )
+    b6 = sorted(map(tuple, similarity.knn_graph(emb, k=3, nbits=6).collect()))
+    b4 = sorted(map(tuple, similarity.knn_graph(emb, k=3, nbits=4).collect()))
+    assert a == b6
+    assert a != b4  # the width really moved off the floor
+
+
 def test_knn_graph_symmetric_in_bucket(spark):
     """Within a bucket, if b is a's nearest neighbor and the bucket has
     exactly 2 vectors, each lists the other with identical cosine."""
