@@ -170,6 +170,14 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 KM_K = 8
 KM_ITERS = 2
 
+# Auto-k SQL twin of kmeans_train_assign's k=None: max(2, isqrt(n)).
+# floor(sqrt(n)) over a double equals math.isqrt for every feasible corpus
+# size here (they can only differ where the double sqrt of an integer
+# rounds across an integer boundary, ~2^52-scale corpora).
+_AUTO_K_SQL = (
+    "(SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
+)
+
 
 def _kmeanspp_seed_ctes(k: int, dims: int) -> list[str]:
     """CTE chain replaying similarity.farthest_first_seeds: seed 0 is the
@@ -323,10 +331,12 @@ def cluster_kmeans_pp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_dedup_oracle(threshold: float = 0.45, dims: int = 64) -> str:
+def _semantic_dedup_oracle(
+    threshold: float = 0.45, dims: int = 64, k: int | str | None = None
+) -> str:
     nrm = f"sqrt({sql_dot_chain('embedding', 'embedding', dims)})"
     return (
-        "WITH " + ",\n".join(_kmeans_ctes())
+        "WITH " + ",\n".join(_kmeans_ctes() if k is None else _kmeans_ctes(k=k))
         + f""",
 e2 AS (SELECT vec_id, cid, embedding, {nrm} AS nrm FROM afinal),
 p AS (
@@ -359,6 +369,26 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     clusters = similarity.kmeans_train_assign(
         emb, k=KM_K, iters=KM_ITERS, keep_vector=True
+    )
+    return dedup.semantic_dedup_pairs_cellwise(emb, clusters, threshold=0.45)
+
+
+@register("dedup_semantic_auto", oracle=_semantic_dedup_oracle(k=_AUTO_K_SQL))
+def dedup_semantic_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_semantic at the SCALE cell count (round-12 verdict #3):
+    k=None trains max(2, isqrt(n)) k-means cells, so expected cell size
+    is ~sqrt(n) and the in-cell pair stage does ~n^1.5 work — where the
+    fixture k=8 leaves cells growing linearly and pair work n^2/8 (the
+    mechanism behind the row's upward drift: 5.79x r11 -> 7.79x r12 at
+    sf1; same construction as sim_knn_graph_auto / the SemDeDup paper's
+    sqrt sizing). Same Lloyd recursion, same cellwise scorer, same
+    threshold; the oracle swaps only the seeds CTE's LIMIT to the
+    isqrt(n) scalar subquery (the sim_ivf_auto_topk_scan pattern)."""
+    from hadoop_1_spark.operators import dedup
+
+    emb = _load(spark, sf_dir, "embeddings")
+    clusters = similarity.kmeans_train_assign(
+        emb, k=None, iters=KM_ITERS, keep_vector=True
     )
     return dedup.semantic_dedup_pairs_cellwise(emb, clusters, threshold=0.45)
 
@@ -1535,15 +1565,6 @@ def sim_bq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where("vec_id < 10"), path, k=K, rerank=RERANK,
         nprobe=IVF_NPROBE,
     )
-
-
-# Auto-k SQL twin of kmeans_train_assign's k=None: max(2, isqrt(n)).
-# floor(sqrt(n)) over a double equals math.isqrt for every feasible corpus
-# size here (they can only differ where the double sqrt of an integer
-# rounds across an integer boundary, ~2^52-scale corpora).
-_AUTO_K_SQL = (
-    "(SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
-)
 
 
 def _ivf_auto_oracle() -> str:

@@ -212,6 +212,7 @@ QUERIES = [
     # round-13 block
     "sim_pq_topk_scan_r50",
     "sim_knn_graph_auto",
+    "dedup_semantic_auto",
 ]
 
 
@@ -241,6 +242,10 @@ KNOWN_QUADRATIC = {
     # gate); the occupancy-scaled twin pins mean occupancy <= 128 and is
     # the measured-linear scale path (1.43x on 10x data).
     "sim_knn_graph": "sim_knn_graph_auto is the scale path",
+    # r13: fixed k=8 kmeans cells -> in-cell pair work n^2/8 (the row
+    # drifted 5.79x -> 7.79x across rounds for exactly this reason); the
+    # isqrt(n)-cell twin does ~n^1.5 pair work and gates at 3.78x.
+    "dedup_semantic": "dedup_semantic_auto is the scale path",
 }
 
 

@@ -197,6 +197,31 @@ def test_semantic_dedup_subset_of_all_pairs(spark):
         assert sem, (len(sem), len(allp))
 
 
+def test_dedup_semantic_auto_matches_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "dedup_semantic_auto")
+
+
+def test_dedup_semantic_auto_equals_explicit_isqrt_k(spark):
+    """The k=None auto sizing must be exactly max(2, isqrt(n)) explicit
+    cells — same clusters, same in-cell pairs."""
+    import math
+    import os
+
+    from hadoop_1_spark.operators import dedup, similarity
+    from hadoop_1_spark.session import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(2, math.isqrt(emb.count()))
+    auto = similarity.kmeans_train_assign(emb, k=None, iters=2, keep_vector=True)
+    expl = similarity.kmeans_train_assign(emb, k=k, iters=2, keep_vector=True)
+    a = sorted(map(tuple, dedup.semantic_dedup_pairs_cellwise(emb, auto, 0.45).collect()))
+    b = sorted(map(tuple, dedup.semantic_dedup_pairs_cellwise(emb, expl, 0.45).collect()))
+    assert a == b
+
+
 def test_kmeans_arrow_bit_identical(spark):
     """The Arrow assignment path must match the expression path exactly —
     same clusters for every vector."""
