@@ -95,10 +95,16 @@ def keyfield_sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a reverse total-order text sort ordered on the line column itself —
     the range shuffle and the global_rank cache carry ONE string per row,
     not a line + byte-identical key duplicate (round-11 scale fix:
-    sf1 25.3 -> 13.0 s, 9.0x -> ~4.5x on 10x data). Rank asserts the
-    global order exactly as keyfield_sort does (lines are unique, so the
-    order is total without a tiebreak)."""
-    lines = _lines(spark, sf_dir)
+    sf1 25.3 -> 13.0 s, 9.0x -> ~4.5x on 10x data). The line relation is
+    persisted BEFORE global_rank (round-13): repartitionByRange runs its
+    child twice (a range-sampling job, then the shuffle), so a non-trivial
+    lineage (scan + 6-field concat here) pays double without it —
+    measured 16.5 -> 13.0 s at sf1. Rank asserts the global order exactly
+    as keyfield_sort does (lines are unique, so the order is total
+    without a tiebreak)."""
+    from hadoop_1_spark.operators.caching import persist_tracked
+
+    lines = persist_tracked(_lines(spark, sf_dir))
     specs = keyfield.parse_sort_spec("-r")
     assert (
         len(specs) == 1 and specs[0].reverse and keyfield.is_whole_line(specs[0])
