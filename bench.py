@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "sim_pq_topk_scan_r50",    # PQ scan at the production rerank window (50)
     "sim_knn_graph_auto",      # occupancy-scaled k-NN graph (the scale path)
     "dedup_semantic_auto",     # isqrt(n)-cell SemDeDup (the scale path)
+    "corpus_decontaminate_semantic",  # embedding rung of the decon ladder
 ]
 
 

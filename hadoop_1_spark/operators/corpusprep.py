@@ -192,6 +192,108 @@ def decontaminate_fuzzy(
     return pairs.where(F.col("jaccard") >= threshold)
 
 
+def decontaminate_semantic(
+    emb: DataFrame,
+    bench_pred: Column,
+    threshold: float = 0.45,
+    bands: int = 4,
+    min_bits: int = 4,
+    max_bits: int = 8,
+    target_occupancy: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the third rung of the
+    decontamination ladder (exact shingle ``decontaminate`` -> MinHash
+    ``decontaminate_fuzzy`` -> embedding cosine here): flag corpus
+    vectors whose exact cosine against ANY benchmark vector reaches
+    ``threshold``, with candidates generated by banded random-hyperplane
+    LSH (dedup.embedding_lsh_pairs' family and seeds; OR-of-ANDs). This
+    is the leak mode token-overlap methods structurally miss: full
+    rewrites/translations of eval material that embed close but share
+    no n-grams. Returns (vec_id, bench_id, cosine) per contaminated
+    pair; callers drop vec_ids with a left-anti join.
+
+    Band WIDTH is derived in-plan from the corpus size — the
+    knn_graph_auto rule (similarity.auto_nbits_expr: smallest b in
+    [min_bits, max_bits] with 2^b * target >= n, exact integer CASE
+    chain) — so expected per-band candidates stay ~bands * target *
+    |benchmark| instead of growing with corpus x benchmark occupancy
+    (measured at the sf1 probe: fixed 4-bit buckets read 52 s from 12M
+    verify pairs; the derived 8-bit width reads ~2 s). ``max_bits``
+    CAPS the width because wider AND-keys cost recall on the
+    OR-of-ANDs S-curve (p^bits per band): a deployment sizes
+    (bands, max_bits) together — more bands buy back the recall wider
+    keys spend, at linearly more candidate work. All knobs are exposed;
+    the defaults match the fixture oracle.
+
+    Scale shape: each side is scanned ONCE with the benchmark predicate
+    pushed into the scan, and the Arrow hyperplane projection runs only
+    on its own side's rows; the benchmark is eval-set-sized so its
+    banded relation BROADCASTS — the corpus is never shuffled (the band
+    join is a broadcast hash join on the bucket; the width relation is
+    a broadcast 1-row count), and the only exchange is the distinct
+    over surviving pairs. Verify is the exact fixed-order DOT_FOLD
+    cosine inline on the join output, as in embedding_lsh_pairs."""
+    from hadoop_1_spark.operators import similarity
+
+    all_signs = [
+        row
+        for b in range(bands)
+        for row in similarity.hyperplane_signs(max_bits, seed=100 + b)
+    ]
+    nrel = emb.agg(F.count(F.lit(1)).alias("_cnt")).select(
+        similarity.auto_nbits_expr(
+            F.col("_cnt"), target_occupancy, min_bits, max_bits
+        ).alias("_nbits")
+    )
+
+    def side(pred: Column, name: str) -> DataFrame:
+        pre = emb.where(pred).crossJoin(F.broadcast(nrel)).select(
+            F.col(id_col).alias(name),
+            F.col(vec_col).alias(f"_v_{name}"),
+            similarity.project_udf(all_signs)(F.col(vec_col)).alias("_p"),
+            "_nbits",
+        )
+        return pre.select(
+            name,
+            f"_v_{name}",
+            F.col("_p.nrm").alias(f"_n_{name}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":",
+                            F.lit(str(b)),
+                            similarity.bucket_from_sums_dyn(
+                                F.col("_p.sums"), b * max_bits, max_bits,
+                                F.col("_nbits"),
+                            ).cast("string"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bucket"),
+        )
+
+    corpus = side(~bench_pred, id_col)
+    bench = side(bench_pred, "bench_id")
+    return (
+        corpus.join(F.broadcast(bench), "bucket")
+        .select(
+            F.col(id_col),
+            "bench_id",
+            F.round(
+                similarity.DOT_FOLD(F.col(f"_v_{id_col}"), F.col("_v_bench_id"))
+                / (F.col(f"_n_{id_col}") * F.col("_n_bench_id")),
+                9,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

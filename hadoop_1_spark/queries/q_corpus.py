@@ -194,6 +194,66 @@ def corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_decon_oracle(bands: int = 4, min_bits: int = 4,
+                           max_bits: int = 8, target: int = 128,
+                           threshold: float = 0.45) -> str:
+    from hadoop_1_spark.operators import dedup as dedup_ops
+    from hadoop_1_spark.operators import similarity
+    from hadoop_1_spark.queries.q_similarity import (
+        _auto_nbits_sql,
+        _bucket_sql_dyn,
+    )
+
+    bucket_cols = ",\n       ".join(
+        f"{_bucket_sql_dyn('embedding', similarity.hyperplane_signs(max_bits, seed=100 + b), 'nb.nbits')} AS b{b}"
+        for b in range(bands)
+    )
+    band_list = ", ".join(f"'{b}' || ':' || b{b}::VARCHAR" for b in range(bands))
+    return f"""
+WITH nb AS ({_auto_nbits_sql(target, min_bits, max_bits)}),
+e AS (
+  SELECT vec_id, embedding,
+       sqrt({dedup_ops.sql_dot_chain("embedding", "embedding", 64)}) AS nrm,
+       {bucket_cols}
+  FROM embeddings, nb
+),
+banded AS (SELECT vec_id, unnest([{band_list}]) AS bucket FROM e),
+cand AS (
+  SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+  FROM banded x JOIN banded y ON x.bucket = y.bucket
+   AND x.vec_id % {BENCH_MOD} <> 0 AND y.vec_id % {BENCH_MOD} = 0
+),
+c AS (
+  SELECT d1, d2,
+         round(({dedup_ops.sql_dot_chain("e1.embedding", "e2.embedding", 64)}) / (e1.nrm * e2.nrm), 9) AS cosine
+  FROM cand JOIN e e1 ON d1 = e1.vec_id JOIN e e2 ON d2 = e2.vec_id
+)
+SELECT d1 AS vec_id, d2 AS bench_id, cosine FROM c WHERE cosine >= {threshold}
+"""
+
+
+@register("corpus_decontaminate_semantic", oracle=_semantic_decon_oracle())
+def corpus_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMBEDDING rung of the decontamination ladder (same every-7th-id
+    synthetic benchmark as the exact and fuzzy rungs, on the embeddings
+    table): banded hyperplane-LSH candidates (dedup_embedding_lsh's
+    band family and seeds, band WIDTH derived in-plan from corpus size —
+    the knn_graph_auto rule, capped at 8 bits) joined DIRECTIONALLY
+    corpus x benchmark with the benchmark side BROADCAST, exact
+    fixed-order cosine verified at 0.45 — the leak mode token-overlap
+    scrubbing structurally misses (rewrites/translations of eval
+    material that embed close but share no n-grams). The corpus is
+    never shuffled; the only exchange is the distinct over surviving
+    pairs. The oracle replays the width derivation, bucket assignment,
+    the directional candidate stage, and the verify. See
+    corpusprep.decontaminate_semantic."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return corpusprep.decontaminate_semantic(
+        emb, F.pmod(F.col("vec_id"), F.lit(BENCH_MOD)) == 0,
+        threshold=0.45, bands=4, min_bits=4, max_bits=8,
+    )
+
+
 @register(
     "corpus_shards",
     oracle=f"""

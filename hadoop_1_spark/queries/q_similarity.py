@@ -613,14 +613,18 @@ KNN_MIN_NBITS = 4
 KNN_MAX_NBITS = 10
 
 
-def _auto_nbits_sql() -> str:
+def _auto_nbits_sql(
+    target: int = KNN_TARGET_OCC,
+    min_nbits: int = KNN_MIN_NBITS,
+    max_nbits: int = KNN_MAX_NBITS,
+) -> str:
     """SQL twin of similarity.auto_nbits_expr: the same integer CASE
     chain (no floating log2 — exact at powers of two on both engines)."""
     whens = " ".join(
-        f"WHEN {(1 << b) * KNN_TARGET_OCC} >= n THEN {b}"
-        for b in range(KNN_MIN_NBITS, KNN_MAX_NBITS)
+        f"WHEN {(1 << b) * target} >= n THEN {b}"
+        for b in range(min_nbits, max_nbits)
     )
-    return (f"SELECT CASE {whens} ELSE {KNN_MAX_NBITS} END AS nbits "
+    return (f"SELECT CASE {whens} ELSE {max_nbits} END AS nbits "
             f"FROM (SELECT count(*) AS n FROM embeddings)")
 
 

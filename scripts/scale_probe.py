@@ -213,6 +213,7 @@ QUERIES = [
     "sim_pq_topk_scan_r50",
     "sim_knn_graph_auto",
     "dedup_semantic_auto",
+    "corpus_decontaminate_semantic",
 ]
 
 

@@ -421,6 +421,40 @@ def test_decontaminate_fuzzy_flags_paraphrased_leak(spark):
     assert all(r["jaccard"] >= 0.8 for r in got)
 
 
+def test_corpus_decontaminate_semantic_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "corpus_decontaminate_semantic")
+
+
+def test_decontaminate_semantic_directional_vs_lsh_pairs(spark):
+    """At the clamped width (sf0.01: n=500 -> 4 bits, the
+    dedup_embedding_lsh family) the semantic decon must equal the
+    embedding-LSH pair set restricted to exactly-one-bench-member pairs,
+    oriented corpus -> bench — directional completeness both ways, with
+    identical cosines."""
+    from hadoop_1_spark.operators import corpusprep, dedup
+    from hadoop_1_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    # sf0.01 explicitly: the default test sf (sf0.001, ~50 vectors) has
+    # no cross-side pair above the threshold, which would make the
+    # equality below vacuously true.
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    got = {
+        (r["vec_id"], r["bench_id"]): r["cosine"]
+        for r in corpusprep.decontaminate_semantic(
+            emb, F.pmod(F.col("vec_id"), F.lit(7)) == 0, threshold=0.45
+        ).collect()
+    }
+    ref = {}
+    for r in dedup.embedding_lsh_pairs(emb, threshold=0.45).collect():
+        b1, b2 = r["d1"] % 7 == 0, r["d2"] % 7 == 0
+        if b1 != b2:  # exactly one bench member
+            c, b = (r["d2"], r["d1"]) if b1 else (r["d1"], r["d2"])
+            ref[(c, b)] = r["cosine"]
+    assert got == ref
+    assert got  # non-degenerate on this fixture
+
+
 def test_dsir_selects_target_like_docs(spark):
     """Selection must skew toward the target distribution: with lang='en'
     as the target, the selected quarter should be majority-en (the raw
