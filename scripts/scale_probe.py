@@ -321,7 +321,17 @@ def _orchestrate(sf1: str, every: int, out: str, gate: bool,
     rows, each chunk in its OWN subprocess (fresh JVM), so accumulated
     JVM state (codegen caches, broadcast/GC pressure after 130+ queries)
     never inflates tail rows — the round-11 gate needed two rows
-    hand-re-measured in isolation for exactly this (TODO 0i)."""
+    hand-re-measured in isolation for exactly this (TODO 0i).
+
+    Known residual artifact (r13): a WARM sf0.1 LEG — inside a chunk,
+    sibling queries over the same tables leave sf0.1 parquet/OS-cache/
+    JIT state warm, so a later query's sf0.1 best-of-3 can read
+    anomalously fast while its 10x-bigger sf1 leg stays cold-ish,
+    INFLATING the ratio (entity_match_parts_fine read 12.38x chunked vs
+    2.67x with both legs fresh; dedup_fuzzy_titles_fine 8.02x vs 3.13x).
+    The bias only ever produces FALSE ALARMS, never false passes, so
+    the protocol is: re-measure any gate failure with
+    ``--restart-every 1 --resume`` before believing it."""
     import shutil
     import subprocess
 
