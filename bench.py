@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "sim_knn_graph_auto",      # occupancy-scaled k-NN graph (the scale path)
     "dedup_semantic_auto",     # isqrt(n)-cell SemDeDup (the scale path)
     "corpus_decontaminate_semantic",  # embedding rung of the decon ladder
+    "corpus_contamination_report",    # unified exact+fuzzy drop-list report
 ]
 
 

@@ -194,6 +194,74 @@ def corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _contamination_report_oracle() -> str:
+    exact = ORACLE["corpus_decontaminate"]
+    fuzzy = ORACLE["corpus_decontaminate_fuzzy"]
+    return f"""
+WITH ex AS (SELECT * FROM ({exact})),
+fz0 AS (SELECT * FROM ({fuzzy})),
+fz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS fuzzy_hits, max(jaccard) AS max_jaccard
+  FROM fz0 GROUP BY 1
+)
+SELECT coalesce(ex.doc_id, fz.doc_id) AS doc_id,
+       coalesce(ex.n_shared, 0) AS exact_shingles,
+       coalesce(fz.fuzzy_hits, 0) AS fuzzy_hits,
+       coalesce(fz.max_jaccard, 0.0) AS max_jaccard,
+       CASE WHEN ex.doc_id IS NOT NULL AND fz.doc_id IS NOT NULL THEN 'both'
+            WHEN ex.doc_id IS NOT NULL THEN 'exact' ELSE 'fuzzy' END AS method
+FROM ex FULL JOIN fz ON ex.doc_id = fz.doc_id
+"""
+
+
+@register("corpus_contamination_report", oracle=_contamination_report_oracle())
+def corpus_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document contamination REPORT a data team actually reviews
+    before a scrub: one row per flagged corpus doc unifying the exact
+    rung (shared 5-token shingle count, corpus_decontaminate) and the
+    fuzzy rung (MinHash-LSH verified benchmark hits + max Jaccard,
+    corpus_decontaminate_fuzzy), with a method tag
+    (exact / fuzzy / both) — the drop-list with evidence attached.
+    (The semantic rung reports per VECTOR id on the embeddings table
+    and stays a separate artifact, corpus_decontaminate_semantic.)
+
+    Scale shape: both rungs keep their own economics (benchmark side
+    broadcast in each; corpus never shuffled except the fuzzy rung's
+    one signature aggregation); the report join is flagged-docs x
+    flagged-docs — leak-sized, not corpus-sized. The oracle composes
+    the two registered rung oracles verbatim, so the report can only
+    diverge if a rung itself does."""
+    from hadoop_1_spark.operators import corpusprep
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) == 0)
+    train = docs.where(F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) != 0)
+    ex = corpusprep.decontaminate(train, bench, k=DECON_K)
+    fz = (
+        corpusprep.decontaminate_fuzzy(
+            train, bench, k=3, num_hashes=16, bands=8, threshold=0.8
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("fuzzy_hits"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+    exa = ex.select("doc_id", "n_shared").alias("ex")
+    fza = fz.alias("fz")
+    j = exa.join(fza, F.col("ex.doc_id") == F.col("fz.doc_id"), "full")
+    return j.select(
+        F.coalesce(F.col("ex.doc_id"), F.col("fz.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("ex.n_shared"), F.lit(0).cast("bigint")).alias("exact_shingles"),
+        F.coalesce(F.col("fz.fuzzy_hits"), F.lit(0).cast("bigint")).alias("fuzzy_hits"),
+        F.coalesce(F.col("fz.max_jaccard"), F.lit(0.0)).alias("max_jaccard"),
+        F.when(
+            F.col("ex.doc_id").isNotNull() & F.col("fz.doc_id").isNotNull(), "both"
+        ).when(F.col("ex.doc_id").isNotNull(), "exact").otherwise("fuzzy")
+        .alias("method"),
+    )
+
+
 def _semantic_decon_oracle(bands: int = 4, min_bits: int = 4,
                            max_bits: int = 8, target: int = 128,
                            threshold: float = 0.45) -> str:

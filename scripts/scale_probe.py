@@ -214,6 +214,7 @@ QUERIES = [
     "sim_knn_graph_auto",
     "dedup_semantic_auto",
     "corpus_decontaminate_semantic",
+    "corpus_contamination_report",
 ]
 
 

@@ -421,6 +421,31 @@ def test_decontaminate_fuzzy_flags_paraphrased_leak(spark):
     assert all(r["jaccard"] >= 0.8 for r in got)
 
 
+def test_corpus_contamination_report_matches_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "corpus_contamination_report")
+
+
+def test_contamination_report_consistent_with_rungs(spark):
+    """Every report row must be derivable from the two rung queries: the
+    exact_shingles column equals corpus_decontaminate's n_shared, the
+    fuzzy columns aggregate corpus_decontaminate_fuzzy, and the method
+    tag reflects exactly which rungs flagged the doc."""
+    from hadoop_1_spark import registry
+
+    sf = "/root/testdata/sf0.01"
+    rep = {r["doc_id"]: r for r in registry.QUERIES["corpus_contamination_report"](spark, sf).collect()}
+    ex = {r["doc_id"]: r["n_shared"] for r in registry.QUERIES["corpus_decontaminate"](spark, sf).collect()}
+    fz: dict[int, list] = {}
+    for r in registry.QUERIES["corpus_decontaminate_fuzzy"](spark, sf).collect():
+        fz.setdefault(r["doc_id"], []).append(r["jaccard"])
+    assert set(rep) == set(ex) | set(fz)
+    for d, r in rep.items():
+        assert r["exact_shingles"] == ex.get(d, 0)
+        assert r["fuzzy_hits"] == len(fz.get(d, []))
+        want = "both" if d in ex and d in fz else ("exact" if d in ex else "fuzzy")
+        assert r["method"] == want
+
+
 def test_corpus_decontaminate_semantic_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "corpus_decontaminate_semantic")
 
