@@ -239,23 +239,38 @@ def run_query(spark, name: str) -> float:
     return best
 
 
-def _prior_committed_rows() -> dict[str, dict]:
-    """Per-query rows of the NEWEST committed BENCH_LOCAL_r*.json — the
-    drift baseline for the variance guard (round-7 verdict #4)."""
+def _prior_committed_rows(
+    n_tables: int = 3, base: str | None = None
+) -> dict[str, dict]:
+    """Per-query drift baseline: the MIN spark_s/duck_s across the newest
+    ``n_tables`` committed BENCH_LOCAL_r*.json tables (round-13 verdict
+    #2a: comparing against only the immediately-prior table let a row
+    ratchet — double every round while staying under the 2x trigger,
+    sim_pq_topk went 4.77 -> 8.70 -> 16.74 s with the guard never firing;
+    against the min of the last 3 tables a ratcheting row must eventually
+    face the fresh-JVM re-measure)."""
     import glob
 
-    base = os.path.dirname(os.path.abspath(__file__))
+    if base is None:
+        base = os.path.dirname(os.path.abspath(__file__))
     tables = sorted(
         glob.glob(os.path.join(base, "BENCH_LOCAL_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)),
     )
-    if not tables:
-        return {}
-    try:
-        with open(tables[-1], encoding="utf-8") as fh:
-            return json.load(fh).get("rows", {})
-    except Exception:
-        return {}
+    out: dict[str, dict] = {}
+    for path in tables[-n_tables:]:
+        try:
+            with open(path, encoding="utf-8") as fh:
+                rows = json.load(fh).get("rows", {})
+        except Exception:
+            continue
+        for name, row in rows.items():
+            rec = out.setdefault(name, {})
+            for key in ("spark_s", "duck_s"):
+                v = row.get(key)
+                if v is not None and (rec.get(key) is None or v < rec[key]):
+                    rec[key] = v
+    return out
 
 
 def _fresh_rerun_child(names: list[str]) -> None:
@@ -281,11 +296,18 @@ def _fresh_jvm_remeasure(flagged: list[str]) -> dict[str, float]:
     explicitly flagged in the JSON itself."""
     import subprocess
 
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--fresh-rerun",
-         ",".join(flagged)],
-        capture_output=True, text=True, timeout=1800,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--fresh-rerun",
+             ",".join(flagged)],
+            capture_output=True, text=True, timeout=1800,
+        )
+    except subprocess.TimeoutExpired:
+        # a hung child must not crash the whole run after every query was
+        # already measured — degrade exactly like the rc!=0 path
+        print("bench: fresh-JVM rerun timed out; "
+              "flagged rows keep their in-run values", file=sys.stderr)
+        return {}
     for line in proc.stdout.splitlines():
         if line.startswith("FRESH_RERUN_JSON:"):
             return json.loads(line[len("FRESH_RERUN_JSON:"):])
