@@ -89,6 +89,12 @@ def select_fields_expr(
                 fields, all_from + 1,
                 F.greatest(F.size(fields) - all_from, F.lit(0)),
             )
+            # NULL-array parity with the legacy path: slice(NULL) -> NULL
+            # would propagate through concat/array_join, whereas the
+            # append/strip form produced '' for a short/NULL record.
+            # Unreachable via field_selection (split of a non-null line is
+            # never NULL) but direct callers keep legacy behavior.
+            tail = F.coalesce(tail, F.array().cast("array<string>"))
             items = tail if items is None else F.concat(items, tail)
         if items is None:
             return F.lit("")

@@ -74,6 +74,22 @@ def test_field_selection_matches_reference(spark, lines):
     assert [r["sel"] for r in out] == expected
 
 
+def test_select_fields_expr_null_array_parity(spark):
+    """A NULL fields array — reachable only by direct select_fields_expr
+    callers, never via field_selection (split of a non-null line) — behaves
+    like an empty record on BOTH compile paths (r13 ADVICE: the single-char
+    fast path used to propagate NULL through slice -> concat -> array_join
+    where the legacy append/strip path produced a non-null string)."""
+    df = spark.createDataFrame([(None,)], "arr array<string>")
+    for sep in ("\t", "::"):  # single-char fast path + multi-char legacy
+        for spec in ("2-", "1,0,2-", "0-"):
+            fl, af = fieldsel.parse_field_spec(spec)
+            got = df.select(
+                fieldsel.select_fields_expr(F.col("arr"), fl, af, sep).alias("s")
+            ).collect()[0]["s"]
+            assert got == _reference_select([], fl, af, sep), (sep, spec)
+
+
 # ---------------------------------------------------------------------------
 # Sort validator invariance (SortValidator.java model): the (records, bytes,
 # xor-of-record-hashes) statistics triple is identical before and after any
