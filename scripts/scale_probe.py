@@ -251,6 +251,29 @@ KNOWN_QUADRATIC = {
 }
 
 
+# Documented FLOORS (r13 verdict #4, the KNOWN_QUADRATIC pattern for
+# constant-factor floors): rows whose gate ratio is structurally high but
+# LINEAR — each has a stage-decomposed verdict in BENCH_NOTES.md. They
+# stay IN the gate (unlike KNOWN_QUADRATIC they must still scale within
+# GATE_RATIO); the gate output names them so they stop being re-flagged
+# as narrative "worst rows" every round.
+KNOWN_FLOOR = {
+    "sql_pricing_summary": (
+        "wide-decimal boxed-sum constant: precision>18 leaves Spark's "
+        "unscaled-long fast path (~6 s per DECIMAL(38,8) product-sum term "
+        "at sf1); DuckDB int128 does not pay it"
+    ),
+    "feature_corr_report": (
+        "same wide-decimal boxed-sum constant as sql_pricing_summary "
+        "(decimal product-sum terms in the correlation stats)"
+    ),
+    "keyfield_sort_global": (
+        "two-pass total-order floor: sample+range-partition then sort, "
+        "~2.2 us/row at sf1; the repartitionByRange double-execution trap "
+        "is pre-persisted (see global_rank docstring)"
+    ),
+}
+
 TABLE_HEADER = "| query | sf0.1 (s) | sf1 (s) | ratio (10x data) |"
 TABLE_SEP = "| --- | --- | --- | --- |"
 
@@ -299,7 +322,9 @@ def _gate_verdict(ratios: dict[str, float], inherited: set[str]) -> None:
     if over:
         print(f"\nGATE FAIL: {len(over)} row(s) super-linear (> {GATE_RATIO}x on 10x data):")
         for name, ratio in over:
-            print(f"  {name}: {ratio:.2f}x")
+            floor = KNOWN_FLOOR.get(name)
+            note = f"  [documented floor: {floor}]" if floor else ""
+            print(f"  {name}: {ratio:.2f}x{note}")
         sys.exit(1)
     carried = sorted(set(ratios) & inherited)
     provenance = (
@@ -310,6 +335,15 @@ def _gate_verdict(ratios: dict[str, float], inherited: set[str]) -> None:
     print(f"\nGATE PASS: all {len(ratios)} measured rows within {GATE_RATIO}x"
           f" on 10x data ({len(KNOWN_QUADRATIC)} documented-quadratic"
           f" baselines skipped by contract){provenance}")
+    floors = sorted(
+        ((n, ratios[n]) for n in KNOWN_FLOOR if n in ratios),
+        key=lambda kv: -kv[1],
+    )
+    if floors:
+        print(f"  {len(floors)} documented-floor row(s) — structurally high"
+              " but linear, stage-decomposed in BENCH_NOTES.md:")
+        for name, ratio in floors:
+            print(f"    {name}: {ratio:.2f}x — {KNOWN_FLOOR[name]}")
     if carried:
         shown = ", ".join(carried[:20])
         more = f", … {len(carried) - 20} more" if len(carried) > 20 else ""
@@ -341,11 +375,16 @@ def _orchestrate(sf1: str, every: int, out: str, gate: bool,
         # Never clobber rows already accumulated in ``out``: seeding from a
         # different resume table is only safe when out is absent or empty
         # (header-only counts as empty — no measured/skip rows yet).
-        if os.path.exists(out) and _parse_prior(out) != (dict(), set(), 0):
+        # (r13 ADVICE: allow the harmless identical case — same parse as
+        # the resume table means the copy is a no-op, not a clobber)
+        if os.path.exists(out) and _parse_prior(out) not in (
+            (dict(), set(), 0), _parse_prior(resume_path)
+        ):
             sys.exit(
-                f"refusing to overwrite {out}: it already contains rows that"
-                f" differ from --resume {resume_path}; merge or remove it"
-                f" first, or pass --resume {out} to continue it in place"
+                f"refusing to overwrite {out}: it already contains measured"
+                f" rows that differ from --resume {resume_path}; merge or"
+                f" remove it first, or pass --resume {out} to continue it"
+                f" in place"
             )
         shutil.copyfile(resume_path, out)
     if not os.path.exists(out):
