@@ -549,6 +549,7 @@ def kmeans_train_assign(
     init: str = "hash",
     keep_vector: bool = False,
     return_centroids: bool = False,
+    seeds: list[list[float]] | None = None,
 ) -> DataFrame | tuple[DataFrame, list[list[float]], list[int]]:
     """Deterministic Lloyd k-means over the embedding column -> (id,
     cluster). Trains the coarse quantizer the IVF probe assumes exists
@@ -577,7 +578,16 @@ def kmeans_train_assign(
     - ``init="kmeanspp"`` seeds by deterministic farthest-first traversal
       (see farthest_first_seeds) instead of the (md5(id), id) smallest-k
       hash draw — better-separated seeds for skewed embedding spaces at
-      the price of k-1 extra scans."""
+      the price of k-1 extra scans.
+    - ``seeds`` (r14 optimization seam): caller-supplied initial centroid
+      vectors, cid = list position. Skips the seed job entirely — the
+      lever for trainings whose seed draw is shared across calls (PQ's m
+      subspace trainings all pick the SAME (md5(id), id) smallest-k rows,
+      so pq_codes runs ONE seed job and slices; guide §2.4 "remove
+      passes"). Values must equal what the skipped job would have drawn
+      for bit-identical training."""
+    if seeds is not None:
+        k = len(seeds)
     if k is None:
         import math
 
@@ -595,7 +605,12 @@ def kmeans_train_assign(
         from hadoop_1_spark.operators.caching import persist_tracked
 
         emb = persist_tracked(emb)
-    if init == "kmeanspp":
+    if seeds is not None:
+        cents = emb.sparkSession.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(seeds)],
+            "cid int, cvec array<double>",
+        )
+    elif init == "kmeanspp":
         pp = farthest_first_seeds(emb, k, id_col=id_col, vec_col=vec_col)
         # literal centroids (exact: createDataFrame ships the doubles as
         # values, no parsing) in selection order = cid order
@@ -712,7 +727,14 @@ def kmeans_train_assign(
             kmeans_assign_udf(cvals, cids)(F.col(vec_col)).alias("cid"),
         )
 
-    cvals, cids = cent_values(cents)
+    if seeds is not None:
+        # the seed constants are already on the driver: no collect job
+        cvals, cids = (
+            [[float(x) for x in v] for v in seeds],
+            list(range(len(seeds))),
+        )
+    else:
+        cvals, cids = cent_values(cents)
     for _ in range(iters):
         cvals, cids = cent_values(update(assign_arrow(cvals, cids)))
     final = _out(assign_arrow(cvals, cids))
@@ -1579,15 +1601,40 @@ def pq_codes(
     ``return_centroids=True`` additionally returns the per-subspace
     codebooks as [(cvals, cids), ...] — what pq_adc_topk's lookup
     tables consume; ONE training loop feeds both codes and search so
-    the codebooks can never diverge."""
-    out = None
-    books: list[tuple[list[list[float]], list[int]]] = []
-    for i in range(m):
+    the codebooks can never diverge.
+
+    r14 optimization (guide §2.4/§2.6; values bit-identical, pinned by
+    test_pq_codes_r14_matches_sequential_training): the m trainings used
+    to run back-to-back, each paying its own seed job + per-round update
+    collects, and the code table was assembled by m scans joined m-1
+    times. Now (a) ONE seed job draws the (md5(id), id) smallest-k rows
+    — the seed rule never looks at the subspace slice, so every
+    subspace's seeds are slices of the same k vectors; (b) the m
+    trainings' update rounds run CONCURRENTLY from a thread pool (each
+    is a bounded blocking collect; Spark schedules the independent jobs
+    side by side — guide §2.6); (c) the final code table is ONE scan
+    with m fused Arrow assignments over in-plan slices — no join tree
+    (before/after numbers in OPTIMIZATION_r14.md)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    seed_rows = (
+        emb.select(
+            F.md5(F.col(id_col).cast("string")).alias("_m"),
+            F.col(id_col).alias("_sid"),
+            F.col(vec_col).alias("_v"),
+        )
+        .orderBy("_m", "_sid")
+        .limit(k)
+        .collect()
+    )
+    seed_full = [[float(x) for x in r["_v"]] for r in seed_rows]
+
+    def train(i: int) -> tuple[list[list[float]], list[int]]:
         sub = emb.select(
             F.col(id_col),
             F.slice(F.col(vec_col), i * subdim + 1, subdim).alias(vec_col),
         )
-        a, cvals, cids = kmeans_train_assign(
+        _, cvals, cids = kmeans_train_assign(
             sub,
             k=k,
             iters=iters,
@@ -1595,10 +1642,23 @@ def pq_codes(
             vec_col=vec_col,
             dims=subdim,
             return_centroids=True,
+            seeds=[v[i * subdim : i * subdim + subdim] for v in seed_full],
         )
-        books.append((cvals, cids))
-        a = a.select(id_col, F.col("cluster").cast("int").alias(f"c{i}"))
-        out = a if out is None else out.join(a, id_col)
+        return cvals, cids
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        books = list(pool.map(train, range(m)))
+    out = emb.select(
+        F.col(id_col),
+        *[
+            kmeans_assign_udf(cvals, cids)(
+                F.slice(F.col(vec_col), i * subdim + 1, subdim)
+            )
+            .cast("int")
+            .alias(f"c{i}")
+            for i, (cvals, cids) in enumerate(books)
+        ],
+    )
     if return_centroids:
         return out, books
     return out

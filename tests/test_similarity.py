@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from hadoop_1_spark.operators import similarity
 from tests.conftest import SF_DIR, assert_query_matches_oracle
@@ -570,6 +571,46 @@ def test_pq_codes_shape_and_range(spark):
 
 def test_sim_pq_topk_matches_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "sim_pq_topk")
+
+
+def test_pq_codes_r14_matches_sequential_training(spark):
+    """The r14 pq_codes restructure (one shared seed job + concurrent
+    subspace trainings + single-pass fused code assignment) is an
+    OPTIMIZATION, not a semantic change: codes and codebooks must be
+    bit-identical to the original per-subspace sequential construction
+    (seed job per subspace, join-assembled code table), replayed here
+    inline via kmeans_train_assign without the seeds shortcut."""
+    from tests.conftest import SF_DIR
+
+    m, subdim, k, iters = 2, 32, 4, 1
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got, books = similarity.pq_codes(
+        emb, m=m, subdim=subdim, k=k, iters=iters, return_centroids=True
+    )
+
+    # reference: the pre-r14 sequential construction, per subspace
+    ref = None
+    ref_books = []
+    for i in range(m):
+        sub = emb.select(
+            F.col("vec_id"),
+            F.slice(F.col("embedding"), i * subdim + 1, subdim).alias(
+                "embedding"
+            ),
+        )
+        a, cvals, cids = similarity.kmeans_train_assign(
+            sub, k=k, iters=iters, dims=subdim, return_centroids=True
+        )
+        ref_books.append((cvals, cids))
+        a = a.select("vec_id", F.col("cluster").cast("int").alias(f"c{i}"))
+        ref = a if ref is None else ref.join(a, "vec_id")
+
+    for (gv, gi), (rv, ri) in zip(books, ref_books):
+        assert gi == ri
+        assert gv == rv  # exact float equality: same training, same bits
+    g = {r["vec_id"]: tuple(r[f"c{i}"] for i in range(m)) for r in got.collect()}
+    r = {x["vec_id"]: tuple(x[f"c{i}"] for i in range(m)) for x in ref.collect()}
+    assert g == r
 
 
 def test_pq_adc_contract_and_recall(spark):
