@@ -256,12 +256,94 @@ def bloom_prefilter_semi_join(
     exactly that at 512 words vs 30k keys).
 
     The final semi-join uses the (unfiltered) small side, so the result
-    is exactly ``big ⋉ small`` regardless of m_words/h tuning."""
+    is exactly ``big ⋉ small`` regardless of m_words/h tuning.
+
+    r14: the verify join broadcasts the raw key projection, not
+    ``distinct()`` of it — semi-join semantics are duplicate-safe (a big
+    row matches iff >= 1 build row exists), and the distinct cost a full
+    exchange + aggregate inside the probe plan (guide §2.4: a distinct
+    on data that is already unique is an accidental shuffle). A small
+    side with heavily duplicated keys should pre-distinct itself before
+    calling (the broadcast hash relation stores every build row)."""
     cond = bloom_condition(small, key, m_words, h)
     prefiltered = big.where(F.col(key).isNotNull() & cond)
     return prefiltered.join(
-        F.broadcast(small.select(key).distinct()), key, "left_semi"
+        F.broadcast(small.select(key)), key, "left_semi"
     )
+
+
+def _bloom_build_auto(
+    small: DataFrame, key: str, h: int
+) -> tuple[int, list[int]]:
+    """ONE-job auto-sized bloom build -> (m_words, word list).
+
+    Masks are aggregated at the 2^16-word CAP size over the DISTINCT
+    keys; the key count rides along in the same aggregation (explode of
+    an h-element array emits exactly h position rows per distinct key,
+    so n_keys = total_rows div h, exactly) and the driver folds the
+    capped masks down to the derived size — exact, because all sizes are
+    powers of two and power-of-two moduli nest: p mod 2^s ==
+    (p mod 2^21) mod 2^s. Bit-identical to the r5 two-job build
+    (distinct-count job, then masks at the derived size), pinned by
+    test_bloom_build_single_job_bit_identical.
+
+    Cap rationale (r5, unchanged): beyond 2^16 words (2 Mbit, ~640 KB of
+    parsed array text) the plan carries the array once per probe and
+    parse/codegen cost grows super-linearly (13x at the sf1 probe with a
+    2^18-word literal); past the cap the FP rate rises gracefully
+    (~4.5% at 300k keys) — still selective, plan stays cheap. A truly
+    huge small side should use Spark's own runtime bloom or a
+    pre-materialized filter relation."""
+    cap_words = 1 << 16
+    cap_bits = cap_words * _WORD_BITS
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(key), cap_bits, h))
+    ).alias("_pos")
+    rows = (
+        small.where(F.col(key).isNotNull())
+        .select(key)
+        .distinct()
+        .select(pos)
+        .select(
+            F.expr(f"_pos div {_WORD_BITS}").cast("int").alias("_w"),
+            # 2^(pos % 32) as exact integer arithmetic (pow of 2 is exact
+            # in double up to 2^31; F.shiftleft only takes int shifts)
+            F.pow(F.lit(2.0), (F.col("_pos") % _WORD_BITS).cast("double"))
+            .cast("long")
+            .alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(
+            F.expr("bit_or(_m)").alias("_mask"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .collect()
+    )
+    n_keys = sum(r["_n"] for r in rows) // h
+    want_bits = max(BLOOM_WORDS * _WORD_BITS, 16 * max(n_keys, 1))
+    m_words = 1
+    while m_words * _WORD_BITS < want_bits:
+        m_words *= 2
+    m_words = min(m_words, cap_words)
+    m_bits = m_words * _WORD_BITS
+    filt = [0] * m_words
+    if m_words == cap_words:
+        for r in rows:
+            filt[r["_w"]] = r["_mask"]
+    else:
+        # fold the capped masks down to the derived size: each set bit at
+        # capped position p lands at p mod m_bits (exact — nested
+        # power-of-two moduli). Bounded driver work: <= h * n_keys set
+        # bits, and this branch only runs when n_keys < 2^17 (larger key
+        # sets saturate to the cap above).
+        for r in rows:
+            base, mask = r["_w"] * _WORD_BITS, r["_mask"]
+            while mask:
+                lsb = mask & -mask
+                p = (base + lsb.bit_length() - 1) % m_bits
+                filt[p // _WORD_BITS] |= 1 << (p % _WORD_BITS)
+                mask ^= lsb
+    return m_words, filt
 
 
 def bloom_condition(
@@ -274,42 +356,43 @@ def bloom_condition(
     predicate over a column of the same name — the reusable half of
     bloom_prefilter_semi_join (exposed so tests can measure the
     prefilter's selectivity and callers can push the predicate into
-    other plans). m_words=None auto-sizes from the distinct key count."""
+    other plans). m_words=None auto-sizes from the distinct key count.
+
+    r14 (guide §2.4, remove passes): the auto-sized path used to run TWO
+    blocking jobs over the small side — a distinct-count to size the
+    filter, then the mask aggregation at that size. It now runs ONE:
+    masks are aggregated at the 2^16-word CAP size over the distinct
+    keys, the key count rides along in the same aggregation (explode of
+    an h-element array emits exactly h position rows per distinct key,
+    so n_keys = total_rows div h, exactly), and the driver folds the
+    capped masks down to the derived size — exact, because the sizes are
+    all powers of two and power-of-two moduli nest: p mod 2^s ==
+    (p mod 2^21) mod 2^s. Bit-identical filter to the two-job build
+    (pinned by test_bloom_build_single_job_bit_identical)."""
     if m_words is None:
-        n_keys = small.select(key).where(F.col(key).isNotNull()).distinct().count()
-        want_bits = max(BLOOM_WORDS * _WORD_BITS, 16 * max(n_keys, 1))
-        m_words = 1
-        while m_words * _WORD_BITS < want_bits:
-            m_words *= 2
-        # Cap the literal at 2^16 words (2 Mbit, ~640 KB of parsed array
-        # text): beyond this the plan carries the array once per probe and
-        # parse/codegen cost grows super-linearly (measured 13x at the sf1
-        # probe with a 2^18-word literal). Past the cap the FP rate rises
-        # gracefully (~4.5% at 300k keys) instead — the filter stays
-        # selective, the plan stays cheap. A truly huge small side should
-        # use Spark's own runtime bloom (broadcast threshold permitting)
-        # or a pre-materialized filter relation.
-        m_words = min(m_words, 1 << 16)
-    m_bits = m_words * _WORD_BITS
-    pos = F.explode(F.array(*_bloom_positions(F.col(key), m_bits, h))).alias("_pos")
-    words = (
-        small.where(F.col(key).isNotNull())
-        .select(pos)
-        .select(
-            F.expr(f"_pos div {_WORD_BITS}").cast("int").alias("_w"),
-            # 2^(pos % 32) as exact integer arithmetic (pow of 2 is exact in
-            # double up to 2^31; the F.shiftleft wrapper only takes int shifts)
-            F.pow(F.lit(2.0), (F.col("_pos") % _WORD_BITS).cast("double"))
-            .cast("long")
-            .alias("_m"),
+        m_words, filt = _bloom_build_auto(small, key, h)
+        m_bits = m_words * _WORD_BITS
+    else:
+        m_bits = m_words * _WORD_BITS
+        pos = F.explode(
+            F.array(*_bloom_positions(F.col(key), m_bits, h))
+        ).alias("_pos")
+        words = (
+            small.where(F.col(key).isNotNull())
+            .select(pos)
+            .select(
+                F.expr(f"_pos div {_WORD_BITS}").cast("int").alias("_w"),
+                F.pow(F.lit(2.0), (F.col("_pos") % _WORD_BITS).cast("double"))
+                .cast("long")
+                .alias("_m"),
+            )
+            .groupBy("_w")
+            .agg(F.expr("bit_or(_m)").alias("_mask"))
+            .collect()
         )
-        .groupBy("_w")
-        .agg(F.expr("bit_or(_m)").alias("_mask"))
-        .collect()
-    )
-    filt = [0] * m_words
-    for r in words:
-        filt[r["_w"]] = r["_mask"]
+        filt = [0] * m_words
+        for r in words:
+            filt[r["_w"]] = r["_mask"]
     # the whole filter as ONE array literal (constant-folded in the plan,
     # O(1) vector access per probe — never a string slice, which defeats
     # the cheap constant path, measured 14x slower). Built by PARSING a

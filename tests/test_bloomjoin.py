@@ -69,3 +69,44 @@ def test_bloom_prefilter_mixed_key_types(spark):
     small = spark.createDataFrame([(i,) for i in range(5)], "k int")
     got = sorted(r["k"] for r in J.bloom_prefilter_semi_join(big, small, "k").collect())
     assert got == [0, 1, 2, 3, 4]
+
+
+def test_bloom_build_single_job_bit_identical(spark):
+    """The r14 single-job auto-sized build (masks aggregated at the
+    2^16-word cap + driver fold-down) must produce the SAME filter bits
+    as the two-job build it replaced: aggregate positions directly at
+    the derived size and compare word-for-word. Exercises both the
+    fold-down branch (small key set -> m_words < cap) and the sizing
+    arithmetic (n_keys from the position-row count)."""
+    small = _kv(spark, 300, offset=7)  # 300 distinct keys -> m_words = 512
+
+    # replay the OLD two-job build: distinct count, then masks at m_bits
+    n_keys = small.select("k").where(F.col("k").isNotNull()).distinct().count()
+    want_bits = max(J.BLOOM_WORDS * J._WORD_BITS, 16 * max(n_keys, 1))
+    m_words = 1
+    while m_words * J._WORD_BITS < want_bits:
+        m_words *= 2
+    m_bits = m_words * J._WORD_BITS
+    pos = F.explode(
+        F.array(*J._bloom_positions(F.col("k"), m_bits, J.BLOOM_HASHES))
+    ).alias("_pos")
+    words = (
+        small.where(F.col("k").isNotNull())
+        .select(pos)
+        .select(
+            F.expr(f"_pos div {J._WORD_BITS}").cast("int").alias("_w"),
+            F.pow(F.lit(2.0), (F.col("_pos") % J._WORD_BITS).cast("double"))
+            .cast("long")
+            .alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.expr("bit_or(_m)").alias("_mask"))
+        .collect()
+    )
+    old_filt = [0] * m_words
+    for r in words:
+        old_filt[r["_w"]] = r["_mask"]
+
+    got_words, new_filt = J._bloom_build_auto(small, "k", J.BLOOM_HASHES)
+    assert got_words == m_words
+    assert new_filt == old_filt
