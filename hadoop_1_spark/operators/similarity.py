@@ -56,11 +56,20 @@ def hyperplane_signs(nbits: int, dims: int = DIMS, seed: int = 42) -> list[list[
     ]
 
 
+def _sign_literal(signs: list[int]) -> str:
+    """±1 sign row as a SQL double-array literal text. Signs are exactly
+    ±1, so ``1.0D``/``-1.0D`` parse to the identical doubles F.lit built —
+    but ONE F.expr parse replaces ~dims py4j round-trips per row (the r13
+    kmeans _sum_exprs lesson applied to the LSH sign matrices; a 16x64
+    fused matrix was ~1k driver round-trips ≈ 1 s of build chatter)."""
+    return "array(" + ",".join("1.0D" if s > 0 else "-1.0D" for s in signs) + ")"
+
+
 def _signed_sum(vec: Column, signs: list[int]) -> Column:
     """Signed sum as a left-fold with a double accumulator (same fp order
     as the oracle's 0.0 + ... chain; a fold, not an unrolled chain, for
     the same codegen-size reason as dedup.dot_chain)."""
-    sign_arr = F.array(*[F.lit(float(s)) for s in signs])
+    sign_arr = F.expr(_sign_literal(signs))
     return F.aggregate(
         F.zip_with(vec, sign_arr, lambda x, s: x.cast("double") * s),
         F.lit(0.0),
@@ -92,11 +101,14 @@ def signed_sums_fused(vec: Column, signs_all: list[list[int]]) -> Column:
     purely an evaluation-count fix (bands x bits folds -> 1)."""
     n = len(signs_all)
     dims = len(signs_all[0])
-    sign_t = F.array(
-        *[
-            F.array(*[F.lit(float(signs_all[i][d])) for i in range(n)])
+    # one parsed literal for the whole transposed matrix (see _sign_literal)
+    sign_t = F.expr(
+        "array("
+        + ",".join(
+            _sign_literal([signs_all[i][d] for i in range(n)])
             for d in range(dims)
-        ]
+        )
+        + ")"
     )
     return F.aggregate(
         F.sequence(F.lit(1), F.lit(dims)),
