@@ -462,6 +462,21 @@ def l2_chain(a: Column, b: Column) -> Column:
     )
 
 
+def l2_chain_text(a: str, b: str) -> str:
+    """Spark-SQL text twin of :func:`l2_chain` — parses to the IDENTICAL
+    expression (same zip_with/aggregate, same cast chain, same 0.0 seed)
+    in ONE F.expr call. Rationale (r14): every higher-order Column call
+    (zip_with, aggregate, transform) costs ~40 py4j round-trips ≈ 60 ms
+    on this box, and builders that loop over centroids/subspaces pay it
+    k times — the unrolled IVF probe built 2 HOFs per centroid.
+    ``a``/``b`` are SQL fragments (column names or array literal text)."""
+    d = "(cast(x as double) - cast(y as double))"
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> {d} * {d}), 0.0D, "
+        "(acc, v) -> acc + v)"
+    )
+
+
 def sql_l2_chain(a: str, b: str, dims: int) -> str:
     """DuckDB twin of l2_chain (same fold order, same 0.0 seed)."""
     return "0.0 + " + " + ".join(
@@ -497,15 +512,18 @@ def kmeans_assign_udf(cvals: list[list[float]], cids: list[int] | None = None):
     return _assign
 
 
+def lit_vec_text(vals: list[float]) -> str:
+    """SQL text of a double-vector literal (see lit_vec)."""
+    return "array(" + ", ".join(f"cast('{v!r}' as double)" for v in vals) + ")"
+
+
 def lit_vec(vals: list[float]) -> Column:
     """A vector of double literals via string->double casts. repr() emits
     the shortest round-trip decimal and CAST(varchar AS double) is
     correctly rounded, so the plan constant is bit-equal to the source
     value — the same contract the oracle relies on when it recomputes the
     vector from the table instead of receiving the literal."""
-    return F.expr(
-        "array(" + ", ".join(f"cast('{v!r}' as double)" for v in vals) + ")"
-    )
+    return F.expr(lit_vec_text(vals))
 
 
 def farthest_first_seeds(
@@ -1794,7 +1812,7 @@ def _pq_adc_scan(
                     "query_id",
                     "cell",
                     F.col("cid").alias(f"c{i}"),
-                    l2_chain(F.col("_qs"), F.col("cvec")).alias(f"_d{i}"),
+                    F.expr(l2_chain_text("_qs", "cvec")).alias(f"_d{i}"),
                 )
             )
             continue
@@ -1805,7 +1823,7 @@ def _pq_adc_scan(
             qs.crossJoin(F.broadcast(cents)).select(
                 "query_id",
                 F.col("cid").alias(f"c{i}"),
-                l2_chain(F.col("_qs"), F.col("cvec")).alias(f"_d{i}"),
+                F.expr(l2_chain_text("_qs", "cvec")).alias(f"_d{i}"),
             )
         )
     if qcells is None:
@@ -2181,25 +2199,24 @@ def ivf_probe_cells(
     for corpus members and the kmeans oracle CTEs replay any nprobe via
     the same row_number recursion. array_sort on (d, cid) structs is the
     lexicographic (dist, cid) order; cells are disjoint, so multi-probe
-    candidates never need a dedup."""
-    ranked = F.slice(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        l2_chain(F.col(vec_col), lit_vec(v)).alias("d"),
-                        F.lit(cid).alias("cid"),
-                    )
-                    for cid, v in cents
-                ]
-            )
-        ),
-        1,
-        nprobe,
+    candidates never need a dedup.
+
+    r14: the whole ranked-probe expression is ONE F.expr parse — the
+    per-centroid l2_chain/struct Column loop paid ~2 higher-order-call
+    round-trip sets per centroid at plan-build time (see l2_chain_text);
+    the parsed expression is identical."""
+    structs = ", ".join(
+        f"named_struct('d', {l2_chain_text(vec_col, lit_vec_text(v))},"
+        f" 'cid', {int(cid)})"
+        for cid, v in cents
+    )
+    ranked = (
+        f"transform(slice(array_sort(array({structs})), 1, {int(nprobe)}),"
+        " s -> s.cid)"
     )
     return queries.select(
         F.col(id_col).alias("query_id"),
-        F.explode(F.transform(ranked, lambda s: s["cid"])).alias("qcell"),
+        F.explode(F.expr(ranked)).alias("qcell"),
     )
 
 
