@@ -241,19 +241,27 @@ def bloom_prefilter_semi_join(
 
     Build: one aggregation of the small side's h bit positions into
     ≤ m_words (word_index, or-mask) rows, read to the driver (bounded:
-    the filter is summary state — the DistributedCache discipline), then
-    folded into the probe as an ARRAY LITERAL indexed by element_at —
-    whole-stage-codegen'd, no Python, no extra exchange on the big side.
-    (A hex-string literal probed with substr+conv was 14x slower at
-    sf0.1 — non-literal substr on a large constant string defeats the
-    cheap path; element_at on a Literal array is an O(1) vector access.)
+    the filter is summary state — the DistributedCache discipline).
+
+    Probe (r14): the word array rides as a ONE-ROW BROADCAST RELATION
+    crossJoined onto the big side (the repo's broadcast-scalar pattern —
+    pagerank's dangling mass, the autocap work budgets), probed with
+    element_at on the ``_bloom_bf`` attribute. The r5 form embedded the
+    words as a CreateArray literal with m_words children, which was fine
+    at 2^14 words but quadratic-feeling at the 2^16 cap: analyzer passes
+    walk the children PER PROBE REFERENCE (~10 s of plan time at sf1)
+    and the serialized plan ships ~0.5 MB to every task (sf1 probe scan
+    ~11 s). The 1-row relation moves the same bytes once via broadcast:
+    measured sf1 21 s -> 4.6 s, sf0.1 3.1 -> 2.2 s end-to-end, identical
+    filter bits and identical output. (A hex-string literal probed with
+    substr+conv was 14x slower still — r5 measurement, unchanged.)
 
     ``m_words=None`` (default) sizes the filter from the small side's
-    distinct key count at ~16 bits/key (FP rate ~0.5% at h=3), one cheap
-    count job on the SMALL side only, capped at 2^18 words (1 MB plan
-    literal). A fixed m_words that under-sizes the filter saturates it
-    into a pass-through — still exact, just useless (r5 bench caught
-    exactly that at 512 words vs 30k keys).
+    distinct key count at ~16 bits/key (FP rate ~0.5% at h=3) in the
+    same single build job (see _bloom_build_auto), capped at 2^16 words.
+    A fixed m_words that under-sizes the filter saturates it into a
+    pass-through — still exact, just useless (r5 bench caught exactly
+    that at 512 words vs 30k keys).
 
     The final semi-join uses the (unfiltered) small side, so the result
     is exactly ``big ⋉ small`` regardless of m_words/h tuning.
@@ -265,7 +273,30 @@ def bloom_prefilter_semi_join(
     on data that is already unique is an accidental shuffle). A small
     side with heavily duplicated keys should pre-distinct itself before
     calling (the broadcast hash relation stores every build row)."""
-    cond = bloom_condition(small, key, m_words, h)
+    if m_words is None:
+        m_words, filt = _bloom_build_auto(small, key, h)
+    else:
+        filt = _bloom_build_fixed(small, key, m_words, h)
+    spark = small.sparkSession
+    # one-row relation + SCALAR SUBQUERY probe — the shape Spark's own
+    # runtime bloom filter injects (Filter[might_contain(scalar-subquery,
+    # ...)] pushed at the scan). A broadcast crossJoin carrying the word
+    # array was tried first and the optimizer pushed the verify semi-join
+    # BELOW it (PushDownLeftSemiAntiJoin — semi references only big-side
+    # columns), turning the prefilter decorative; a subquery inside the
+    # filter cannot be reordered above the join. The view reference is
+    # resolved eagerly at DataFrame construction, so a later call
+    # replacing the view cannot retarget an already-built plan.
+    spark.createDataFrame([(filt,)], "_bloom_bf array<bigint>") \
+        .createOrReplaceTempView("hadoop1_bloom_bf")
+    cond = F.expr(
+        _bloom_probe_sql(
+            "(select _bloom_bf from hadoop1_bloom_bf)",
+            key,
+            m_words * _WORD_BITS,
+            h,
+        )
+    )
     prefiltered = big.where(F.col(key).isNotNull() & cond)
     return prefiltered.join(
         F.broadcast(small.select(key)), key, "left_semi"
@@ -371,41 +402,61 @@ def bloom_condition(
     (pinned by test_bloom_build_single_job_bit_identical)."""
     if m_words is None:
         m_words, filt = _bloom_build_auto(small, key, h)
-        m_bits = m_words * _WORD_BITS
     else:
-        m_bits = m_words * _WORD_BITS
-        pos = F.explode(
-            F.array(*_bloom_positions(F.col(key), m_bits, h))
-        ).alias("_pos")
-        words = (
-            small.where(F.col(key).isNotNull())
-            .select(pos)
-            .select(
-                F.expr(f"_pos div {_WORD_BITS}").cast("int").alias("_w"),
-                F.pow(F.lit(2.0), (F.col("_pos") % _WORD_BITS).cast("double"))
-                .cast("long")
-                .alias("_m"),
-            )
-            .groupBy("_w")
-            .agg(F.expr("bit_or(_m)").alias("_mask"))
-            .collect()
-        )
-        filt = [0] * m_words
-        for r in words:
-            filt[r["_w"]] = r["_mask"]
+        filt = _bloom_build_fixed(small, key, m_words, h)
     # the whole filter as ONE array literal (constant-folded in the plan,
     # O(1) vector access per probe — never a string slice, which defeats
     # the cheap constant path, measured 14x slower). Built by PARSING a
     # SQL array(...) text rather than F.lit(list): py4j converts a Python
     # list element-by-element (~8 s for 16k words); the parser takes the
     # whole text in one call and ConstantFolding collapses it to the same
-    # Literal.
+    # Literal. NOTE (r14): analyzer passes walk the literal's children
+    # once PER PROBE REFERENCE, so this Column form costs ~seconds of
+    # plan time at the 2^16-word cap — fine for the small fixed filters
+    # tests build, wrong for the semi-join hot path, which rides the
+    # filter as a 1-row broadcast relation instead (see
+    # bloom_prefilter_semi_join).
     blit = F.expr("array(" + ",".join(f"{w}L" for w in filt) + ")")
+    return _bloom_probe_cond(blit, key, m_words * _WORD_BITS, h)
+
+
+def _bloom_build_fixed(
+    small: DataFrame, key: str, m_words: int, h: int
+) -> list[int]:
+    """Mask aggregation at an EXPLICIT filter size -> word list (the
+    pre-r14 build shape, kept for callers that pin m_words — tests
+    exercising saturation, callers with a known key budget)."""
+    m_bits = m_words * _WORD_BITS
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(key), m_bits, h))
+    ).alias("_pos")
+    words = (
+        small.where(F.col(key).isNotNull())
+        .select(pos)
+        .select(
+            F.expr(f"_pos div {_WORD_BITS}").cast("int").alias("_w"),
+            F.pow(F.lit(2.0), (F.col("_pos") % _WORD_BITS).cast("double"))
+            .cast("long")
+            .alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.expr("bit_or(_m)").alias("_mask"))
+        .collect()
+    )
+    filt = [0] * m_words
+    for r in words:
+        filt[r["_w"]] = r["_mask"]
+    return filt
+
+
+def _bloom_probe_cond(bf: Column, key: str, m_bits: int, h: int) -> Column:
+    """The h-position membership test over ``bf`` — any array<bigint>
+    source (bloom_condition passes the constant-folded literal)."""
     probes = []
     for p in _bloom_positions(F.col(key), m_bits, h):
         w = F.floor(p / _WORD_BITS).cast("int")
         b = (p % _WORD_BITS).cast("double")
-        word = F.element_at(blit, w + 1)
+        word = F.element_at(bf, w + 1)
         # bit test without column-shift support: word div 2^b is exact
         # (power-of-two division only moves the exponent), then mod 2
         probes.append(
@@ -415,3 +466,20 @@ def bloom_condition(
     for pr in probes[1:]:
         cond = cond & pr
     return cond
+
+
+def _bloom_probe_sql(bf_sql: str, key: str, m_bits: int, h: int) -> str:
+    """SQL-text twin of _bloom_probe_cond — same positions (seeded
+    xxhash64 over the string-cast key), same exact power-of-two
+    arithmetic — for probe sources that must be SQL fragments (the
+    scalar-subquery form in bloom_prefilter_semi_join)."""
+    probes = []
+    for i in range(h):
+        p = f"pmod(xxhash64({i}, cast(`{key}` as string)), {m_bits})"
+        word = f"element_at({bf_sql}, cast({p} div {_WORD_BITS} as int) + 1)"
+        probes.append(
+            f"(cast(floor(cast({word} as double) / "
+            f"pow(cast(2.0 as double), cast({p} % {_WORD_BITS} as double)))"
+            f" as bigint) % 2) = 1"
+        )
+    return " AND ".join(f"({pr})" for pr in probes)
