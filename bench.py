@@ -253,10 +253,15 @@ def _prior_committed_rows(
 
     if base is None:
         base = os.path.dirname(os.path.abspath(__file__))
-    tables = sorted(
-        glob.glob(os.path.join(base, "BENCH_LOCAL_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)),
-    )
+    # keep only strictly-conforming names: a suffixed table like
+    # BENCH_LOCAL_r14_c8.json (the repo already uses that shape for the
+    # driver's 8-core runs) would crash the sort key (ADVICE r14)
+    matched = [
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(base, "BENCH_LOCAL_r*.json"))
+        if (m := re.search(r"r(\d+)\.json$", p))
+    ]
+    tables = [p for _, p in sorted(matched)]
     out: dict[str, dict] = {}
     for path in tables[-n_tables:]:
         try:
@@ -424,6 +429,14 @@ def main() -> None:
         with open(out_path, "w", encoding="utf-8") as fh:
             json.dump({"sf": sf, "rows": rows}, fh, indent=1, sort_keys=True)
             fh.write("\n")
+    # COMPACT contract line (round-14 verdict #1): the full per-row table
+    # used to ride on this line and blew past the driver's stdout tail
+    # window — BENCH_r13.json's tail started mid-JSON, so PERF_r14
+    # compared ZERO queries round-over-round. The verbose
+    # {spark_s, duck_s, ratio, drift flags} rows live ONLY in the
+    # committed BENCH_LOCAL_r*.json now; the contract line keeps exactly
+    # the driver-contract fields ({metric, value, unit, queries, sf} plus
+    # the small oracle_total scalar) and is the LAST stdout line.
     print(
         json.dumps(
             {
@@ -432,7 +445,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "oracle_total": round(sum(duck.values()), 3) if duck else None,
-                "rows": rows,
                 "sf": sf,
             }
         )

@@ -53,3 +53,43 @@ def test_prior_rows_handles_missing_and_new_queries(tmp_path):
 
 def test_prior_rows_empty_dir(tmp_path):
     assert bench._prior_committed_rows(base=str(tmp_path)) == {}
+
+
+def test_prior_rows_skip_suffixed_filenames(tmp_path):
+    # BENCH_LOCAL_r14_c8.json-style names (the driver's 8-core runs use
+    # the analogous BENCH_r14_c8.json) must be skipped, not crash the
+    # sort key (round-14 ADVICE)
+    _write_table(tmp_path, 13, {"q": {"spark_s": 2.0}})
+    with open(tmp_path / "BENCH_LOCAL_r14_c8.json", "w") as fh:
+        json.dump({"sf": 0.1, "rows": {"q": {"spark_s": 0.1}}}, fh)
+    prior = bench._prior_committed_rows(base=str(tmp_path))
+    assert prior["q"]["spark_s"] == 2.0
+
+
+def test_contract_line_is_compact():
+    """The final stdout line must stay far below the driver's tail-capture
+    window (round-14 verdict #1: the embedded per-row table pushed the
+    r13 line past it and PERF_r14 compared zero queries). Simulate a
+    full-size run: 200 queries through main()'s print path."""
+    import json as _json
+
+    # reconstruct exactly what main() prints, from its source: the print
+    # must not contain a "rows" key and must parse as one line
+    src = open(bench.__file__, encoding="utf-8").read()
+    tail_print = src[src.rindex("print(") :]
+    assert '"rows": rows' not in tail_print, (
+        "the contract line must not embed the verbose per-row table"
+    )
+    # and a realistic payload fits comfortably in an 8 KiB tail window
+    times = {f"query_name_{i:03d}": 12.345 for i in range(200)}
+    line = _json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "queries": times,
+            "oracle_total": 123.456,
+            "sf": 0.1,
+        }
+    )
+    assert "\n" not in line and len(line) < 8192
