@@ -512,6 +512,13 @@ def kmeans_assign_udf(cvals: list[list[float]], cids: list[int] | None = None):
     return _assign
 
 
+def quote_ident(name: str) -> str:
+    """Backtick-quote (and escape) a column name for SQL-text builders —
+    keeps parity with F.col semantics for names containing dots, spaces,
+    or backticks (round-14 ADVICE on the raw-fragment interpolations)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def lit_vec_text(vals: list[float]) -> str:
     """SQL text of a double-vector literal (see lit_vec)."""
     return "array(" + ", ".join(f"cast('{v!r}' as double)" for v in vals) + ")"
@@ -1773,9 +1780,6 @@ def _pq_adc_scan(
     the FAISS IndexIVFPQ per-probe LUT build. LUT count is
     |queries| x nprobe x m x kcb, still a broadcast-sized model."""
 
-    def sub(i: int):
-        return F.slice(F.col(vec_col), i * subdim + 1, subdim)
-
     if residual_cents is not None:
         if qcells is None:
             raise ValueError(
@@ -1796,36 +1800,38 @@ def _pq_adc_scan(
                 F.zip_with("_qv", "cvec", lambda x, y: x - y).alias("_qres"),
             )
         )
-    luts: list[DataFrame] = []
-    for i, (cvals, cids) in enumerate(books):
-        cents = corpus.sparkSession.createDataFrame(
-            [(c, v) for c, v in zip(cids, cvals)], "cid int, cvec array<double>"
+
+    # r15 (round-14 verdict #2, guide §3): the m per-subspace LUTs ride as
+    # m MAP COLUMNS on ONE broadcast relation — one row per query (or per
+    # (query, probed cell) in the by_residual layout), entry j of map i is
+    # the fixed-order l2 fold of the query's subspace-i slice against
+    # codebook i's centroid j as a PARSED LITERAL (lit_vec_text's
+    # round-trip contract: cast('repr' as double) is bit-equal to the
+    # source double, so each map value is bit-identical to the _d{i} the
+    # r14 form computed from a createDataFrame centroid column). The r14
+    # shape built m separate (query x centroid) crossJoin relations and
+    # joined the candidates m times — m BroadcastExchanges + m
+    # BroadcastHashJoins per scan, the plan-heaviest part of the
+    # sim_ivf_pq_residual row; this is ONE exchange + ONE join, and the
+    # ADC sum element_at(_m0, c0) + ... keeps the left-associated add
+    # order, so _adist (and the shortlist it ranks) is unchanged.
+    def lut_map(i: int, src: str) -> Column:
+        cvals, cids = books[i]
+        sl = f"slice({src}, {i * subdim + 1}, {subdim})"
+        entries = ", ".join(
+            f"{int(c)}, ({l2_chain_text(sl, lit_vec_text(list(v)))})"
+            for c, v in zip(cids, cvals)
         )
-        if residual_cents is not None:
-            qs = qr.select(
-                "query_id",
-                "cell",
-                F.slice(F.col("_qres"), i * subdim + 1, subdim).alias("_qs"),
-            )
-            luts.append(
-                qs.crossJoin(F.broadcast(cents)).select(
-                    "query_id",
-                    "cell",
-                    F.col("cid").alias(f"c{i}"),
-                    F.expr(l2_chain_text("_qs", "cvec")).alias(f"_d{i}"),
-                )
-            )
-            continue
-        qs = queries.select(
-            F.col(id_col).alias("query_id"), sub(i).alias("_qs")
+        return F.expr(f"map({entries})").alias(f"_m{i}")
+
+    if residual_cents is not None:
+        qlut = qr.select(
+            "query_id", "cell", *[lut_map(i, "_qres") for i in range(m)]
         )
-        luts.append(
-            qs.crossJoin(F.broadcast(cents)).select(
-                "query_id",
-                F.col("cid").alias(f"c{i}"),
-                F.expr(l2_chain_text("_qs", "cvec")).alias(f"_d{i}"),
-            )
-        )
+    else:
+        qlut = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        ).select("query_id", *[lut_map(i, "_qv") for i in range(m)])
     if qcells is None:
         cand = codes.crossJoin(
             F.broadcast(queries.select(F.col(id_col).alias("query_id")))
@@ -1840,11 +1846,10 @@ def _pq_adc_scan(
     lut_keys = (
         ["query_id", "cell"] if residual_cents is not None else ["query_id"]
     )
-    for i in range(m):
-        cand = cand.join(F.broadcast(luts[i]), [*lut_keys, f"c{i}"])
-    adist = F.col("_d0")
+    cand = cand.join(F.broadcast(qlut), lut_keys)
+    adist = F.col("_m0")[F.col("c0")]
     for i in range(1, m):
-        adist = adist + F.col(f"_d{i}")
+        adist = adist + F.col(f"_m{i}")[F.col(f"c{i}")]
     cand = cand.select(
         "query_id", F.col(id_col).alias("neighbor_id"), adist.alias("_adist")
     )
@@ -2206,7 +2211,7 @@ def ivf_probe_cells(
     round-trip sets per centroid at plan-build time (see l2_chain_text);
     the parsed expression is identical."""
     structs = ", ".join(
-        f"named_struct('d', {l2_chain_text(vec_col, lit_vec_text(v))},"
+        f"named_struct('d', {l2_chain_text(quote_ident(vec_col), lit_vec_text(v))},"
         f" 'cid', {int(cid)})"
         for cid, v in cents
     )
