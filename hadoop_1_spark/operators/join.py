@@ -28,6 +28,7 @@ Reference parity:
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass
 from functools import reduce
 
@@ -35,6 +36,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 KEY = "key"
+
+# per-call suffix for the bloom-probe temp view (see
+# bloom_prefilter_semi_join): itertools.count() is thread-safe under the
+# GIL (a single atomic __next__), so concurrent builders never share a name
+_BLOOM_VIEW_SEQ = itertools.count()
 
 
 @dataclass(frozen=True)
@@ -284,23 +290,34 @@ def bloom_prefilter_semi_join(
     # array was tried first and the optimizer pushed the verify semi-join
     # BELOW it (PushDownLeftSemiAntiJoin — semi references only big-side
     # columns), turning the prefilter decorative; a subquery inside the
-    # filter cannot be reordered above the join. The view reference is
-    # resolved eagerly at DataFrame construction, so a later call
-    # replacing the view cannot retarget an already-built plan.
+    # filter cannot be reordered above the join.
+    # r15 (round-14 ADVICE): the view name is UNIQUE PER CALL and the view
+    # is dropped once the plan is built. The r14 form reused one global
+    # name ('hadoop1_bloom_bf'): sequential builds were safe only because
+    # DataFrame analysis resolves the view eagerly, but two prefilters
+    # built CONCURRENTLY (threaded builders — the pq_codes pattern) could
+    # race create-vs-analyze and probe each other's bits, and bloom false
+    # NEGATIVES silently drop rows the verify semi-join cannot recover.
+    # Dropping after construction is safe for the same eager-analysis
+    # reason: the analyzed plan inlines the view's LocalRelation.
+    view = f"hadoop1_bloom_bf_{next(_BLOOM_VIEW_SEQ)}"
     spark.createDataFrame([(filt,)], "_bloom_bf array<bigint>") \
-        .createOrReplaceTempView("hadoop1_bloom_bf")
-    cond = F.expr(
-        _bloom_probe_sql(
-            "(select _bloom_bf from hadoop1_bloom_bf)",
-            key,
-            m_words * _WORD_BITS,
-            h,
+        .createOrReplaceTempView(view)
+    try:
+        cond = F.expr(
+            _bloom_probe_sql(
+                f"(select _bloom_bf from {view})",
+                key,
+                m_words * _WORD_BITS,
+                h,
+            )
         )
-    )
-    prefiltered = big.where(F.col(key).isNotNull() & cond)
-    return prefiltered.join(
-        F.broadcast(small.select(key)), key, "left_semi"
-    )
+        prefiltered = big.where(F.col(key).isNotNull() & cond)
+        return prefiltered.join(
+            F.broadcast(small.select(key)), key, "left_semi"
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def _bloom_build_auto(
@@ -472,10 +489,13 @@ def _bloom_probe_sql(bf_sql: str, key: str, m_bits: int, h: int) -> str:
     """SQL-text twin of _bloom_probe_cond — same positions (seeded
     xxhash64 over the string-cast key), same exact power-of-two
     arithmetic — for probe sources that must be SQL fragments (the
-    scalar-subquery form in bloom_prefilter_semi_join)."""
+    scalar-subquery form in bloom_prefilter_semi_join). The key is
+    backtick-quoted AND escaped (round-14 ADVICE: a name containing a
+    backtick would otherwise break out of the quoting)."""
+    ident = "`" + key.replace("`", "``") + "`"
     probes = []
     for i in range(h):
-        p = f"pmod(xxhash64({i}, cast(`{key}` as string)), {m_bits})"
+        p = f"pmod(xxhash64({i}, cast({ident} as string)), {m_bits})"
         word = f"element_at({bf_sql}, cast({p} div {_WORD_BITS} as int) + 1)"
         probes.append(
             f"(cast(floor(cast({word} as double) / "
