@@ -132,6 +132,73 @@ def work_budget_cap(
     )
 
 
+def two_level_cap(
+    counts: DataFrame,
+    count_col: str,
+    cap_floor: int = 8,
+    cap_factor: int = 4,
+    work_factor: int = 16,
+) -> DataFrame:
+    """1-row FUSED two-level cap over a (key, count) frequency table —
+    the exact value ``max(cap_floor, min(max(cap_floor, cap_factor *
+    lower-median count), work-budget cap))`` that composing
+    :func:`median_cap` and :func:`work_budget_cap` produces (pinned by
+    test_two_level_cap_matches_composed), in HALF the plan: both rules
+    need a cumulative sum over the same count histogram ordered by count,
+    so ONE histogram, ONE ordered window carrying both running sums
+    (keys for the median, nkeys*count^2 for the work budget), ONE totals
+    crossJoin and ONE conditional aggregation replace the two of each
+    (r15, guide §2.4 — the composed form cost two extra window exchanges
+    + two extra scalar aggregations per autocap query, a measurable slice
+    of the stage-floor-bound autocap rows). total rows for the work
+    budget come from the histogram (sum(nkeys * count) == sum(count) over
+    the counts relation, exactly — the same derivation the DuckDB oracle
+    CTEs use), and all arithmetic keeps the originals' types: BIGINT
+    cumulative key tally, decimal(38,0) cumulative join work."""
+    hist = counts.groupBy(count_col).agg(F.count(F.lit(1)).alias("_nkeys"))
+    w = Window.orderBy(count_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        count_col,
+        F.sum("_nkeys").over(w).alias("_cum"),
+        F.sum(
+            F.col("_nkeys").cast("decimal(38,0)")
+            * F.col(count_col)
+            * F.col(count_col)
+        )
+        .over(w)
+        .alias("_cumj"),
+    )
+    tot = hist.agg(
+        F.sum("_nkeys").alias("_nb"),
+        F.sum(F.col("_nkeys").cast("decimal(38,0)") * F.col(count_col)).alias(
+            "_total"
+        ),
+    )
+    agg = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(
+            F.when(F.col("_cum") >= F.expr("(_nb + 1) DIV 2"), F.col(count_col))
+        ).alias("_med"),
+        F.max(
+            F.when(
+                F.col("_cumj") <= F.lit(work_factor) * F.col("_total"),
+                F.col(count_col),
+            )
+        ).alias("_wcap"),
+    )
+    return agg.select(
+        F.greatest(
+            F.lit(cap_floor).cast("bigint"),
+            F.least(
+                F.greatest(
+                    F.lit(cap_floor).cast("bigint"),
+                    F.lit(cap_factor) * F.col("_med"),
+                ),
+                F.coalesce(F.col("_wcap"), F.lit(0)).cast("bigint"),
+            ),
+        ).alias("_cap")
+    )
+
+
 def derived_band_cap(
     banded: DataFrame, cap_floor: int = 8, cap_factor: int = 4
 ) -> tuple[DataFrame, DataFrame]:
@@ -182,19 +249,9 @@ def minhash_lsh_pairs_autocap(
     counts = _persist(
         banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("_bc"))
     )
-    cap = (
-        median_cap(counts, "_bc", cap_floor, cap_factor)
-        .crossJoin(F.broadcast(work_budget_cap(counts, "_bc", work_factor)))
-        .select(
-            F.greatest(
-                F.lit(cap_floor).cast("bigint"),
-                F.least(
-                    F.col("_cap"),
-                    F.coalesce(F.col("_wcap"), F.lit(0)).cast("bigint"),
-                ),
-            ).alias("_cap")
-        )
-    )
+    # r15: both cap levels from ONE histogram/window/aggregation (see
+    # two_level_cap) — bit-identical cap value, half the cap-side stages
+    cap = two_level_cap(counts, "_bc", cap_floor, cap_factor, work_factor)
     ok_bands = (
         counts.crossJoin(F.broadcast(cap))
         .where(F.col("_bc") <= F.col("_cap"))
@@ -262,19 +319,9 @@ def ngram_jaccard_pairs_autocap(
     # — cache so the tokenize/explode runs once
     sh = _persist(textops.shingles(df, k=k, text_col=text_col, id_col=id_col))
     freq = _persist(sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df")))
-    cap = (
-        median_cap(freq, "_df", cap_floor, cap_factor)
-        .crossJoin(F.broadcast(work_budget_cap(freq, "_df", work_factor)))
-        .select(
-            F.greatest(
-                F.lit(cap_floor).cast("bigint"),
-                F.least(
-                    F.col("_cap"),
-                    F.coalesce(F.col("_wcap"), F.lit(0)).cast("bigint"),
-                ),
-            ).alias("_cap")
-        )
-    )
+    # r15: both cap levels from ONE histogram/window/aggregation (see
+    # two_level_cap) — bit-identical cap value, half the cap-side stages
+    cap = two_level_cap(freq, "_df", cap_floor, cap_factor, work_factor)
     hot = (
         freq.crossJoin(F.broadcast(cap))
         .where(F.col("_df") > F.col("_cap"))

@@ -211,3 +211,41 @@ def test_derived_cap_filter_keeps_only_sub_cap_bands(spark):
     )
     kept = {r.band_key for r in ok.collect()}
     assert kept == {"b0", "b1", "b2", "b3", "b4"}  # the 40-band dropped
+
+
+def test_two_level_cap_matches_composed(spark):
+    """The fused two_level_cap (r15: one histogram/window/aggregation)
+    must produce the EXACT cap the composed median_cap x work_budget_cap
+    form computed, across the regimes each level binds in: healthy
+    (floor wins), hot-median (work cap binds), hot-tail (median cap
+    binds), budget-blown (wcap NULL -> floor), and empty input."""
+    cases = [
+        [1, 1, 1, 1, 2],            # healthy: floor wins
+        [5, 5, 5, 5, 5, 5],         # uniform-hot: work budget binds
+        [1, 1, 1, 2, 3, 10],        # skewed tail: median level binds
+        [100],                      # budget blown: wcap NULL -> floor
+        [],                         # empty counts
+    ]
+    for counts in cases:
+        rows = [(f"k{i}", n) for i, n in enumerate(counts)]
+        df = spark.createDataFrame(rows, "key string, _c long")
+        fused = dedup_autocap.two_level_cap(
+            df, "_c", cap_floor=8, cap_factor=4, work_factor=16
+        ).collect()[0]["_cap"]
+        composed = (
+            dedup_autocap.median_cap(df, "_c", 8, 4)
+            .crossJoin(
+                F.broadcast(dedup_autocap.work_budget_cap(df, "_c", 16))
+            )
+            .select(
+                F.greatest(
+                    F.lit(8).cast("bigint"),
+                    F.least(
+                        F.col("_cap"),
+                        F.coalesce(F.col("_wcap"), F.lit(0)).cast("bigint"),
+                    ),
+                ).alias("_cap")
+            )
+            .collect()[0]["_cap"]
+        )
+        assert fused == composed, (counts, fused, composed)
