@@ -949,7 +949,19 @@ def connected_components(
         .agg(F.least(F.col("v"), F.min("w")).alias("l"))
         .persist()
     )
-    prev_sum: object = None
+    # r15: read the SEED's label sum up front so the fixpoint check fires
+    # one round earlier. The sum is strictly monotone decreasing until
+    # convergence, so "round 1 changed nothing vs the seed" is exactly
+    # sum(round 1) == sum(seed) — on shallow near-dup graphs (pair
+    # clusters converge AT the seed) the loop now runs one propagation
+    # round instead of two. This blocking aggregate is also the job that
+    # materializes the persisted edges + seed labels (the pair-gen
+    # pipeline), work the first loop round paid anyway; the loop rounds
+    # after it run entirely on cached inputs. Labels returned are
+    # value-identical: the loop still always runs >= 1 round.
+    prev_sum: object = labels.agg(
+        F.sum(F.col("l").cast("decimal(38,0)"))
+    ).first()[0]
     converged = False
     for _ in range(max_iter):
         nbr = (

@@ -483,12 +483,25 @@ def gridmix2_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains them through JobControl; here the chain is lazy plan
     composition and Catalyst schedules the whole mix as one DAG). One
     summary row per job: (job, records, checksum)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from hadoop_1_spark.operators.sampling import md5_mod
 
-    rows = [
-        _mini_sort_row(spark, sf_dir, "streamSort", 5),
-        _mini_sort_row(spark, sf_dir, "javaSort", 3),
-    ]
+    # r15 (guide §2.6 applied to PLAN CONSTRUCTION): the three sort-class
+    # branches are independent and their builders are py4j-chatter-bound
+    # (~0.4 s of driver round-trips each — tokenize/slice/sort/validate
+    # column chains); building them on a small pool overlaps the
+    # round-trip latency (py4j is thread-safe; no Spark job runs here,
+    # plan construction only). Branch order in the union is fixed by the
+    # futures list, so the result is byte-identical.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        sort_rows = list(
+            pool.map(
+                lambda jw: _mini_sort_row(spark, sf_dir, jw[0], jw[1]),
+                [("streamSort", 5), ("javaSort", 3), ("webdataSort", 7)],
+            )
+        )
+    rows = [sort_rows[0], sort_rows[1]]
     li = _load(spark, sf_dir, "lineitem")
     chk32 = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")  # noqa: E731
     scan_key = F.concat_ws(
@@ -539,7 +552,7 @@ def gridmix2_mini(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("checksum"),
         )
     )
-    rows.append(_mini_sort_row(spark, sf_dir, "webdataSort", 7))
+    rows.append(sort_rows[2])
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
