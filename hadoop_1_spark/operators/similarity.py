@@ -1395,7 +1395,17 @@ def mmr_topk(
         .select("query_id", F.col("cid").alias("neighbor_id"),
                 F.col("_score").alias("mmr_score"), F.lit(1).alias("rank"))
     )
-    selected = pick
+    # r15 (guide §2.4/§5): each step references `selected` TWICE (the
+    # selected-vector join and the remaining-candidates anti-join), so the
+    # unrolled plan re-derived every earlier step's window-argmax 2x per
+    # later step — the final k=3 plan carried 62 scans of the cached
+    # candidates and 409 nodes, all recomputation of k tiny relations.
+    # localCheckpoint(eager=False) per step truncates the lineage exactly
+    # like connected_components' rounds: each step's picks materialize
+    # once inside the same (single) job, later steps read the RDD. Rows
+    # are identical — checkpointing only cuts lineage, and the greedy
+    # recursion itself is untouched.
+    selected = pick.localCheckpoint(eager=False)
     for step in range(2, k + 1):
         # Per-step candidate x SELECTED cosines (selected <= step-1 rows
         # per query), never the n_c^2 all-candidate sims relation the
@@ -1443,6 +1453,8 @@ def mmr_topk(
                     F.col("_score").alias("mmr_score"), F.lit(step).alias("rank"))
         )
         selected = selected.unionByName(nxt)
+        if step < k:
+            selected = selected.localCheckpoint(eager=False)
     return selected.select(
         "query_id", "neighbor_id", F.round("mmr_score", 9).alias("mmr_score"),
         F.col("rank").cast("int").alias("rank"),
