@@ -161,9 +161,16 @@ def minhash_signature_relation(
     hx = textops.hex_hash(F.col("shingle"), 0)
     base = F.conv(hx, 16, 10).cast("long") % F.lit(textops.MINHASH_P)
     hashed = sh.select(F.col(id_col), hx.alias("hx"), base.alias("hm"))
-    perms = textops.minhash_affine(F.col("hm"), num_hashes)
+    # r15 (the r14 LSH-literal pattern): each affine permutation used to
+    # be ~6 py4j Column calls x num_hashes; one parsed string per
+    # aggregate now. SQL integer literals follow the same int->bigint
+    # promotion as F.lit, so every (a*hm+b) % P is the exact long
+    # arithmetic the Column form computed — signatures bit-identical.
     per_doc = hashed.groupBy(id_col).agg(
-        *[F.min(p).alias(f"h{i}") for i, p in enumerate(perms)],
+        *[
+            F.expr(f"min(({a} * hm + {b}) % {textops.MINHASH_P}) AS h{i}")
+            for i, (a, b) in enumerate(textops.minhash_coeffs(num_hashes))
+        ],
         F.collect_set("hx").alias("hs"),
     )
     per_doc = _persist(per_doc)
@@ -184,18 +191,22 @@ def band_view(
     without recomputing signatures."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.lit(str(b)),
-                *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
-            )
-        ).alias(f"band{b}")
+    # r15: one parsed expression for the whole band array instead of ~5
+    # py4j Column calls per band (md5/concat_ws/casts) — byte-identical
+    # band keys (same md5 over the same comma-joined decimal strings;
+    # Spark renders bigint-to-string identically in both forms).
+    band_cols = ", ".join(
+        "md5(concat_ws(',', '{}', {}))".format(
+            b,
+            ", ".join(
+                f"cast(h{b * rows + r} as string)" for r in range(rows)
+            ),
+        )
         for b in range(bands)
-    ]
+    )
     return per_doc.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
+        F.col(id_col),
+        F.explode(F.expr(f"array({band_cols})")).alias("band_key"),
     )
 
 

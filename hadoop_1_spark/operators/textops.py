@@ -263,23 +263,29 @@ def simhash64(sh_tokens: DataFrame, id_col: str = "doc_id", term_col: str = "tok
     (io/MD5Hash.java:30)."""
     h = shingle_hash(F.col(term_col), 0)
     bits = sh_tokens.select(F.col(id_col), h.alias("h"))
+    # r15 (guide §4-adjacent, the r14 LSH-literal pattern): each packed
+    # plane and each fingerprint bit used to be composed from individual
+    # Column calls (~8 py4j round-trips per bit x 60 bits + 4 per plane
+    # x 30 planes ~= 1.4 s of driver chatter per build at ~1.5 ms/call);
+    # the same expressions now arrive as parsed SQL strings — ONE parse
+    # per aggregate column and one for the whole fingerprint sum. All
+    # arithmetic is integer and the sum keeps the left-associated order,
+    # so fingerprints are bit-identical (pinned by the oracle and
+    # test_textops' simhash cases).
     packed = [
-        F.sum(
-            F.expr(
-                f"(shiftright(h, {k}) & 1) | shiftleft(shiftright(h, {k + 30}) & 1, 32)"
-            )
-        ).alias(f"p{k}")
+        F.expr(
+            f"sum((shiftright(h, {k}) & 1)"
+            f" | shiftleft(shiftright(h, {k + 30}) & 1, 32)) AS p{k}"
+        )
         for k in range(30)
     ]
     sums = bits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *packed)
-    fingerprint = None
-    for b in range(60):
-        cnt = F.expr(f"shiftright(p{b % 30}, {32 * (b // 30)}) & 4294967295")
-        bit = F.when(cnt * 2 > F.col("n"), F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fingerprint = bit if fingerprint is None else fingerprint + bit
-    return sums.select(F.col(id_col), fingerprint.alias("simhash"))
+    fp_text = " + ".join(
+        f"if((shiftright(p{b % 30}, {32 * (b // 30)}) & 4294967295) * 2 > n,"
+        f" cast({1 << b} as bigint), cast(0 as bigint))"
+        for b in range(60)
+    )
+    return sums.select(F.col(id_col), F.expr(fp_text).alias("simhash"))
 
 
 def fingerprint(df: DataFrame, k: int = 3, s: int = 4, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
