@@ -266,8 +266,7 @@ def decontaminate_semantic(
                             ":",
                             F.lit(str(b)),
                             similarity.bucket_from_sums_dyn(
-                                F.col("_p.sums"), b * max_bits, max_bits,
-                                F.col("_nbits"),
+                                "_p.sums", b * max_bits, max_bits, "_nbits"
                             ).cast("string"),
                         )
                         for b in range(bands)

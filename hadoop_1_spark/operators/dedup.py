@@ -429,7 +429,7 @@ def embedding_lsh_pairs(
         "v",
         F.col("_p.nrm").alias("nrm"),
         *[
-            similarity.bucket_from_sums(F.col("_p.sums"), b * bits, bits).alias(f"b{b}")
+            similarity.bucket_from_sums("_p.sums", b * bits, bits).alias(f"b{b}")
             for b in range(bands)
         ],
     )

@@ -121,17 +121,23 @@ def signed_sums_fused(vec: Column, signs_all: list[list[int]]) -> Column:
     )
 
 
-def bucket_from_sums(sums: Column, offset: int, bits: int) -> Column:
+def bucket_from_sums(sums_sql: str, offset: int, bits: int) -> Column:
     """Bucket id from a ``signed_sums_fused`` slice: bit i is
     sign(sums[offset + i]). Keep this in a SEPARATE select from the fold —
     CollapseProject won't inline a non-cheap expression referenced ``bits``
-    times, so the fold evaluates once."""
-    acc = F.lit(0).cast("int")
-    for i in range(bits):
-        acc = acc + F.when(
-            F.element_at(sums, offset + i + 1) > 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-    return acc
+    times, so the fold evaluates once.
+
+    r15: takes the sums column as SQL TEXT (e.g. "_p.sums") and composes
+    the whole bit sum as ONE parsed expression — the Column-loop form was
+    ~6 py4j round-trips per bit, a measurable slice of every LSH
+    builder's plan-construction time. if/element_at/int literals parse to
+    the same typed tree the Column calls produced (int accumulator, same
+    left-associated addition), so bucket ids are bit-identical."""
+    text = " + ".join(
+        f"if(element_at({sums_sql}, {offset + i + 1}) > 0, {1 << i}, 0)"
+        for i in range(bits)
+    )
+    return F.expr(f"cast(({text}) as int)")
 
 
 # ---------------------------------------------------------------------------
@@ -315,7 +321,7 @@ def lsh_ann_topk(
         "neighbor_id",
         "cv",
         F.col("_p.nrm").alias("cn"),
-        bucket_from_sums(F.col("_p.sums"), 0, nbits).alias("cb"),
+        bucket_from_sums("_p.sums", 0, nbits).alias("cb"),
     )
     scored = q.join(c, (q["qb"] == c["cb"]) & (q["query_id"] != c["neighbor_id"])).select(
         "query_id",
@@ -354,7 +360,7 @@ def lsh_park(
             F.col(id_col),
             F.col(vec_col),
             F.col("_p.nrm").alias("nrm"),
-            bucket_from_sums(F.col("_p.sums"), 0, nbits).alias("bucket"),
+            bucket_from_sums("_p.sums", 0, nbits).alias("bucket"),
         )
         # cluster rows by bucket before the partitioned write: without it
         # every task writes a sliver into every bucket directory (tasks x
@@ -954,7 +960,7 @@ def quantized_topk(
     return _exact_rerank(short, corpus, queries, k, id_col, vec_col)
 
 
-def bq_code(vec: Column, dims: int = DIMS) -> Column:
+def bq_code(vec_col: str, dims: int = DIMS) -> Column:
     """1-bit-per-dim sign quantization packed into ONE signed 64-bit code
     (dims <= 64): bit d is set iff vec[d] > 0 — the binary-quantization
     compression modern vector stores ship as their cheapest tier (32x
@@ -963,18 +969,24 @@ def bq_code(vec: Column, dims: int = DIMS) -> Column:
     SUM of disjoint signed bit values (bit 63 enters as -2^63), which
     equals the two's-complement bit pattern exactly and replays in any
     SQL engine without unsigned types. Pure JVM Column arithmetic — no
-    UDF, whole-stage-codegen friendly."""
+    UDF, whole-stage-codegen friendly.
+
+    r15: takes the column NAME and composes the whole packed sum as ONE
+    parsed expression — the Column-loop form was ~8 py4j round-trips per
+    dim x 64 dims per use (sim_bq_ivf_topk's builder made >10k driver
+    calls). SQL `a[d]` is the same 0-based GetArrayItem the Column
+    subscript produced and `if(...)` the same conditional, with the sum
+    left-associated — codes bit-identical (test_bq_code_bit_pattern)."""
     if dims > 64:
         raise ValueError("bq_code packs at most 64 dims into one long")
-    out = None
-    for d in range(dims):
-        val = (1 << d) if d < 63 else -(1 << 63)
-        term = (
-            F.when(vec[d] > 0, F.lit(val).cast("bigint"))
-            .otherwise(F.lit(0).cast("bigint"))
-        )
-        out = term if out is None else out + term
-    return out
+    v = quote_ident(vec_col)
+    terms = " + ".join(
+        f"if({v}[{d}] > 0,"
+        f" cast({(1 << d) if d < 63 else -(1 << 63)} as bigint),"
+        " cast(0 as bigint))"
+        for d in range(dims)
+    )
+    return F.expr(terms)
 
 
 def bq_topk(
@@ -1003,7 +1015,7 @@ def bq_topk(
     composition with the IVF cell partition EXISTS as bq_ivf_park /
     bq_ivf_topk_scan (round-11): codes parked by trained cell, probes
     DPP-pruned to nprobe cell directories."""
-    code = bq_code(F.col(vec_col), dims)
+    code = bq_code(vec_col, dims)
     qq = queries.select(F.col(id_col).alias("query_id"), code.alias("qcode"))
     cc = corpus.select(F.col(id_col).alias("neighbor_id"), code.alias("ccode"))
     cand = (
@@ -1064,7 +1076,7 @@ def negative_mine_topk(
         "neighbor_id",
         "cv",
         F.col("_p.nrm").alias("cn"),
-        bucket_from_sums(F.col("_p.sums"), 0, nbits).alias("cb"),
+        bucket_from_sums("_p.sums", 0, nbits).alias("cb"),
     )
     scored = q.join(
         c, (q["qb"] != c["cb"]) & (q["query_id"] != c["neighbor_id"])
@@ -1123,7 +1135,7 @@ def knn_graph(
         ).select(
             "_id", "_v",
             F.col("_p.nrm").alias("_n"),
-            bucket_from_sums(F.col("_p.sums"), 0, nbits).alias("_b"),
+            bucket_from_sums("_p.sums", 0, nbits).alias("_b"),
         )
     )
     return _knn_cell_topk(base, k, row_block, col_block)
@@ -1254,21 +1266,24 @@ def auto_nbits_expr(
 
 
 def bucket_from_sums_dyn(
-    sums: Column, offset: int, max_bits: int, nbits_col: Column
+    sums_sql: str, offset: int, max_bits: int, nbits_sql: str
 ) -> Column:
     """bucket_from_sums with a RUNTIME bit count: bit i contributes only
     when i < nbits_col (the broadcast occupancy-derived width). The
     first ``nbits`` hyperplanes of a max_bits family are byte-identical
     to a standalone nbits family (hyperplane_signs derives row i from
     seed:i:d independently), so a dynamic width never changes which
-    planes the bits come from."""
-    acc = F.lit(0).cast("int")
-    for i in range(max_bits):
-        acc = acc + F.when(
-            (F.lit(i) < nbits_col) & (F.element_at(sums, offset + i + 1) > 0),
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-    return acc
+    planes the bits come from.
+
+    r15: sums/nbits arrive as SQL text and the whole conditional bit sum
+    is ONE parsed expression (see bucket_from_sums) — bit-identical, ~8
+    py4j round-trips per bit removed from every dynamic-width builder."""
+    text = " + ".join(
+        f"if(({i} < {nbits_sql})"
+        f" and (element_at({sums_sql}, {offset + i + 1}) > 0), {1 << i}, 0)"
+        for i in range(max_bits)
+    )
+    return F.expr(f"cast(({text}) as int)")
 
 
 def knn_graph_auto(
@@ -1325,9 +1340,7 @@ def knn_graph_auto(
         .select(
             "_id", "_v",
             F.col("_p.nrm").alias("_n"),
-            bucket_from_sums_dyn(
-                F.col("_p.sums"), 0, max_nbits, F.col("_nbits")
-            ).alias("_b"),
+            bucket_from_sums_dyn("_p.sums", 0, max_nbits, "_nbits").alias("_b"),
         )
     )
     return _knn_cell_topk(base, k, row_block, col_block)
@@ -1379,7 +1392,7 @@ def mmr_topk(
     ).select(
         "cid", "cv",
         F.col("_p.nrm").alias("cn"),
-        bucket_from_sums(F.col("_p.sums"), 0, nbits).alias("cb"),
+        bucket_from_sums("_p.sums", 0, nbits).alias("cb"),
     )
     cand = persist_tracked(
         q.join(c, (q["qb"] == c["cb"]) & (q["query_id"] != c["cid"])).select(
@@ -2358,7 +2371,7 @@ def bq_ivf_park(spark, path: str, id_col: str = "vec_id", vec_col: str = "embedd
     (
         cells.select(
             F.col(id_col),
-            bq_code(F.col(vec_col), dims).alias("code"),
+            bq_code(vec_col, dims).alias("code"),
             F.col("cell"),
         )
         .write.partitionBy("cell")
@@ -2422,7 +2435,7 @@ def bq_ivf_topk_scan(
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
-            bq_code(F.col(vec_col), dims).alias("qcode"),
+            bq_code(vec_col, dims).alias("qcode"),
         ).join(cells, "query_id")
     )
     c = spark.read.parquet(f"{path}/bqcodes").select(

@@ -111,7 +111,7 @@ def test_fused_fold_single_evaluation_plan_shape(spark):
         "vec_id", similarity.signed_sums_fused(F.col("embedding"), signs).alias("_sums")
     )
     out = pre.select(
-        "vec_id", similarity.bucket_from_sums(F.col("_sums"), 0, 8).alias("b")
+        "vec_id", similarity.bucket_from_sums("_sums", 0, 8).alias("b")
     )
     optimized = out._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("aggregate(") == 1, optimized
@@ -123,7 +123,7 @@ def test_fused_fold_single_evaluation_plan_shape(spark):
     out_a = pre_a.select(
         "vec_id",
         F.col("_p.nrm").alias("nrm"),
-        similarity.bucket_from_sums(F.col("_p.sums"), 0, 8).alias("b"),
+        similarity.bucket_from_sums("_p.sums", 0, 8).alias("b"),
     )
     physical = out_a._jdf.queryExecution().executedPlan().toString()
     assert physical.count("ArrowEvalPython") == 1, physical
@@ -973,11 +973,11 @@ def test_bq_code_bit_pattern(spark):
     expect_bits = sum(1 << d for d in range(64) if vec[d] > 0)
     expect = expect_bits - (1 << 64) if expect_bits >= (1 << 63) else expect_bits
     df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<double>")
-    got = df.select(similarity.bq_code(F.col("embedding")).alias("c")).collect()[0]["c"]
+    got = df.select(similarity.bq_code("embedding").alias("c")).collect()[0]["c"]
     assert got == expect
     # all-negative vector -> code 0
     df0 = spark.createDataFrame([(1, [-1.0] * 64)], "vec_id long, embedding array<double>")
-    assert df0.select(similarity.bq_code(F.col("embedding")).alias("c")).collect()[0]["c"] == 0
+    assert df0.select(similarity.bq_code("embedding").alias("c")).collect()[0]["c"] == 0
 
 
 def test_bq_topk_never_beats_brute_force(spark):
@@ -1013,7 +1013,7 @@ def test_bq_ivf_park_codes_match_cells(spark, tmp_path):
     similarity.ivf_park(emb, path, k_cells=4, iters=1)
     similarity.bq_ivf_park(spark, path)
     cells = spark.read.parquet(f"{path}/cells").select(
-        "vec_id", similarity.bq_code(F.col("embedding")).alias("want"),
+        "vec_id", similarity.bq_code("embedding").alias("want"),
         F.col("cell").cast("int").alias("cell"),
     )
     codes = spark.read.parquet(f"{path}/bqcodes").select(
