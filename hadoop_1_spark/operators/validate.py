@@ -142,24 +142,39 @@ def profile_table(
         aggs.append(F.max(F.unix_micros(F.col(c))).cast("double").alias(f"_mx_{c}"))
     row = df.agg(*aggs)
 
-    def rep(col: str, metric: str, num: Column, s: Column | None = None) -> DataFrame:
-        return row.select(
-            F.lit(col).alias("col_name"),
-            F.lit(metric).alias("metric"),
-            num.cast("double").alias("value_num"),
-            (s if s is not None else F.lit(None).cast("string")).alias("value_str"),
-        )
+    # r15 (guide §2.4 + py4j chatter): the single-row metrics used to be
+    # ~18 separate 1-row selects chained through unionByName — ~15 driver
+    # calls and one plan branch EACH. One stack() over the same 1-row
+    # aggregate emits every (col, metric) row in one Project+Generate:
+    # identical values (same expressions, same double casts; row ORDER
+    # within the relation is not part of any contract — the oracle and
+    # driver compare sorted), far smaller plan.
+    def q(ident: str) -> str:
+        return "`" + ident.replace("`", "``") + "`"
 
-    parts: list[DataFrame] = []
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    entries: list[tuple[str, str, str]] = []
     for c in (*num_cols, *str_cols, *ts_cols):
-        parts.append(
-            rep(c, "completeness_q6",
-                F.expr(f"if(_rows = 0, 1000000, (_nn_{c} * 1000000) div _rows)"))
+        entries.append(
+            (lit(c), lit("completeness_q6"),
+             f"cast(if(_rows = 0, 1000000,"
+             f" ({q('_nn_' + c)} * 1000000) div _rows) as double)")
         )
-        parts.append(rep(c, "distinct", F.col(f"_d_{c}")))
+        entries.append((lit(c), lit("distinct"), f"cast({q('_d_' + c)} as double)"))
     for c in (*num_cols, *ts_cols):
-        parts.append(rep(c, "min", F.col(f"_mn_{c}")))
-        parts.append(rep(c, "max", F.col(f"_mx_{c}")))
+        entries.append((lit(c), lit("min"), f"cast({q('_mn_' + c)} as double)"))
+        entries.append((lit(c), lit("max"), f"cast({q('_mx_' + c)} as double)"))
+    stack_args = ", ".join(
+        f"{n}, {m}, {v}, cast(null as string)" for n, m, v in entries
+    )
+    parts: list[DataFrame] = [
+        row.selectExpr(
+            f"stack({len(entries)}, {stack_args})"
+            " as (col_name, metric, value_num, value_str)"
+        )
+    ]
     for c in str_cols:
         counts = df.groupBy(F.col(c)).agg(F.count(F.lit(1)).alias("_cnt"))
         top = counts.orderBy(F.desc("_cnt"), F.asc(c)).limit(1)
